@@ -154,6 +154,11 @@ class CompatFlags:
     # the sim *seed* its gate state from the live state (as the reference effectively
     # does) instead of a fresh state.
     sim_seeds_from_live_state: bool = True
+    # Q8 (found during the rebuild): live escalation never fires in the reference —
+    # get_minute_bars returns {t,o,h,l,c} dicts while ExitStrategy indexes
+    # (price, volume, ts) tuples; the KeyError is swallowed and should_exit reports
+    # basis=None (:2972, :986-987, :781-782). True reproduces the broken behavior.
+    escalation_broken: bool = False
 
     @classmethod
     def strict_reference_quirks(cls) -> "CompatFlags":
@@ -162,6 +167,7 @@ class CompatFlags:
             double_evaluate=True,
             ml_feature_skew=True,
             sim_seeds_from_live_state=True,
+            escalation_broken=True,
         )
 
     def __hash__(self):

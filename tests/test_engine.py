@@ -1,0 +1,119 @@
+"""Gate stack + lifecycle scan vs the scalar engine oracle over random tapes."""
+
+import jax
+import numpy as np
+import pytest
+
+from qmmx_monolithic_monte_carlo_tpu.config import CompatFlags, EngineParams
+from qmmx_monolithic_monte_carlo_tpu.engine import lifecycle as LC
+from qmmx_monolithic_monte_carlo_tpu.engine.state import EngineCarry
+from qmmx_monolithic_monte_carlo_tpu.reasons import Reason, returned_code
+from qmmx_monolithic_monte_carlo_tpu.types import Levels
+
+from .oracle.engine import EngineOracle
+
+LEVEL_ROWS = [
+    {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+    {"color": "blue", "type": "dashed", "index": 1, "price": 100.45},
+    {"color": "orange", "type": "solid", "index": 0, "price": 99.6},
+    {"color": "teal", "type": "dashed", "index": 0, "price": 100.1},
+]
+
+REASON_NAME = {r.value: r.name for r in Reason}
+
+
+def _tape(seed, n=600, vol_scale=0.0):
+    rng = np.random.default_rng(seed)
+    ts = (1_000_000 + np.cumsum(rng.integers(500, 1200, n))).astype(np.int32)
+    prices = (100.0 + np.cumsum(rng.normal(0, 0.03, n))).astype(np.float32)
+    prices = np.round(prices, 2)  # cent ticks like real prints
+    vols = (rng.uniform(0, 10, n) * vol_scale).astype(np.float32)
+    return ts, prices, vols
+
+
+@pytest.mark.parametrize("seed,qmin,vol_scale", [
+    (0, 0.5, 0.0),
+    (1, 0.6, 0.0),
+    (2, 0.5, 1.0),
+    (3, 0.3, 1.0),
+    (4, 0.7, 5.0),
+])
+def test_lifecycle_matches_oracle(seed, qmin, vol_scale):
+    ts, prices, vols = _tape(seed, n=600, vol_scale=vol_scale)
+    levels = Levels.from_rows(LEVEL_ROWS, max_levels=8)
+    params = EngineParams.default(q_min_prob=qmin)
+    carry = EngineCarry.init(levels.max_levels)
+
+    run = jax.jit(
+        lambda c, t, p, v: LC.run_ticks(
+            c, levels, params, t, p, v, policy_gate_disabled=True,
+            compat=CompatFlags(),
+        )
+    )
+    final, events = run(carry, ts, prices, vols)
+
+    oracle = EngineOracle(LEVEL_ROWS, q_min_prob=qmin, policy_gate_disabled=True)
+    reasons = np.asarray(events.decision.reason)
+    opened = np.asarray(events.opened)
+    closed = np.asarray(events.closed)
+    escalated = np.asarray(events.escalated)
+    pnls = np.asarray(events.pnl)
+
+    for i in range(len(ts)):
+        ev = oracle.tick(int(ts[i]), float(prices[i]), float(vols[i]))
+        got_reason = REASON_NAME[int(reasons[i])]
+        assert got_reason == ev["reason"], (
+            f"tick {i}: reason {got_reason} != oracle {ev['reason']}"
+        )
+        assert bool(opened[i]) == ev["opened"], f"tick {i} opened"
+        assert bool(closed[i]) == ev["closed"], f"tick {i} closed"
+        assert bool(escalated[i]) == ev["escalated"], f"tick {i} escalated"
+        if ev["closed"]:
+            assert float(pnls[i]) == pytest.approx(ev["pnl"], abs=1e-4)
+
+    assert float(final.realized_pnl) == pytest.approx(oracle.pnl, abs=1e-3)
+    assert int(final.wins) == oracle.wins
+    assert int(final.losses) == oracle.losses
+    assert float(final.equity_r) == pytest.approx(oracle.equity_r, abs=1e-3)
+
+
+def test_double_evaluate_compat_doubles_touches():
+    """Q2: two evaluations per tick must advance the touch latch twice as often
+    only on entry ticks (latch prevents double counting while hovering)."""
+    ts, prices, vols = _tape(0, n=200)
+    levels = Levels.from_rows(LEVEL_ROWS, max_levels=8)
+    params = EngineParams.default(q_min_prob=0.99)  # block entries, observe touches
+    carry = EngineCarry.init(levels.max_levels)
+    _, ev1 = LC.run_ticks(carry, levels, params, ts, prices, vols,
+                          compat=CompatFlags(double_evaluate=False))
+    _, ev2 = LC.run_ticks(carry, levels, params, ts, prices, vols,
+                          compat=CompatFlags(double_evaluate=True))
+    # with the latch, hovering doesn't double-count; totals must be >= single-eval
+    t1 = np.asarray(ev1.decision.touch_count).max()
+    t2 = np.asarray(ev2.decision.touch_count).max()
+    assert t2 >= t1
+
+
+def test_returned_code_mapping():
+    assert returned_code(Reason.EDGE_FATIGUE) == "VETO"
+    assert returned_code(Reason.EDGE_FATIGUE, strict_reference_quirks=True) == "ENGINE_ERR"
+    assert returned_code(Reason.ACC_BREAKOUT_GATE) == 904
+    assert returned_code(Reason.ML_CONF_LOW) == "CONF_LOW"
+    assert returned_code(Reason.COMBINED_LOW) == "CONF_LOW"
+    assert returned_code(Reason.TOO_FAR) == "TOO_FAR"
+
+
+def test_policy_gate_blocks_with_zero_weights():
+    """Zero-weight OnlinePolicy scores 0.5 everywhere → chosen 0.5 < 0.60 →
+    gate blocks all entries (ref :3083-3085)."""
+    ts, prices, vols = _tape(0, n=300)
+    levels = Levels.from_rows(LEVEL_ROWS, max_levels=8)
+    params = EngineParams.default(q_min_prob=0.3)
+    carry = EngineCarry.init(levels.max_levels)
+    _, ev = LC.run_ticks(carry, levels, params, ts, prices, vols,
+                         policy_gate_disabled=False)
+    assert int(np.asarray(ev.opened).sum()) == 0
+    # some ticks must have produced OK decisions that the policy gate then blocked
+    oks = np.asarray(ev.decision.ok)
+    assert oks.sum() > 0
+    assert not np.asarray(ev.policy_pass)[oks].any()
