@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Headline benchmark: Monte Carlo 40-bar stop/target replay throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the rebuild's north star (BASELINE.json) — 1e9 simulated 40-bar paths
+per minute on a v5e-8, i.e. 1e9/60/8 ≈ 2.0833e6 paths/s/chip.  The reference
+itself publishes no numbers (its MC is a serial Python loop); vs_baseline > 1
+means faster than the north-star per-chip rate.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+BASELINE_PATHS_PER_SEC_PER_CHIP = 1e9 / 60.0 / 8.0
+
+NUM_BARS = 40
+SIGMA = 0.3
+DT = 1.0 / (390.0 * 252.0)
+
+
+def main():
+    from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+    from qmmx_monolithic_monte_carlo_tpu.sim import pathsim
+    from qmmx_monolithic_monte_carlo_tpu.types import Levels
+
+    levels = Levels.from_rows(
+        [
+            {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+            {"color": "orange", "type": "dashed", "index": 0, "price": 100.4},
+        ],
+        max_levels=8,
+    )
+    params = EngineParams.default()
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+
+    num_paths = 1 << (24 if on_tpu else 18)
+    block = 1 << (17 if on_tpu else 14)  # tuned on v5e: 2^17 peaks (VMEM locality)
+
+    def run(key):
+        return pathsim.mc_paths(
+            key, levels, params,
+            num_paths=num_paths, num_bars=NUM_BARS, s0=100.0,
+            sigma=SIGMA, dt=DT, block_paths=block,
+        )
+
+    # warm-up/compile
+    stats = run(jax.random.key(0))
+    jax.block_until_ready(stats.sum_r)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        stats = run(jax.random.key(i + 1))
+    jax.block_until_ready(stats.sum_r)
+    dt_s = (time.perf_counter() - t0) / reps
+
+    paths_per_sec = num_paths / dt_s
+    print(
+        json.dumps(
+            {
+                "metric": "mc_paths_per_sec_per_chip_40bar",
+                "value": round(paths_per_sec, 1),
+                "unit": "paths/s",
+                "vs_baseline": round(paths_per_sec / BASELINE_PATHS_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+    # context lines on stderr (driver reads stdout's single JSON line)
+    print(
+        f"# device={dev.device_kind} paths={num_paths} block={block} "
+        f"time/rep={dt_s:.3f}s hit_rate={float(stats.hit_rate):.3f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,12 +28,24 @@ _INF = jnp.float32(jnp.inf)
 
 def nearest_level(levels: Levels, price) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Index (first-min tie-break, matching Python ``min``) and |distance| of the
-    nearest valid level."""
+    nearest valid level.
+
+    Implemented as an unrolled running-min over the (static, small) level axis
+    instead of a broadcast [..., L] argmin: on TPU the broadcast materializes a
+    price-shaped×L intermediate plus a gather, ~20× slower for path-sized
+    batches (measured 185 ms vs 8.6 ms for [262144, 40] × 8 levels on v5e).
+    Strict ``<`` keeps the first minimum, matching Python ``min`` tie-breaks.
+    """
     price = jnp.asarray(price, jnp.float32)
-    dist = jnp.abs(levels.price - price[..., None])
-    dist = jnp.where(levels.valid, dist, _INF)
-    idx = jnp.argmin(dist, axis=-1)
-    return idx, jnp.take_along_axis(dist, idx[..., None], axis=-1)[..., 0]
+    best_d = jnp.full(price.shape, _INF, jnp.float32)
+    best_i = jnp.zeros(price.shape, jnp.int32)
+    for i in range(levels.max_levels):
+        d = jnp.abs(price - levels.price[..., i])
+        d = jnp.where(levels.valid[..., i], d, _INF)
+        better = d < best_d
+        best_d = jnp.where(better, d, best_d)
+        best_i = jnp.where(better, i, best_i)
+    return best_i, best_d
 
 
 def confluence_count(levels: Levels, anchor_price, within) -> jnp.ndarray:

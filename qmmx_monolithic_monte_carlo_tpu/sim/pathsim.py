@@ -1,0 +1,240 @@
+"""Generated-path Monte Carlo: sampler → per-path stop/target replay → reductions.
+
+This is the rebuild's scaling surface (BASELINE configs #2/#3/#5): instead of
+jittering one recorded bar window (sim/montecarlo.py), draw fresh OHLC paths
+(bootstrap or GBM, ops/pathgen.py) and replay the level-scaffold trade on each.
+
+Per path: find the first bar whose close touches a level (the same proximity
+detector as the sims, qmmx_monolithic.py:3399-3405), enter at that close with the
+level ∓ STOP/TP paddings scaffold, walk the remaining bars to the first hit with
+the same-bar tie coin (:3467-3480).  Outputs reduce to a ``PathStats`` block of
+sums/counts/histogram that is associative — so path blocks combine with ``+`` and
+shard cleanly over a device mesh with ``psum`` (parallel/mesh.py).
+
+Memory: paths are generated and consumed inside one jit region in blocks
+(``lax.map`` over block indices), so HBM holds one block at a time regardless of
+the total path count — 1e9 paths stream through without 1e9×W residency.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import EngineParams
+from ..ops import features as F
+from ..ops import hitscan as H
+from ..ops import pathgen as PG
+from ..types import OUTCOME_OPEN, OUTCOME_STOP, OUTCOME_TP, SIDE_LONG, SIDE_SHORT, Levels
+from ..utils import prng
+
+HIST_BINS = 64
+HIST_LO = -1.5   # R range: stop = -1, tp = reward/risk (tp/sp ≈ 0.714 default)
+HIST_HI = 2.5
+
+
+@struct.dataclass
+class PathStats:
+    """Associative accumulator over path outcomes (combine with ``merge``/psum)."""
+
+    n: jnp.ndarray         # f32 — paths counted
+    n_tp: jnp.ndarray
+    n_stop: jnp.ndarray
+    n_open: jnp.ndarray
+    n_entered: jnp.ndarray  # paths that found a level contact
+    sum_r: jnp.ndarray
+    sum_r2: jnp.ndarray
+    min_r: jnp.ndarray
+    max_r: jnp.ndarray
+    hist: jnp.ndarray      # f32[HIST_BINS] of R values (entered paths)
+
+    @classmethod
+    def zero(cls) -> "PathStats":
+        z = jnp.float32(0.0)
+        return cls(n=z, n_tp=z, n_stop=z, n_open=z, n_entered=z, sum_r=z, sum_r2=z,
+                   min_r=jnp.float32(jnp.inf), max_r=jnp.float32(-jnp.inf),
+                   hist=jnp.zeros((HIST_BINS,), jnp.float32))
+
+    @classmethod
+    def from_outcomes(cls, r, outcome, entered) -> "PathStats":
+        r = jnp.asarray(r, jnp.float32)
+        entered = jnp.asarray(entered)
+        w = entered.astype(jnp.float32)
+        bin_idx = jnp.clip(
+            ((r - HIST_LO) / (HIST_HI - HIST_LO) * HIST_BINS).astype(jnp.int32),
+            0, HIST_BINS - 1,
+        )
+        hist = jnp.zeros((HIST_BINS,), jnp.float32).at[bin_idx].add(w)
+        big = jnp.float32(jnp.inf)
+        return cls(
+            n=jnp.sum(jnp.ones_like(r)),
+            n_tp=jnp.sum(w * (outcome == OUTCOME_TP)),
+            n_stop=jnp.sum(w * (outcome == OUTCOME_STOP)),
+            n_open=jnp.sum(w * (outcome == OUTCOME_OPEN)),
+            n_entered=jnp.sum(w),
+            sum_r=jnp.sum(w * r),
+            sum_r2=jnp.sum(w * r * r),
+            min_r=jnp.min(jnp.where(entered, r, big)),
+            max_r=jnp.max(jnp.where(entered, r, -big)),
+            hist=hist,
+        )
+
+    def merge(self, other: "PathStats") -> "PathStats":
+        return PathStats(
+            n=self.n + other.n,
+            n_tp=self.n_tp + other.n_tp,
+            n_stop=self.n_stop + other.n_stop,
+            n_open=self.n_open + other.n_open,
+            n_entered=self.n_entered + other.n_entered,
+            sum_r=self.sum_r + other.sum_r,
+            sum_r2=self.sum_r2 + other.sum_r2,
+            min_r=jnp.minimum(self.min_r, other.min_r),
+            max_r=jnp.maximum(self.max_r, other.max_r),
+            hist=self.hist + other.hist,
+        )
+
+    # ---- derived metrics ----
+    @property
+    def mean_r(self):
+        return self.sum_r / jnp.maximum(self.n_entered, 1.0)
+
+    @property
+    def std_r(self):
+        m = self.mean_r
+        return jnp.sqrt(jnp.maximum(self.sum_r2 / jnp.maximum(self.n_entered, 1.0) - m * m, 0.0))
+
+    @property
+    def hit_rate(self):
+        return self.n_tp / jnp.maximum(self.n_tp + self.n_stop, 1.0)
+
+    def quantile(self, q):
+        """Histogram-estimated R quantile (used for VaR at path scale, where an
+        exact sort of 1e9 values is replaced by a 64-bin CDF inversion)."""
+        cdf = jnp.cumsum(self.hist)
+        total = cdf[-1]
+        target = jnp.asarray(q, jnp.float32) * total
+        idx = jnp.searchsorted(cdf, target, side="left")
+        idx = jnp.clip(idx, 0, HIST_BINS - 1)
+        # linear interpolation inside the bin
+        prev = jnp.where(idx > 0, cdf[idx - 1], 0.0)
+        frac = jnp.where(self.hist[idx] > 0, (target - prev) / jnp.maximum(self.hist[idx], 1.0), 0.0)
+        w = (HIST_HI - HIST_LO) / HIST_BINS
+        return HIST_LO + (idx.astype(jnp.float32) + frac) * w
+
+    def cvar(self, q=0.05):
+        """Histogram-estimated mean of the lower q tail."""
+        cdf = jnp.cumsum(self.hist)
+        total = cdf[-1]
+        cutoff = jnp.asarray(q, jnp.float32) * total
+        w = (HIST_HI - HIST_LO) / HIST_BINS
+        centers = HIST_LO + (jnp.arange(HIST_BINS, dtype=jnp.float32) + 0.5) * w
+        prev_cdf = jnp.concatenate([jnp.zeros((1,), jnp.float32), cdf[:-1]])
+        take = jnp.clip(cutoff - prev_cdf, 0.0, self.hist)
+        return jnp.sum(take * centers) / jnp.maximum(cutoff, 1.0)
+
+
+def path_replay(
+    paths: PG.PathBars,
+    levels: Levels,
+    params: EngineParams,
+    tie_uniform,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Replay the level-contact trade on each generated path.
+
+    Returns (r, outcome, entered) over the path axis.  Entry: first bar with
+    close within CONTACT_PROX of the nearest level; side from the close-to-close
+    move into that bar (long if up, short otherwise — matching the sims'
+    ``c > prev_c`` rule); stop/target = level ∓ paddings.
+    """
+    close = paths.close                             # [P, W]
+    p, w = close.shape
+    idx, dist = F.nearest_level(levels, close)      # [P, W]
+    near = dist <= params.contact_prox
+    # side needs a previous close: bar 0 compares against the open
+    prev = jnp.concatenate([paths.open[:, :1], close[:, :-1]], axis=1)
+    entered = jnp.any(near, axis=1)
+    ebar = jnp.where(entered, jnp.argmax(near, axis=1), 0)
+
+    rows = jnp.arange(p)
+    lvl = levels.price[idx[rows, ebar]]
+    entry = close[rows, ebar]
+    side = jnp.where(entry > prev[rows, ebar], SIDE_LONG, SIDE_SHORT)
+    stop = jnp.where(side == SIDE_LONG, lvl - params.stop_padding, lvl + params.stop_padding)
+    target = jnp.where(side == SIDE_LONG, lvl + params.tp_padding, lvl - params.tp_padding)
+
+    after = jnp.arange(w)[None, :] > ebar[:, None]
+    r, outcome = H.stop_target_outcome(
+        highs=paths.high, lows=paths.low, side=side,
+        entry=entry, stop=stop, target=target,
+        tie_uniform=tie_uniform, valid_mask=after,
+    )
+    r = jnp.where(entered, r, 0.0)
+    outcome = jnp.where(entered, outcome, OUTCOME_OPEN)
+    return r, outcome, entered
+
+
+def _one_block(
+    key, block_idx, *, levels, params, block_paths, num_bars, s0, mu, sigma, dt,
+    sampler, hist_bars, antithetic,
+) -> PathStats:
+    bkey = prng.key_for(key, prng.STREAM_PATH, block_idx)
+    if sampler == "gbm":
+        paths = PG.gbm_paths(
+            bkey, num_paths=block_paths, num_bars=num_bars, s0=s0,
+            mu=mu, sigma=sigma, dt=dt, antithetic=antithetic,
+        )
+    elif sampler == "bootstrap":
+        paths = PG.bootstrap_paths(
+            bkey,
+            hist_open=hist_bars.open, hist_high=hist_bars.high,
+            hist_low=hist_bars.low, hist_close=hist_bars.close,
+            num_paths=block_paths, num_bars=num_bars, s0=s0,
+        )
+    else:
+        raise ValueError(f"unknown sampler {sampler!r}")
+    tie = jax.random.uniform(
+        prng.key_for(bkey, prng.STREAM_TIE_COIN), (block_paths,), jnp.float32
+    )
+    r, outcome, entered = path_replay(paths, levels, params, tie)
+    return PathStats.from_outcomes(r, outcome, entered)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "block_paths", "sampler", "antithetic"),
+)
+def mc_paths(
+    key,
+    levels: Levels,
+    params: EngineParams,
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    s0=100.0,
+    mu: float = 0.0,
+    sigma: float = 0.15,
+    dt: float = 1.0 / (390.0 * 252.0),
+    sampler: str = "gbm",
+    hist_bars=None,
+    block_paths: int = 1 << 16,
+    antithetic: bool = False,
+) -> PathStats:
+    """Streamed generated-path MC: ``num_paths`` paths in blocks of
+    ``block_paths``; returns merged PathStats."""
+    if num_paths % block_paths != 0:
+        raise ValueError("num_paths must be a multiple of block_paths")
+    n_blocks = num_paths // block_paths
+
+    def body(carry, b):
+        stats = _one_block(
+            key, b, levels=levels, params=params, block_paths=block_paths,
+            num_bars=num_bars, s0=s0, mu=mu, sigma=sigma, dt=dt,
+            sampler=sampler, hist_bars=hist_bars, antithetic=antithetic,
+        )
+        return carry.merge(stats), None
+
+    out, _ = jax.lax.scan(body, PathStats.zero(), jnp.arange(n_blocks, dtype=jnp.uint32))
+    return out

@@ -1,0 +1,159 @@
+"""Generated-path MC + mesh sharding: correctness, mesh-invariance, sweep CRN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+from qmmx_monolithic_monte_carlo_tpu.ops import pathgen as PG
+from qmmx_monolithic_monte_carlo_tpu.parallel import mesh as PM
+from qmmx_monolithic_monte_carlo_tpu.parallel import sweep as PS
+from qmmx_monolithic_monte_carlo_tpu.sim import pathsim
+from qmmx_monolithic_monte_carlo_tpu.types import OUTCOME_TP, Levels
+
+LEVELS = Levels.from_rows(
+    [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}], max_levels=4
+)
+PARAMS = EngineParams.default()
+
+
+def test_path_replay_matches_scalar_walk():
+    key = jax.random.key(0)
+    paths = PG.gbm_paths(key, num_paths=256, num_bars=40, s0=100.0, sigma=0.3,
+                         dt=1.0 / (390 * 252))
+    tie = jax.random.uniform(jax.random.key(1), (256,))
+    r, outcome, entered = pathsim.path_replay(paths, LEVELS, PARAMS, tie)
+    o = np.asarray(paths.open); h = np.asarray(paths.high)
+    l = np.asarray(paths.low); c = np.asarray(paths.close)
+    tie_np = np.asarray(tie)
+    for p in range(256):
+        near = np.abs(c[p] - 100.0) <= 0.05
+        if not near.any():
+            assert not bool(entered[p])
+            continue
+        eb = int(np.argmax(near))
+        prev = o[p, 0] if eb == 0 else c[p, eb - 1]
+        side = "long" if c[p, eb] > prev else "short"
+        entry = c[p, eb]
+        stop = 100.0 - 0.35 if side == "long" else 100.0 + 0.35
+        target = 100.0 + 0.25 if side == "long" else 100.0 - 0.25
+        # scalar walk
+        res_r, res_out = 0.0, "open"
+        for j in range(eb + 1, 40):
+            hh, ll = h[p, j], l[p, j]
+            s_hit = (ll <= stop) if side == "long" else (hh >= stop)
+            t_hit = (hh >= target) if side == "long" else (ll <= target)
+            risk = abs(entry - stop)
+            reward = abs(target - entry)
+            if s_hit and t_hit:
+                up, dn = max(0.0, hh - entry), max(0.0, entry - ll)
+                p_tp = up / (up + dn + 1e-9)
+                res_r, res_out = ((reward / risk, "tp") if tie_np[p] < p_tp
+                                  else (-1.0, "stop"))
+                break
+            if t_hit:
+                res_r, res_out = reward / risk, "tp"
+                break
+            if s_hit:
+                res_r, res_out = -1.0, "stop"
+                break
+        assert bool(entered[p])
+        got_out = {1: "tp", 2: "stop", 0: "open"}[int(outcome[p])]
+        assert got_out == res_out, p
+        assert float(r[p]) == pytest.approx(res_r, rel=1e-4, abs=1e-5)
+
+
+def test_mc_paths_stats_consistency():
+    stats = pathsim.mc_paths(
+        jax.random.key(2), LEVELS, PARAMS,
+        num_paths=1 << 14, num_bars=40, s0=100.0, sigma=0.3,
+        block_paths=1 << 12,
+    )
+    assert float(stats.n) == 1 << 14
+    assert float(stats.n_tp + stats.n_stop + stats.n_open) == pytest.approx(
+        float(stats.n_entered)
+    )
+    assert float(stats.hist.sum()) == pytest.approx(float(stats.n_entered))
+    assert float(stats.min_r) <= float(stats.mean_r) <= float(stats.max_r)
+    # histogram quantile sanity: q=1 → upper edge ≥ max; q~0 → lower region
+    assert float(stats.quantile(0.999)) >= float(stats.mean_r)
+    assert float(stats.cvar(0.05)) <= float(stats.quantile(0.05)) + 0.1
+
+
+def test_mc_paths_blocking_invariance():
+    a = pathsim.mc_paths(jax.random.key(3), LEVELS, PARAMS,
+                         num_paths=1 << 13, block_paths=1 << 13, sigma=0.3)
+    # different blocking → different RNG assignment, but same statistics scale
+    b = pathsim.mc_paths(jax.random.key(3), LEVELS, PARAMS,
+                         num_paths=1 << 13, block_paths=1 << 11, sigma=0.3)
+    assert float(a.n) == float(b.n)
+    assert abs(float(a.hit_rate) - float(b.hit_rate)) < 0.05
+
+
+def test_sharded_mc_matches_single_device():
+    mesh = PM.make_mesh(8)
+    sharded = PM.sharded_mc_paths(
+        mesh, jax.random.key(4), LEVELS, PARAMS,
+        num_paths=1 << 13, num_bars=40, sigma=0.3, block_paths=1 << 10,
+    )
+    single = pathsim.mc_paths(
+        jax.random.key(4), LEVELS, PARAMS,
+        num_paths=1 << 13, num_bars=40, sigma=0.3, block_paths=1 << 10,
+    )
+    # identical global block keying → identical merged stats
+    np.testing.assert_allclose(float(sharded.n), float(single.n))
+    np.testing.assert_allclose(float(sharded.sum_r), float(single.sum_r), rtol=1e-5)
+    np.testing.assert_allclose(float(sharded.n_tp), float(single.n_tp))
+    np.testing.assert_allclose(
+        np.asarray(sharded.hist), np.asarray(single.hist), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(sharded.min_r), float(single.min_r), rtol=1e-6)
+
+
+def test_bootstrap_sampler_path():
+    rng = np.random.default_rng(0)
+    n = 200
+    c = 100 + np.cumsum(rng.normal(0, 0.1, n))
+    hist = PG.PathBars(
+        open=jnp.asarray(np.concatenate([[c[0]], c[:-1]]), jnp.float32),
+        high=jnp.asarray(c + 0.05, jnp.float32),
+        low=jnp.asarray(c - 0.05, jnp.float32),
+        close=jnp.asarray(c, jnp.float32),
+    )
+    stats = pathsim.mc_paths(
+        jax.random.key(5), LEVELS, PARAMS,
+        num_paths=1 << 12, num_bars=40, s0=100.0,
+        sampler="bootstrap", hist_bars=hist, block_paths=1 << 12,
+    )
+    assert float(stats.n) == 1 << 12
+
+
+def test_sweep_grid_and_crn():
+    grid = PS.grid_params(PARAMS, stop_paddings=[0.25, 0.35], tp_paddings=[0.15, 0.25])
+    stats = PS.sweep_paths(
+        jax.random.key(6), LEVELS, grid,
+        num_paths=1 << 12, num_bars=40, sigma=0.3, block_paths=1 << 12,
+    )
+    assert stats.n.shape == (4,)
+    # common random numbers: all configs saw the same paths → same entered count
+    entered = np.asarray(stats.n_entered)
+    assert np.all(entered == entered[0])
+    # wider target → lower hit rate (monotone in tp_padding, same stop)
+    hr = np.asarray(stats.hit_rate).reshape(2, 2)
+    assert np.all(hr[:, 0] >= hr[:, 1] - 1e-6)
+
+
+def test_sharded_sweep_matches_unsharded_statistically():
+    mesh = PM.make_mesh(8)
+    grid = PS.grid_params(PARAMS, stop_paddings=[0.35], tp_paddings=[0.25])
+    sharded = PS.sharded_sweep(
+        mesh, jax.random.key(7), LEVELS, grid,
+        num_paths=1 << 13, num_bars=40, sigma=0.3, block_paths=1 << 10,
+    )
+    assert float(sharded.n[0]) == 1 << 13
+    single = PS.sweep_paths(
+        jax.random.key(8), LEVELS, grid,
+        num_paths=1 << 13, num_bars=40, sigma=0.3, block_paths=1 << 10,
+    )
+    assert abs(float(sharded.hit_rate[0]) - float(single.hit_rate[0])) < 0.05
