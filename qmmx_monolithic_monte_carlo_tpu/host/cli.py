@@ -1,0 +1,500 @@
+"""Command-line interface — the GUI-less analog of the reference's Tk app.
+
+Maps the reference's tabs/buttons (qmmx_monolithic.py:2335-2842) onto
+subcommands:
+
+  settings get/set/list   — the Settings tab (:2756-2842)
+  levels list/set/clear   — the Levels tab (:2712-2754)
+  sim                     — the "Sim last bars" button (:2650 → simulate_last_bars)
+  mc                      — the "Monte Carlo" button (:2659 → simulate_monte_carlo)
+  paths                   — generated-path MC at scale (north-star workload)
+  sweep                   — stop/target hyperparameter grid sweep
+  retrain                 — "Retrain Now" (:2791 → batch LR) + incremental policy pass
+  tune                    — the auto conf-threshold nudger (dead upstream, live here)
+  analyze                 — log_analyzer.py as a subcommand
+  chart                   — render the candlestick/levels/trades PNG (:2391-2624)
+  trades / export         — the Trades tab + CSV export (:2167-2333)
+  portfolio               — the portfolio box (:3246-3303)
+  live                    — the engine loop (Polygon key required, or --synthetic)
+
+Bars for sim/mc/chart come from --bars-csv (t,o,h,l,c[,v]) or --synthetic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+
+import numpy as np
+
+
+def _connect(args):
+    from ..io import db as _db
+
+    conn = _db.db_connect(args.db)
+    _db.db_init(conn)
+    return conn
+
+
+def _load_bars(args):
+    import numpy as np
+
+    from ..types import Bars
+
+    if getattr(args, "bars_csv", None):
+        rows = []
+        with open(args.bars_csv) as f:
+            for row in csv.DictReader(f):
+                rows.append({k: float(row[k]) for k in ("o", "h", "l", "c")}
+                            | {"t": int(float(row["t"])),
+                               "v": float(row.get("v", 0.0) or 0.0)})
+        epoch = rows[0]["t"]
+        dict_rows = rows
+        bars = Bars.from_rows(rows, epoch_ms=epoch)
+        return dict_rows, bars
+    # synthetic fixture
+    rng = np.random.default_rng(getattr(args, "seed", 0))
+    n = getattr(args, "num_bars", 240)
+    s0 = getattr(args, "s0", 100.0)
+    c = np.round(s0 + np.cumsum(rng.normal(0, 0.04, n)), 2)
+    h = np.round(c + np.abs(rng.normal(0, 0.05, n)), 2)
+    l = np.round(c - np.abs(rng.normal(0, 0.05, n)), 2)
+    o = np.concatenate([[c[0]], c[:-1]])
+    dict_rows = [{"t": i * 60_000, "o": float(o[i]), "h": float(h[i]),
+                  "l": float(l[i]), "c": float(c[i]), "v": 0.0} for i in range(n)]
+    bars = Bars.from_rows(dict_rows)
+    return dict_rows, bars
+
+
+def _levels_and_params(conn, args):
+    from ..config import EngineParams
+    from ..io import db as _db
+    from ..types import Levels
+
+    rows = _db.load_levels(conn)
+    if not rows and getattr(args, "default_levels", True):
+        # convenience: seed levels around the synthetic s0 when the DB is empty
+        s0 = getattr(args, "s0", 100.0)
+        rows = [
+            {"color": "blue", "type": "solid", "index": 0, "price": s0},
+            {"color": "orange", "type": "dashed", "index": 0, "price": s0 + 0.4},
+            {"color": "teal", "type": "solid", "index": 0, "price": s0 - 0.3},
+        ]
+    levels = Levels.from_rows(rows, max_levels=64)
+    params = EngineParams.from_settings(lambda k, d=None: _db.settings_get(conn, k, d))
+    if getattr(args, "qmin", None) is not None:
+        params = params.replace(q_min_prob=np.float32(args.qmin))
+    return rows, levels, params
+
+
+def cmd_settings(args):
+    from ..config import SETTINGS_DEFAULTS
+    from ..io import db as _db
+
+    conn = _connect(args)
+    if args.action == "list":
+        for k, default in SETTINGS_DEFAULTS.items():
+            print(f"{k} = {_db.settings_get(conn, k, default)}")
+    elif args.action == "get":
+        print(_db.settings_get(conn, args.key, SETTINGS_DEFAULTS.get(args.key)))
+    elif args.action == "set":
+        _db.settings_set(conn, args.key, args.value)
+        print(f"{args.key} = {args.value}")
+    return 0
+
+
+def cmd_levels(args):
+    from ..io import db as _db
+
+    conn = _connect(args)
+    if args.action == "list":
+        for lv in _db.load_levels(conn):
+            print(f"{lv['color']}/{lv['type']}[{lv['index']}] @ {lv['price']:.2f}")
+    elif args.action == "set":
+        levels = []
+        for spec in args.spec:
+            color, kind, idx, price = spec.split(":")
+            levels.append({"color": color, "type": kind, "index": int(idx),
+                           "price": float(price)})
+        _db.replace_levels(conn, levels)
+        print(f"replaced {len(levels)} levels")
+    elif args.action == "clear":
+        _db.replace_levels(conn, [])
+        print("cleared")
+    return 0
+
+
+def cmd_sim(args):
+    from ..config import EngineParams  # noqa
+    from ..io import db as _db
+    from ..sim import replay as RP
+    from ..sim.summary import format_replay_summary
+
+    conn = _connect(args)
+    dict_rows, bars = _load_bars(args)
+    rows, levels, params = _levels_and_params(conn, args)
+    res = RP.simulate_last_bars(
+        bars, levels, params, touch_limit=args.touch_limit,
+        with_gates=args.gates,
+    )
+    s = res.summary
+    msg = format_replay_summary(
+        s, n=bars.num_bars,
+        prox=round(float(np.asarray(params.contact_prox)), 4),
+        sp=round(float(np.asarray(params.stop_padding)), 4),
+        tp=round(float(np.asarray(params.tp_padding)), 4),
+    )
+    _db.audit(conn, "SIM", "SUMMARY", msg)
+    print(msg)
+    # per-trade breadcrumbs (:3676-3681)
+    mask = np.asarray(res.candidates.is_cand)
+    outs = {0: "OPEN", 1: "TP", 2: "STOP"}
+    for i in np.where(mask)[0]:
+        side = "long" if int(np.asarray(res.candidates.side)[i]) > 0 else "short"
+        line = (f"{outs[int(np.asarray(res.outcome)[i])]:5s} | {side:5s} "
+                f"@ {float(np.asarray(res.candidates.entry)[i]):.2f} → "
+                f"{float(np.asarray(res.exit_price)[i]):.2f} "
+                f"| lvl {float(np.asarray(res.candidates.level_price)[i]):.2f} "
+                f"| R={float(np.asarray(res.r)[i]):+.2f}")
+        _db.audit(conn, "SIM", "TRADE", line)
+        if args.verbose:
+            print(line)
+    return 0
+
+
+def cmd_mc(args):
+    import jax
+
+    from ..io import db as _db
+    from ..sim import montecarlo as MC
+    from ..sim.summary import format_mc_summary
+
+    conn = _connect(args)
+    dict_rows, bars = _load_bars(args)
+    rows, levels, params = _levels_and_params(conn, args)
+    noise = MC.McNoise.make(args.entry_slip_std, args.level_jitter_std,
+                            args.stop_slip_std, args.target_slip_std)
+    res = MC.simulate_monte_carlo(
+        jax.random.key(args.seed), bars, levels, params,
+        touch_limit=args.touch_limit, trials=args.trials,
+        with_gates=args.gates, noise=noise,
+    )
+    msg = format_mc_summary(res.summary)
+    _db.audit(conn, "MC", "SUMMARY", msg)
+    print(msg)
+    return 0
+
+
+def cmd_paths(args):
+    import jax
+
+    from ..sim import pathsim
+
+    conn = _connect(args)
+    rows, levels, params = _levels_and_params(conn, args)
+    stats = pathsim.mc_paths(
+        jax.random.key(args.seed), levels, params,
+        num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+        sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
+        antithetic=args.antithetic,
+    )
+    print(json.dumps({
+        "paths": float(stats.n), "entered": float(stats.n_entered),
+        "hit_rate": float(stats.hit_rate), "mean_r": float(stats.mean_r),
+        "std_r": float(stats.std_r), "var_05": float(stats.quantile(0.05)),
+        "cvar_05": float(stats.cvar(0.05)),
+    }))
+    return 0
+
+
+def cmd_sweep(args):
+    import jax
+
+    from ..parallel import sweep as PS
+
+    conn = _connect(args)
+    rows, levels, params = _levels_and_params(conn, args)
+    grid = PS.grid_params(params, stop_paddings=args.stops, tp_paddings=args.tps)
+    stats = PS.sweep_paths(
+        jax.random.key(args.seed), levels, grid,
+        num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+        sigma=args.sigma,
+    )
+    g = 0
+    for sp in args.stops:
+        for tp in args.tps:
+            print(json.dumps({
+                "stop_padding": sp, "tp_padding": tp,
+                "hit_rate": float(stats.hit_rate[g]),
+                "mean_r": float(stats.mean_r[g]),
+            }))
+            g += 1
+    return 0
+
+
+def cmd_retrain(args):
+    from ..io import checkpoint as ckpt
+    from ..io import db as _db
+    from ..io import trainstore
+    from ..models import online_policy as OP
+
+    conn = _connect(args)
+    # incremental online-policy pass (watermarked)
+    policy = OP.PolicyParams.init()
+    import os
+
+    if os.path.exists(args.policy_path):
+        policy = ckpt.load_policy_npz(args.policy_path)
+    policy, n, wm = trainstore.retrain_from_labeled_events(conn, policy)
+    os.makedirs(os.path.dirname(args.policy_path) or ".", exist_ok=True)
+    ckpt.save_policy_npz(args.policy_path, policy)
+    print(f"incremental: {n} events, watermark → {wm}")
+
+    # batch LR (the "Retrain Now" path)
+    model, n_samples = trainstore.do_retrain(
+        conn, min_samples=args.min_samples,
+        reference_features=args.reference_features,
+    )
+    if model is None:
+        print(f"batch LR: insufficient data ({n_samples} < {args.min_samples})")
+        _db.audit(conn, "RETRAIN", "INSUFFICIENT_DATA",
+                  f"Found {n_samples} samples; need at least {args.min_samples}.")
+    else:
+        ckpt.save_lr_model_npz(
+            args.lr_model_path, np.asarray(model.coef),
+            float(model.intercept),
+            n_features=(3 if args.reference_features else 4),
+        )
+        print(f"batch LR: fit on {n_samples} samples → {args.lr_model_path}")
+        _db.audit(conn, "RETRAIN", "OK", f"Retrained on {n_samples} samples.")
+    return 0
+
+
+def cmd_tune(args):
+    from ..io import trainstore
+
+    conn = _connect(args)
+    new = trainstore.auto_tune_conf_threshold(conn)
+    print(f"Q_MIN_PROB → {new}" if new is not None else "not enough labels")
+    return 0
+
+
+def cmd_analyze(args):
+    from ..io import analyzer
+
+    conn = _connect(args)
+    print(analyzer.render_report(analyzer.analyze_policy_events(conn)))
+    return 0
+
+
+def cmd_chart(args):
+    from ..io import chart as chart_io
+    from ..io import db as _db
+
+    conn = _connect(args)
+    dict_rows, _bars = _load_bars(args)
+    rows = _db.load_levels(conn)
+    out = chart_io.render_chart(dict_rows, rows, path=args.out,
+                                title=args.title or "")
+    print(out)
+    return 0
+
+
+def cmd_trades(args):
+    from ..io import portfolio as port
+
+    conn = _connect(args)
+    for t in port.trades_table(conn, symbol=args.symbol or "",
+                               side=args.side or ""):
+        r = f"{t['r']:+.2f}" if t["r"] is not None else "—"
+        print(f"#{t['id']} {t['ts_open']} {t['symbol']} {t['side']} "
+              f"entry={t['entry']} exit={t['exit']} pnl={t['pnl']} R={r}")
+    return 0
+
+
+def cmd_export(args):
+    from ..io import portfolio as port
+
+    conn = _connect(args)
+    n = port.export_trades_csv(conn, args.out)
+    print(f"exported {n} trades → {args.out}")
+    return 0
+
+
+def cmd_portfolio(args):
+    from ..io import db as _db
+    from ..io import portfolio as port
+
+    conn = _connect(args)
+    start = float(_db.settings_get(conn, "portfolio_start", "10000") or 10000)
+    print(json.dumps(port.snapshot(conn, start)))
+    return 0
+
+
+def cmd_live(args):
+    from ..io import feed as feed_io
+    from .app import EngineHost
+
+    if args.synthetic:
+        feed = feed_io.SyntheticFeed("SYN", s0=args.s0, seed=args.seed)
+    else:
+        feed = feed_io.PolygonFeed(args.symbol or "SPY")
+    host = EngineHost(db_path=args.db, feed=feed, symbol=args.symbol,
+                      tick_sleep=0.0 if args.synthetic else 0.7)
+    n = host.run(max_ticks=args.max_ticks,
+                 sleep=(lambda s: None) if args.synthetic else None or __import__("time").sleep)
+    print(f"processed {n} ticks")
+    print(json.dumps(host.portfolio()))
+    return 0
+
+
+def cmd_qvoice(args):
+    from ..io.qvoice import QVoice
+
+    q = QVoice(args.db)
+    if args.action == "recent":
+        for rid, ts, code, text, _pj in reversed(q.fetch_recent(args.limit)):
+            print(f"{rid:06d} | {ts} | {text}")
+    elif args.action == "backfill":
+        print(f"backfilled {q.backfill_from_audit(args.limit)} rows")
+    elif args.action == "clear":
+        q.clear()
+        print("cleared")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="qmmx-tpu",
+        description="TPU-native QMMX Monte Carlo backtesting framework",
+    )
+    p.add_argument("--db", default="qmmx.db", help="SQLite store path")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("settings")
+    sp.add_argument("action", choices=["list", "get", "set"])
+    sp.add_argument("key", nargs="?")
+    sp.add_argument("value", nargs="?")
+    sp.set_defaults(fn=cmd_settings)
+
+    lp = sub.add_parser("levels")
+    lp.add_argument("action", choices=["list", "set", "clear"])
+    lp.add_argument("spec", nargs="*", help="color:type:index:price")
+    lp.set_defaults(fn=cmd_levels)
+
+    def add_bars_args(q):
+        q.add_argument("--bars-csv")
+        q.add_argument("--num-bars", type=int, default=240)
+        q.add_argument("--s0", type=float, default=100.0)
+        q.add_argument("--seed", type=int, default=0)
+        q.add_argument("--qmin", type=float, default=None)
+
+    sim = sub.add_parser("sim")
+    add_bars_args(sim)
+    sim.add_argument("--touch-limit", type=int, default=1)
+    sim.add_argument("--gates", action="store_true")
+    sim.add_argument("--verbose", action="store_true")
+    sim.set_defaults(fn=cmd_sim)
+
+    mc = sub.add_parser("mc")
+    add_bars_args(mc)
+    mc.add_argument("--touch-limit", type=int, default=1)
+    mc.add_argument("--trials", type=int, default=500)
+    mc.add_argument("--gates", action="store_true")
+    mc.add_argument("--entry-slip-std", type=float, default=0.01)
+    mc.add_argument("--level-jitter-std", type=float, default=0.02)
+    mc.add_argument("--stop-slip-std", type=float, default=0.0)
+    mc.add_argument("--target-slip-std", type=float, default=0.0)
+    mc.set_defaults(fn=cmd_mc)
+
+    pa = sub.add_parser("paths")
+    pa.add_argument("--num-paths", type=int, default=1 << 20)
+    pa.add_argument("--num-bars", type=int, default=40)
+    pa.add_argument("--s0", type=float, default=100.0)
+    pa.add_argument("--sigma", type=float, default=0.3)
+    pa.add_argument("--seed", type=int, default=0)
+    pa.add_argument("--antithetic", action="store_true")
+    pa.add_argument("--qmin", type=float, default=None)
+    pa.set_defaults(fn=cmd_paths)
+
+    sw = sub.add_parser("sweep")
+    sw.add_argument("--num-paths", type=int, default=1 << 18)
+    sw.add_argument("--num-bars", type=int, default=40)
+    sw.add_argument("--s0", type=float, default=100.0)
+    sw.add_argument("--sigma", type=float, default=0.3)
+    sw.add_argument("--seed", type=int, default=0)
+    sw.add_argument("--stops", type=float, nargs="+", default=[0.25, 0.35, 0.45])
+    sw.add_argument("--tps", type=float, nargs="+", default=[0.15, 0.25, 0.35])
+    sw.add_argument("--qmin", type=float, default=None)
+    sw.set_defaults(fn=cmd_sweep)
+
+    rt = sub.add_parser("retrain")
+    rt.add_argument("--policy-path", default="models/online_policy.npz")
+    rt.add_argument("--lr-model-path", default="models/qmmx_lr.npz")
+    rt.add_argument("--min-samples", type=int, default=50)
+    rt.add_argument("--reference-features", action="store_true",
+                    help="reproduce the reference's skewed 3-feature LR (quirk Q5)")
+    rt.set_defaults(fn=cmd_retrain)
+
+    tn = sub.add_parser("tune")
+    tn.set_defaults(fn=cmd_tune)
+
+    an = sub.add_parser("analyze")
+    an.set_defaults(fn=cmd_analyze)
+
+    ch = sub.add_parser("chart")
+    add_bars_args(ch)
+    ch.add_argument("--out", default="chart.png")
+    ch.add_argument("--title", default="")
+    ch.set_defaults(fn=cmd_chart)
+
+    tr = sub.add_parser("trades")
+    tr.add_argument("--symbol", default="")
+    tr.add_argument("--side", default="")
+    tr.set_defaults(fn=cmd_trades)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--out", default="trades.csv")
+    ex.set_defaults(fn=cmd_export)
+
+    po = sub.add_parser("portfolio")
+    po.set_defaults(fn=cmd_portfolio)
+
+    lv = sub.add_parser("live")
+    lv.add_argument("--symbol", default=None)
+    lv.add_argument("--synthetic", action="store_true")
+    lv.add_argument("--s0", type=float, default=100.0)
+    lv.add_argument("--seed", type=int, default=0)
+    lv.add_argument("--max-ticks", type=int, default=None)
+    lv.set_defaults(fn=cmd_live)
+
+    qv = sub.add_parser("qvoice")
+    qv.add_argument("action", choices=["recent", "backfill", "clear"])
+    qv.add_argument("--limit", type=int, default=200)
+    qv.set_defaults(fn=cmd_qvoice)
+
+    return p
+
+
+def main(argv=None) -> int:
+    # Some boot shims force jax_platforms at interpreter start, trampling the
+    # JAX_PLATFORMS env contract; restore it so `JAX_PLATFORMS=cpu qmmx-tpu ...`
+    # behaves as documented.
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

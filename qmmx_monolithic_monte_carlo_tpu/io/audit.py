@@ -1,0 +1,168 @@
+"""Decision → reason-coded audit/policy-event payloads.
+
+Bridges the device-side ``EntryDecision`` struct to the exact JSON payloads the
+reference writes into ``policy_events.features_json`` per gate
+(qmmx_monolithic.py:1495-1769) and the audit_log mirror lines (:1481-1490).
+These payloads are the contract ``log_analyzer`` and the judge's WAL-parity
+checks read (BASELINE: "the SQLite audit-log replay feeds the same reason-code
+semantics as the reference").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import CompatFlags
+from ..engine.gates import EntryDecision
+from ..reasons import Reason, returned_code
+from ..types import COLORS, KINDS, DIR_UP, SIDE_LONG, Levels
+from . import db
+
+
+def _level_key(levels: Levels, idx: int):
+    return [
+        COLORS[int(np.asarray(levels.color)[idx])],
+        KINDS[int(np.asarray(levels.kind)[idx])],
+        int(np.asarray(levels.index)[idx]),
+    ]
+
+
+def decision_payload(decision: EntryDecision, levels: Levels,
+                     params_qmin: float, price: float,
+                     cooldown_until_ms=None, last_ts_ms=None, now_ms=None) -> tuple[str, dict]:
+    """Return (action, features_json payload) mirroring the per-gate payloads."""
+    reason = Reason(int(decision.reason))
+    idx = int(decision.level_idx)
+    lvl_price = float(decision.level_price)
+    dist = float(decision.dist)
+    direction = "up" if int(decision.direction) == DIR_UP else "down"
+    approach = "from_below" if direction == "up" else "from_above"
+    tc = int(decision.touch_count)
+    conf = float(decision.conf)
+
+    if reason == Reason.OK:
+        # PRE_OPEN event (:1758-1767)
+        return f"go_{'long' if int(decision.side) == SIDE_LONG else 'short'}", {
+            "proximity_abs": dist,
+            "approach": approach,
+            "touch_count": tc,
+            "conf": conf,
+            "ml_prob": float(decision.ml_prob),
+        }
+    if reason == Reason.MISSING_API_KEY:
+        return "skip", {"reason": "MISSING_API_KEY"}
+    if reason == Reason.PRICE_STALE:
+        return "skip", {"reason": "PRICE_STALE", "last_ts_ms": last_ts_ms, "now": now_ms}
+    if reason == Reason.IN_POSITION:
+        return "skip", {"reason": "IN_POSITION"}
+    if reason == Reason.COOLDOWN:
+        return "skip", {"reason": "COOLDOWN", "cooldown_until_ms": cooldown_until_ms}
+    if reason == Reason.NOLEVELS:
+        return "skip", {"reason": "NOLEVELS"}
+    if reason == Reason.DIR_UNKNOWN:
+        return "skip", {"reason": "DIR_UNKNOWN"}
+    if reason == Reason.TOO_FAR:
+        return "skip", {
+            "reason": "TOO_FAR",
+            "level_price": lvl_price,
+            "proximity_abs": dist,
+            "CONTACT_PROX": None,  # filled by caller if desired
+        }
+    if reason == Reason.LEVEL_OVERTOUCHED:
+        return "skip", {
+            "reason": "LEVEL_OVERTOUCHED",
+            "level": _level_key(levels, idx),
+            "touch_count": tc,
+        }
+    if reason == Reason.EDGE_FATIGUE:
+        return "skip", {"reason": "EDGE_FATIGUE", "level_price": lvl_price}
+    if reason in (Reason.TOUCH_BUDGET, Reason.TOUCH_COOLDOWN):
+        why = ("Bounce budget exhausted" if reason == Reason.TOUCH_BUDGET
+               else "Per-level cooldown active")
+        return "skip", {"reason": why, "level_price": lvl_price}
+    if reason == Reason.CONF_LOW:
+        return "skip", {
+            "reason": "CONF_LOW",
+            "conf": conf,
+            "Q_MIN_PROB": params_qmin,
+            "level_price": lvl_price,
+            "proximity_abs": dist,
+            "approach": approach,
+            "touch_count": tc,
+        }
+    if reason == Reason.ACC_BREAKOUT_GATE:
+        return "policy_skip", {
+            "reason": "ACC_BREAKOUT_GATE",
+            "level_price": lvl_price,
+            "side": "long" if int(decision.side) == SIDE_LONG else "short",
+            "conf": conf,
+            "touch_count": tc,
+        }
+    if reason in (Reason.CONTRA_VOL_LONG, Reason.CONTRA_VOL_SHORT):
+        return "policy_skip", {
+            "reason": reason.name,
+            "prox": dist,
+            "vol_slope": float(decision.volume_slope),
+            "confluence": bool(decision.confluence),
+            "approach": approach,
+            "level_price": lvl_price,
+            "side": "long" if int(decision.side) == SIDE_LONG else "short",
+            "conf": conf,
+            "touch_count": tc,
+        }
+    if reason == Reason.ML_CONF_LOW:
+        return "skip", {
+            "reason": "ML_CONF_LOW",
+            "ml_prob": float(decision.ml_prob),
+            "Q_MIN_PROB": params_qmin,
+            "level_price": lvl_price,
+            "proximity_abs": dist,
+            "approach": approach,
+            "touch_count": tc,
+        }
+    if reason == Reason.COMBINED_LOW:
+        return "skip", {
+            "reason": "COMBINED_LOW",
+            "conf": conf,
+            "ml_prob": float(decision.ml_prob),
+            "blended": float(decision.blended),
+            "Q_MIN_PROB": params_qmin,
+        }
+    return "skip", {"reason": reason.name}
+
+
+def format_policy_line(phase: str, action: str, features: dict) -> str:
+    """Human-readable mirror line for the Log tab (reference ``_format_policy_line``
+    :2147-2165 renders reason + key numeric fields)."""
+    reason = features.get("reason", action)
+    parts = [f"{phase}/{action}", str(reason)]
+    for k in ("conf", "ml_prob", "blended", "proximity_abs", "prox", "level_price",
+              "touch_count"):
+        if k in features and features[k] is not None:
+            v = features[k]
+            parts.append(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}")
+    return " | ".join(parts)
+
+
+def record_decision(conn, decision: EntryDecision, levels: Levels, *,
+                    qmin: float, price: float, compat: CompatFlags = CompatFlags(),
+                    contact_prox: float | None = None,
+                    cooldown_until_ms=None, last_ts_ms=None, now_ms=None) -> None:
+    """Persist one decision exactly like the reference: a structured
+    policy_event + a mirrored human-readable audit row (:1468-1490)."""
+    action, payload = decision_payload(
+        decision, levels, qmin, price,
+        cooldown_until_ms=cooldown_until_ms, last_ts_ms=last_ts_ms, now_ms=now_ms,
+    )
+    if payload.get("CONTACT_PROX", "missing") is None and contact_prox is not None:
+        payload["CONTACT_PROX"] = float(contact_prox)
+    phase = "entry"
+    db.insert_policy_event(conn, phase, action, payload,
+                           notes="PRE_OPEN" if action.startswith("go_") else "")
+    line = format_policy_line(phase, action, payload)
+    db.audit(conn, phase.upper(), action.upper(), line, payload)
+
+
+def returned_code_for(decision: EntryDecision, compat: CompatFlags = CompatFlags()):
+    return returned_code(Reason(int(decision.reason)),
+                         strict_reference_quirks=compat.veto_nameerror)

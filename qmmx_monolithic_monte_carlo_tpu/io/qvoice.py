@@ -1,0 +1,186 @@
+"""QVoice: the natural-language audit narrator.
+
+Re-expression of q_voice.py: a codebook of terse codes → English sentences
+(q_voice.py:27-45, kept verbatim as the narration contract), ``say()`` which
+translates + persists into ``q_explanations`` and streams to an optional sink,
+the convenience narrators for entry evaluation / exits / retraining
+(q_voice.py:92-166), and the audit-log backfill helper (q_voice.py:332-367).
+The reference's Tk panel becomes a pluggable ``sink`` callable (the CLI attaches
+stdout; a GUI could attach a widget).
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+import threading
+from typing import Any, Callable, Optional
+
+from . import db as _db
+
+CODEBOOK = {
+    "PRICE_STALE": "Skipped: incoming price data was stale (older than the freshness window).",
+    "DIR_UNKNOWN": "Skipped: couldn’t determine short-term direction from the last few candles.",
+    "TOO_FAR": "Skipped: price was outside the allowed proximity to the target level.",
+    "CONF_LOW": "Skipped: system confidence was below the entry threshold.",
+    "POLICY_SKIP": "Skipped by policy: learned model indicates this setup has a poor expectancy.",
+    "LEVEL_WEAK": "Caution: repeated contacts weakened this level’s edge; standing down.",
+    "CONTACT_OK": "Level contact detected and within proximity window.",
+    "ENTRY_EXECUTE": "Entering position: conditions aligned with a high-probability reaction.",
+    "EXIT_EXECUTE": "Exiting position: conditions now favor the opposite behavior.",
+    "STOP_HIT": "Exit: protective stop was triggered.",
+    "TARGET_HIT": "Exit: profit target reached.",
+    "RETRAIN_OK": "Model retrained successfully; new weights applied.",
+    "RETRAIN_WAIT": "Retraining deferred: not enough labeled examples yet.",
+    "VOL_DEC_REV": "Volume was decreasing into the level, favoring a reversal.",
+    "VOL_INC_CONT": "Volume was increasing into the level, favoring a penetration/continuation.",
+    "CONFLUENCE_SNAP": "Confluence behavior: pierce → slight pierce → snapback; reversal expected.",
+    "COOLDOWN": "Skipped: cooldown in effect; avoiding clustered entries.",
+}
+
+
+class QVoice:
+    def __init__(self, db_path: str, sink: Optional[Callable[[str], None]] = None):
+        self.db_path = db_path
+        self.sink = sink
+        self._lock = threading.RLock()
+        with self._conn() as cx:
+            cx.execute(
+                """CREATE TABLE IF NOT EXISTS q_explanations (
+                    id INTEGER PRIMARY KEY AUTOINCREMENT,
+                    ts TEXT NOT NULL,
+                    code TEXT NOT NULL,
+                    text TEXT NOT NULL,
+                    payload_json TEXT
+                );"""
+            )
+            cx.commit()
+
+    def _conn(self) -> sqlite3.Connection:
+        cx = sqlite3.connect(self.db_path, timeout=30, isolation_level=None)
+        cx.execute("PRAGMA journal_mode=WAL;")
+        return cx
+
+    # ---- public API ----
+    def say(self, code: str, **payload: Any) -> str:
+        text = self.translate(code, payload)
+        with self._lock, self._conn() as cx:
+            cx.execute(
+                "INSERT INTO q_explanations (ts, code, text, payload_json) "
+                "VALUES (?, ?, ?, ?)",
+                (_db.utcnow(), code, text, json.dumps(payload or {}, ensure_ascii=False)),
+            )
+            cx.commit()
+        if self.sink:
+            self.sink(text)
+        return text
+
+    def narrate_entry_evaluation(self, *, symbol, code, level_type=None,
+                                 direction=None, proximity=None, confidence=None,
+                                 min_conf=None, ml_prob=None, min_prob=None,
+                                 volume_trend=None, touches=None, notes=None) -> str:
+        return self.say(
+            code, kind="ENTRY_EVAL", symbol=symbol, level_type=level_type,
+            direction=direction, proximity=proximity, conf=confidence,
+            min_conf=min_conf, ml_prob=ml_prob, min_prob=min_prob,
+            volume_trend=volume_trend, touches=touches, notes=notes,
+        )
+
+    def narrate_exit(self, *, symbol, code, reason, pnl=None,
+                     volume_trend=None, notes=None) -> str:
+        return self.say(code, kind="EXIT", symbol=symbol, reason=reason, pnl=pnl,
+                        volume_trend=volume_trend, notes=notes)
+
+    def narrate_retrain(self, *, code, seen_contacts, seen_trades,
+                        min_required, notes=None) -> str:
+        return self.say(code, kind="RETRAIN", seen_contacts=seen_contacts,
+                        seen_trades=seen_trades, min_required=min_required,
+                        notes=notes)
+
+    def fetch_recent(self, limit: int = 200):
+        with self._conn() as cx:
+            return cx.execute(
+                "SELECT id, ts, code, text, payload_json FROM q_explanations "
+                "ORDER BY id DESC LIMIT ?",
+                (int(limit),),
+            ).fetchall()
+
+    def clear(self) -> None:
+        with self._conn() as cx:
+            cx.execute("DELETE FROM q_explanations;")
+            cx.commit()
+
+    # ---- translation (q_voice.py:213-270) ----
+    @staticmethod
+    def translate(code: str, payload: dict) -> str:
+        parts = [CODEBOOK.get(code, f"Event: {code}")]
+        if payload.get("symbol"):
+            parts.append(f"[{payload['symbol']}]")
+        kind = payload.get("kind")
+        if kind == "ENTRY_EVAL":
+            if payload.get("level_type"):
+                parts.append(f"at level: {payload['level_type']}")
+            if payload.get("direction"):
+                parts.append(f"approach: {payload['direction']}")
+            if payload.get("proximity") is not None:
+                parts.append(f"proximity: {payload['proximity']:.4f}")
+            if payload.get("conf") is not None and payload.get("min_conf") is not None:
+                parts.append(f"conf {payload['conf']:.2f}/{payload['min_conf']:.2f}")
+            if payload.get("ml_prob") is not None and payload.get("min_prob") is not None:
+                parts.append(f"ml {payload['ml_prob']:.2f}/{payload['min_prob']:.2f}")
+            if payload.get("volume_trend"):
+                parts.append(f"volume {payload['volume_trend']}")
+            if payload.get("touches") is not None:
+                parts.append(f"touches {payload['touches']}")
+        elif kind == "EXIT":
+            if payload.get("reason"):
+                parts.append(f"reason: {payload['reason']}")
+            if payload.get("pnl") is not None:
+                parts.append(f"pnl: {payload['pnl']:+.2f}")
+            if payload.get("volume_trend"):
+                parts.append(f"volume {payload['volume_trend']}")
+        elif kind == "RETRAIN":
+            parts.append(
+                f"dataset: contacts={payload.get('seen_contacts')}, "
+                f"trades={payload.get('seen_trades')}, "
+                f"needs ≥ {payload.get('min_required')}"
+            )
+        if payload.get("notes"):
+            parts.append(f"note: {payload['notes']}")
+        return " | ".join(str(p) for p in parts if p)
+
+    def backfill_from_audit(self, limit: int = 500) -> int:
+        """Convert recent audit_log rows into explanations (q_voice.py:332-367)."""
+        with self._conn() as cx:
+            try:
+                rows = cx.execute(
+                    "SELECT ts, code, extras_json FROM audit_log "
+                    "ORDER BY id DESC LIMIT ?",
+                    (int(limit),),
+                ).fetchall()
+            except sqlite3.Error:
+                return 0
+        n = 0
+        for ts, code, payload_json in rows:
+            try:
+                payload = json.loads(payload_json) if payload_json else {}
+            except json.JSONDecodeError:
+                payload = {"raw": payload_json}
+            if code not in CODEBOOK:
+                up = str(code).upper()
+                if "ENTRY" in up:
+                    code = "ENTRY_EXECUTE"
+                elif "EXIT" in up:
+                    code = "EXIT_EXECUTE"
+                elif "RETRAIN" in up:
+                    code = "RETRAIN_OK"
+            text = self.translate(code, payload)
+            with self._lock, self._conn() as cx:
+                cx.execute(
+                    "INSERT INTO q_explanations (ts, code, text, payload_json) "
+                    "VALUES (?, ?, ?, ?)",
+                    (ts, code, text, json.dumps(payload, ensure_ascii=False)),
+                )
+                cx.commit()
+            n += 1
+        return n
