@@ -38,25 +38,42 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
 
-    num_paths = 1 << (24 if on_tpu else 18)
-    block = 1 << (17 if on_tpu else 14)  # tuned on v5e: 2^17 peaks (VMEM locality)
+    if on_tpu:
+        # fused Pallas kernel: generate+replay+reduce entirely in VMEM
+        from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import mc_paths_pallas
 
-    def run(key):
-        return pathsim.mc_paths(
-            key, levels, params,
-            num_paths=num_paths, num_bars=NUM_BARS, s0=100.0,
-            sigma=SIGMA, dt=DT, block_paths=block,
-        )
+        num_paths = 1 << 28
 
-    # warm-up/compile
-    stats = run(jax.random.key(0))
-    jax.block_until_ready(stats.sum_r)
+        def run(seed):
+            return mc_paths_pallas(
+                seed, levels, params,
+                num_paths=num_paths, num_bars=NUM_BARS, s0=100.0,
+                sigma=SIGMA, dt=DT,
+            )
 
-    reps = 3
+        keys = list(range(1, 4))
+    else:
+        num_paths = 1 << 18
+        block = 1 << 14
+
+        def run(seed):
+            return pathsim.mc_paths(
+                jax.random.key(seed), levels, params,
+                num_paths=num_paths, num_bars=NUM_BARS, s0=100.0,
+                sigma=SIGMA, dt=DT, block_paths=block,
+            )
+
+        keys = list(range(1, 4))
+
+    # warm-up/compile (full materialization so dispatch pipelining can't skew)
+    stats = run(0)
+    float(stats.sum_r)
+
+    reps = len(keys)
     t0 = time.perf_counter()
-    for i in range(reps):
-        stats = run(jax.random.key(i + 1))
-    jax.block_until_ready(stats.sum_r)
+    for k in keys:
+        stats = run(k)
+        float(stats.sum_r)
     dt_s = (time.perf_counter() - t0) / reps
 
     paths_per_sec = num_paths / dt_s
@@ -72,7 +89,8 @@ def main():
     )
     # context lines on stderr (driver reads stdout's single JSON line)
     print(
-        f"# device={dev.device_kind} paths={num_paths} block={block} "
+        f"# device={dev.device_kind} paths={num_paths} "
+        f"backend={'pallas' if on_tpu else 'xla'} "
         f"time/rep={dt_s:.3f}s hit_rate={float(stats.hit_rate):.3f}",
         file=sys.stderr,
     )

@@ -1,0 +1,295 @@
+"""Fused Monte Carlo path kernel (Pallas/TPU): generate → replay → reduce in VMEM.
+
+The pure-XLA pipeline (sim/pathsim.py) materializes each path block's OHLC
+arrays in HBM between the sampler and the replay.  This kernel fuses the whole
+path lifecycle on-chip:
+
+  per grid step (one path block of B lanes × W bars):
+    1. seed the per-core PRNG from (seed, block_id); draw uniforms with
+       ``pltpu.prng_random_bits`` and form normals via Box-Muller — no RNG
+       state ever touches HBM;
+    2. log-price cumsum as a lower-triangular (W×W) matmul on the MXU
+       (a 40×40×B contraction beats a serial scan for the cumsum);
+    3. Brownian-bridge bar extremes from two more uniform draws;
+    4. unrolled nearest-level pass (≤8 levels), first-contact detection via the
+       min-iota trick (reductions over the sublane axis only);
+    5. stop/target first-hit with the distance-weighted same-bar coin flip
+       (qmmx_monolithic.py:3467-3480 semantics);
+    6. block-local reduction to a 8-scalar stats row + 64-bin R histogram
+       (one-hot matmul, MXU again) written to a per-block output row.
+
+Host-side, the per-block rows sum into the same ``PathStats`` accumulator the
+XLA pipeline produces, so the two backends are drop-in interchangeable (and are
+cross-checked statistically in tests via ``interpret=True`` on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EngineParams
+from ..sim.pathsim import HIST_BINS, HIST_HI, HIST_LO, PathStats
+from ..types import Levels
+
+LANES = 512          # paths per block (lane axis, multiple of 128)
+STATS_W = 8          # [n, entered, tp, stop, open, sum_r, sum_r2, pad]
+
+_TWO_PI = 6.283185307179586
+
+
+def _uniform(shape):
+    """U(0,1) in (0,1): top 24 bits of the PRNG stream."""
+    bits = pltpu.prng_random_bits(shape)
+    # keep the int32 domain: Mosaic lacks a uint32->f32 cast; a logical shift by 8
+    # leaves 24 bits, which int32 represents exactly
+    u24 = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.int32), jnp.int32(8)
+    )
+    return u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24)) + jnp.float32(1e-12)
+
+
+def _mc_kernel(
+    seed_ref,          # SMEM (1,1) i32
+    knobs_ref,         # SMEM (1,4) f32: [prox, stop_pad, tp_pad, _]
+    level_price_ref,   # VMEM (8, 128) f32 (row-broadcast level prices)
+    level_valid_ref,   # VMEM (8, 128) f32 (1/0)
+    *refs,             # [u_ref (external rng only)], stats_ref, hist_ref
+    num_bars: int,
+    s0: float,
+    drift: float,
+    sig_dt: float,
+    max_levels: int,
+    external_rng: bool = False,
+):
+    prox = knobs_ref[0, 0]
+    stop_pad = knobs_ref[0, 1]
+    tp_pad = knobs_ref[0, 2]
+    w, b = num_bars, LANES
+    if external_rng:
+        u_ref, acc_ref = refs
+
+        def draw(k):
+            if k < 4:
+                return u_ref[0, pl.ds(k * w, w), :]
+            return u_ref[0, pl.ds(4 * w, 1), :]
+    else:
+        (acc_ref,) = refs
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+        def draw(k):
+            return _uniform((w, b) if k < 4 else (1, b))
+
+    # --- 1/2: GBM closes ---
+    u1 = draw(0)
+    u2 = draw(1)
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    incr = jnp.float32(drift) + jnp.float32(sig_dt) * z
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    tril = (col <= row).astype(jnp.float32)
+    log_rel = jnp.dot(tril, incr, preferred_element_type=jnp.float32)  # cumsum
+    log_s0 = jnp.float32(jnp.log(s0))
+    log_close = log_s0 + log_rel
+    log_open = log_close - incr
+    close = jnp.exp(log_close)
+    opens = jnp.exp(log_open)
+
+    # --- 3: bridge extremes ---
+    u3 = draw(2)
+    u4 = draw(3)
+    sig2dt = jnp.float32(sig_dt) * jnp.float32(sig_dt)
+    d2 = (log_close - log_open) ** 2
+    high = jnp.exp(0.5 * (log_open + log_close + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
+    low = jnp.exp(0.5 * (log_open + log_close - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
+
+    # --- 4: nearest level + first contact ---
+    inf = jnp.float32(3.4e38)
+    best_d = jnp.full((w, b), inf, jnp.float32)
+    best_p = jnp.zeros((w, b), jnp.float32)
+    for i in range(max_levels):
+        lp = level_price_ref[i, 0]
+        lv = level_valid_ref[i, 0]
+        d = jnp.where(lv > 0, jnp.abs(close - lp), inf)
+        take = d < best_d
+        best_p = jnp.where(take, lp, best_p)
+        best_d = jnp.where(take, d, best_d)
+    near = best_d <= prox
+
+    # All per-lane quantities stay (1, b): Mosaic cannot reshape/broadcast i1
+    # vectors, so 1D bool intermediates are avoided entirely.
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
+    ebar = jnp.min(jnp.where(near, iota_w, w), axis=0, keepdims=True)   # (1, b)
+    entered = ebar < w
+    at_entry = iota_w == ebar
+    entry = jnp.sum(jnp.where(at_entry, close, 0.0), axis=0, keepdims=True)
+    lvl = jnp.sum(jnp.where(at_entry, best_p, 0.0), axis=0, keepdims=True)
+    prev = jnp.sum(jnp.where(at_entry, opens, 0.0), axis=0, keepdims=True)
+    is_long = entry > prev
+
+    stop = jnp.where(is_long, lvl - stop_pad, lvl + stop_pad)
+    target = jnp.where(is_long, lvl + tp_pad, lvl - tp_pad)
+
+    # --- 5: first hit after the entry bar ---
+    after = iota_w > ebar
+    # NOTE: select over i1 operands lowers to an unsupported i8->i1 trunc in
+    # Mosaic; compose hit masks with and/or instead of jnp.where.
+    nil = jnp.logical_not(is_long)
+    stop_hit = jnp.logical_or(
+        jnp.logical_and(is_long, low <= stop),
+        jnp.logical_and(nil, high >= stop),
+    )
+    tgt_hit = jnp.logical_or(
+        jnp.logical_and(is_long, high >= target),
+        jnp.logical_and(nil, low <= target),
+    )
+    j_stop = jnp.min(jnp.where(jnp.logical_and(after, stop_hit), iota_w, w),
+                     axis=0, keepdims=True)
+    j_tgt = jnp.min(jnp.where(jnp.logical_and(after, tgt_hit), iota_w, w),
+                    axis=0, keepdims=True)
+    none_hit = jnp.logical_and(j_stop >= w, j_tgt >= w)
+    j_first = jnp.minimum(j_stop, j_tgt)
+    tie = jnp.logical_and(j_stop == j_tgt, jnp.logical_not(none_hit))
+
+    at_hit = iota_w == jnp.minimum(j_first, w - 1)
+    hh = jnp.sum(jnp.where(at_hit, high, 0.0), axis=0, keepdims=True)
+    ll = jnp.sum(jnp.where(at_hit, low, 0.0), axis=0, keepdims=True)
+    up_span = jnp.maximum(0.0, hh - entry)
+    dn_span = jnp.maximum(0.0, entry - ll)
+    p_tp = up_span / (up_span + dn_span + 1e-9)
+    tie_u = draw(4)
+    coin_tp = tie_u < p_tp
+    target_first = jnp.logical_or(
+        jnp.logical_and(tie, coin_tp),
+        jnp.logical_and(jnp.logical_not(tie), j_tgt < j_stop),
+    )
+
+    risk = jnp.maximum(jnp.abs(entry - stop), 1e-9)
+    reward = jnp.abs(target - entry)
+    r = jnp.where(none_hit, 0.0, jnp.where(target_first, reward / risk, -1.0))
+    we = entered.astype(jnp.float32)
+    r = r * we                                                     # (1, b)
+
+    is_tp = jnp.logical_and(entered, jnp.logical_and(jnp.logical_not(none_hit), target_first))
+    is_stop = jnp.logical_and(entered, jnp.logical_and(jnp.logical_not(none_hit),
+                                                       jnp.logical_not(target_first)))
+    is_open = jnp.logical_and(entered, none_hit)
+
+    # --- 6: accumulate into the (8, 128) running block (sequential grid) ---
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    scalars = (
+        jnp.float32(b), jnp.sum(we), jnp.sum(is_tp.astype(jnp.float32)),
+        jnp.sum(is_stop.astype(jnp.float32)), jnp.sum(is_open.astype(jnp.float32)),
+        jnp.sum(r), jnp.sum(r * r),
+    )
+    svec = jnp.zeros((1, 128), jnp.float32)
+    for k, v in enumerate(scalars):
+        svec = svec + jnp.where(col == k, v, 0.0)
+    acc_ref[0:1, :] += svec
+
+    bin_f = (r - jnp.float32(HIST_LO)) * jnp.float32(HIST_BINS / (HIST_HI - HIST_LO))
+    # route (1,b) -> (b,1) through f32/i32 transposes (i1 reshapes unsupported)
+    bin_col = jnp.transpose(jnp.clip(bin_f.astype(jnp.int32), 0, HIST_BINS - 1))
+    we_col = jnp.transpose(we)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+    onehot = jnp.where(
+        jnp.logical_and(bins == bin_col, we_col > 0.0), 1.0, 0.0
+    )
+    acc_ref[1:2, :] += jnp.sum(onehot, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt", "interpret"),
+)
+def mc_paths_pallas(
+    seed,
+    levels: Levels,
+    params: EngineParams,
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    s0: float = 100.0,
+    mu: float = 0.0,
+    sigma: float = 0.15,
+    dt: float = 1.0 / (390.0 * 252.0),
+    interpret=False,
+    external_uniforms=None,   # f32[n_blocks, 4*num_bars+1, LANES]: test-injection mode
+) -> PathStats:
+    """Fused-kernel GBM MC.  Same PathStats contract as sim.pathsim.mc_paths.
+
+    NOTE: the noise stream differs from the XLA pipeline (per-core hardware PRNG
+    vs threefry), so results agree statistically, not bitwise.
+    """
+    if num_paths % LANES != 0:
+        raise ValueError(f"num_paths must be a multiple of {LANES}")
+    if levels.max_levels > 8:
+        raise ValueError("pallas kernel supports up to 8 level slots")
+    n_blocks = num_paths // LANES
+
+    import numpy as np
+
+    drift = (mu - 0.5 * sigma * sigma) * dt
+    sig_dt = sigma * float(np.sqrt(dt))
+
+    external_rng = external_uniforms is not None
+    kernel = functools.partial(
+        _mc_kernel,
+        num_bars=num_bars,
+        s0=s0,
+        drift=drift,
+        sig_dt=sig_dt,
+        max_levels=levels.max_levels,
+        external_rng=external_rng,
+    )
+    knobs = jnp.stack([
+        jnp.asarray(params.contact_prox, jnp.float32),
+        jnp.asarray(params.stop_padding, jnp.float32),
+        jnp.asarray(params.tp_padding, jnp.float32),
+        jnp.float32(0.0),
+    ]).reshape(1, 4)
+
+    lp = jnp.broadcast_to(levels.price[:, None], (levels.max_levels, 128))
+    lv = jnp.broadcast_to(
+        levels.valid.astype(jnp.float32)[:, None], (levels.max_levels, 128)
+    )
+    # invalid slots carry +inf prices; zero them so the kernel's arithmetic stays finite
+    lp = jnp.where(jnp.isfinite(lp), lp, 0.0)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((1, 4 * num_bars + 1, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if external_rng else []),
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(*((seed_arr, knobs, lp, lv)
+         + ((jnp.asarray(external_uniforms, jnp.float32),) if external_rng else ())))
+
+    tot = acc[0]
+    return PathStats(
+        n=tot[0], n_entered=tot[1], n_tp=tot[2], n_stop=tot[3], n_open=tot[4],
+        sum_r=tot[5], sum_r2=tot[6],
+        min_r=jnp.float32(jnp.nan),  # extremes not tracked in the fused kernel
+        max_r=jnp.float32(jnp.nan),
+        hist=acc[1, :HIST_BINS],
+    )

@@ -1,0 +1,123 @@
+"""Fused Pallas MC kernel: exact parity vs a numpy oracle with injected uniforms
+(TPU-interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import LANES, mc_paths_pallas
+from qmmx_monolithic_monte_carlo_tpu.types import Levels
+
+LEVELS = Levels.from_rows(
+    [
+        {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+        {"color": "orange", "type": "dashed", "index": 0, "price": 100.4},
+    ],
+    max_levels=8,
+)
+PARAMS = EngineParams.default()
+W = 24
+SIGMA = 0.3
+DT = 1.0 / (390.0 * 252.0)
+
+
+def _oracle(u, lvls, prox=0.05, sp=0.35, tp=0.25, s0=100.0):
+    """f32 numpy re-computation of the kernel semantics from the same uniforms."""
+    f = np.float32
+    drift = f((0 - 0.5 * SIGMA**2) * DT)
+    sig = f(SIGMA * np.sqrt(DT))
+    nb = u.shape[0]
+    tot = dict(entered=0, tp=0, stop=0, open=0, sum_r=0.0)
+    for blk in range(nb):
+        ub = u[blk].astype(np.float32)
+        u1, u2, u3, u4 = ub[:W], ub[W:2 * W], ub[2 * W:3 * W], ub[3 * W:4 * W]
+        tie = ub[4 * W]
+        z = np.sqrt(f(-2.0) * np.log(u1)) * np.cos(f(2 * np.pi) * u2)
+        incr = drift + sig * z
+        logc = f(np.log(s0)) + np.cumsum(incr, axis=0, dtype=np.float32)
+        logo = logc - incr
+        close, opens = np.exp(logc), np.exp(logo)
+        d2 = (logc - logo) ** 2
+        high = np.exp(f(0.5) * (logo + logc + np.sqrt(d2 - 2 * sig * sig * np.log(u3))))
+        low = np.exp(f(0.5) * (logo + logc - np.sqrt(d2 - 2 * sig * sig * np.log(u4))))
+        la = np.array(lvls, np.float32)
+        for lane in range(LANES):
+            c = close[:, lane]
+            d = np.abs(c[:, None] - la[None, :])
+            best = d.min(axis=1)
+            bi = d.argmin(axis=1)
+            near = best <= prox
+            if not near.any():
+                continue
+            eb = int(np.argmax(near))
+            tot["entered"] += 1
+            lvl = la[bi[eb]]
+            entry = c[eb]
+            long_ = entry > opens[eb, lane]
+            stp = lvl - sp if long_ else lvl + sp
+            tgt = lvl + tp if long_ else lvl - tp
+            risk = max(abs(entry - stp), 1e-9)
+            reward = abs(tgt - entry)
+            got = "open"
+            for j in range(eb + 1, W):
+                hh, ll = high[j, lane], low[j, lane]
+                sh = ll <= stp if long_ else hh >= stp
+                th = hh >= tgt if long_ else ll <= tgt
+                if sh and th:
+                    up, dn = max(0.0, hh - entry), max(0.0, entry - ll)
+                    got = "tp" if tie[lane] < up / (up + dn + 1e-9) else "stop"
+                    break
+                if th:
+                    got = "tp"
+                    break
+                if sh:
+                    got = "stop"
+                    break
+            tot[got] += 1
+            tot["sum_r"] += reward / risk if got == "tp" else (-1.0 if got == "stop" else 0.0)
+    return tot
+
+
+def test_kernel_matches_numpy_oracle_exact_uniforms():
+    rng = np.random.default_rng(0)
+    nb = 2
+    u = rng.uniform(1e-9, 1.0, (nb, 4 * W + 1, LANES)).astype(np.float32)
+    s = mc_paths_pallas(
+        0, LEVELS, PARAMS, num_paths=nb * LANES, num_bars=W, sigma=SIGMA, dt=DT,
+        interpret=pltpu.InterpretParams(), external_uniforms=u,
+    )
+    want = _oracle(u, [100.0, 100.4])
+    assert float(s.n) == nb * LANES
+    assert abs(float(s.n_entered) - want["entered"]) <= 1
+    # f32 threshold crossings can flip O(1) outcomes out of 1024
+    assert abs(float(s.n_tp) - want["tp"]) <= 2
+    assert abs(float(s.n_stop) - want["stop"]) <= 2
+    assert abs(float(s.n_open) - want["open"]) <= 2
+    assert float(s.sum_r) == pytest.approx(want["sum_r"], abs=3.0)
+    assert float(s.hist.sum()) == pytest.approx(float(s.n_entered))
+
+
+def test_kernel_stats_contract():
+    rng = np.random.default_rng(1)
+    u = rng.uniform(1e-9, 1.0, (1, 4 * W + 1, LANES)).astype(np.float32)
+    s = mc_paths_pallas(
+        7, LEVELS, PARAMS, num_paths=LANES, num_bars=W, sigma=SIGMA, dt=DT,
+        interpret=pltpu.InterpretParams(), external_uniforms=u,
+    )
+    assert float(s.n_tp + s.n_stop + s.n_open) == pytest.approx(float(s.n_entered))
+    assert 0.0 <= float(s.hit_rate) <= 1.0
+    q = float(s.quantile(0.5))
+    assert -1.5 <= q <= 2.5
+
+
+def test_kernel_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        mc_paths_pallas(0, LEVELS, PARAMS, num_paths=LANES + 1, num_bars=W)
+    big = Levels.from_rows(
+        [{"color": "blue", "type": "solid", "index": i, "price": 100.0 + i}
+         for i in range(9)],
+        max_levels=16,
+    )
+    with pytest.raises(ValueError):
+        mc_paths_pallas(0, big, PARAMS, num_paths=LANES, num_bars=W)
