@@ -23,7 +23,6 @@ Bars for sim/mc/chart come from --bars-csv (t,o,h,l,c[,v]) or --synthetic.
 from __future__ import annotations
 
 import argparse
-import csv
 import json
 import sys
 
@@ -44,15 +43,17 @@ def _load_bars(args):
     from ..types import Bars
 
     if getattr(args, "bars_csv", None):
-        rows = []
-        with open(args.bars_csv) as f:
-            for row in csv.DictReader(f):
-                rows.append({k: float(row[k]) for k in ("o", "h", "l", "c")}
-                            | {"t": int(float(row["t"])),
-                               "v": float(row.get("v", 0.0) or 0.0)})
-        epoch = rows[0]["t"]
-        dict_rows = rows
-        bars = Bars.from_rows(rows, epoch_ms=epoch)
+        from ..io import native
+
+        cols = native.parse_bars_csv(args.bars_csv)  # C++ fast path w/ fallback
+        n = len(cols["t"])
+        dict_rows = [
+            {"t": int(cols["t"][i]), "o": float(cols["o"][i]),
+             "h": float(cols["h"][i]), "l": float(cols["l"][i]),
+             "c": float(cols["c"][i]), "v": float(cols["v"][i])}
+            for i in range(n)
+        ]
+        bars = Bars.from_rows(dict_rows, epoch_ms=int(cols["t"][0]) if n else 0)
         return dict_rows, bars
     # synthetic fixture
     rng = np.random.default_rng(getattr(args, "seed", 0))
