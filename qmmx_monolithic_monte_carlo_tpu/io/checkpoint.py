@@ -60,20 +60,35 @@ def load_lr_model_npz(path: str) -> MlModel:
 
 
 def load_reference_online_policy(path: str) -> OP.PolicyParams | None:
-    """Best-effort ingest of the reference's joblib'd OnlinePolicy (weights as
-    per-action Python lists; see qmmx_monolithic.py:296-305)."""
+    """Ingest the reference's joblib'd OnlinePolicy weights.
+
+    The artifact in the reference snapshot (models/online_policy.joblib) is a
+    plain dict {"w_entry": {action: [7 floats]}, "w_exit": {...}, "dim": 7,
+    "cfg": {lr, l2, use_perceptron}} (saved by ``_save_policy``,
+    qmmx_monolithic.py:2113-2125); older variants pickle the OnlinePolicy
+    instance itself — both forms are handled."""
     try:
         import joblib
 
         obj = joblib.load(path)
-        w_entry = np.array([obj.w_entry[a] for a in OP.ENTRY_ACTIONS], np.float32)
-        w_exit = np.array([obj.w_exit[a] for a in OP.EXIT_ACTIONS], np.float32)
+        if isinstance(obj, dict):
+            w_entry_d, w_exit_d = obj["w_entry"], obj["w_exit"]
+            cfg = obj.get("cfg", {}) or {}
+        else:
+            w_entry_d, w_exit_d = obj.w_entry, obj.w_exit
+            cfg = {
+                "lr": getattr(obj, "lr", 0.03),
+                "l2": getattr(obj, "l2", 1e-6),
+                "use_perceptron": getattr(obj, "use_perceptron", False),
+            }
+        w_entry = np.array([w_entry_d[a] for a in OP.ENTRY_ACTIONS], np.float32)
+        w_exit = np.array([w_exit_d[a] for a in OP.EXIT_ACTIONS], np.float32)
         return OP.PolicyParams(
             w_entry=jnp.asarray(w_entry),
             w_exit=jnp.asarray(w_exit),
-            lr=jnp.float32(getattr(obj, "lr", 0.03)),
-            l2=jnp.float32(getattr(obj, "l2", 1e-6)),
-            use_perceptron=jnp.asarray(bool(getattr(obj, "use_perceptron", False))),
+            lr=jnp.float32(cfg.get("lr", 0.03)),
+            l2=jnp.float32(cfg.get("l2", 1e-6)),
+            use_perceptron=jnp.asarray(bool(cfg.get("use_perceptron", False))),
         )
     except Exception:
         return None

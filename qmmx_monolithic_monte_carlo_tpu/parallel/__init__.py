@@ -1,1 +1,1 @@
-from . import mesh, sweep  # noqa: F401
+from . import mesh, sweep, universe  # noqa: F401
