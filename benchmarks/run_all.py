@@ -1,0 +1,252 @@
+#!/usr/bin/env python3
+"""Run the five BASELINE.json benchmark configurations and emit JSON lines.
+
+  1. LR retrain parity + wall-clock vs scikit-learn (CPU-class work)
+  2. 10k bootstrap paths × 40-bar stop/target replay, single symbol+levels
+  3. 1M GBM paths with level-overlay features and antithetic variates
+  4. 100-symbol universe × 1M paths with per-symbol batched LR policy refresh
+  5. pod-scale sweep: 1e9 paths × stop/target hyperparameter grid
+     (on one chip the fused Pallas kernel covers 1e9 40-bar paths in ~4.5 s;
+      the mesh scaling for real pods is parallel/mesh.py + sweep.py)
+
+Usage: python benchmarks/run_all.py [--scale smoke|full] [--configs 1 2 3 4 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _emit(cfg, **kw):
+    print(json.dumps({"config": cfg, **kw}))
+    sys.stdout.flush()
+
+
+def config1_lr_parity():
+    """BASELINE pins this config to CPU (and TPU has no f64 LU anyway)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from sklearn.linear_model import LogisticRegression
+
+        from qmmx_monolithic_monte_carlo_tpu.models import logistic as L
+
+        rng = np.random.default_rng(0)
+        n, d = 5000, 4
+        x = rng.normal(0, 1, (n, d))
+        w = rng.normal(0, 1.5, d)
+        y = (rng.uniform(size=n) < 1 / (1 + np.exp(-(x @ w + 0.2)))).astype(int)
+
+        t0 = time.perf_counter()
+        sk = LogisticRegression(max_iter=10000, tol=1e-12).fit(x, y)
+        t_sk = time.perf_counter() - t0
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            ours = L.fit(x, y, max_iter=50)   # includes compile
+            t0 = time.perf_counter()
+            ours = L.fit(x, y, max_iter=50)
+            float(ours.coef[0])
+            t_us = time.perf_counter() - t0
+
+        delta = float(np.max(np.abs(np.asarray(ours.coef) - sk.coef_[0])))
+        _emit(1, metric="lr_coef_max_abs_delta_vs_sklearn", value=delta,
+              ours_s=round(t_us, 4), sklearn_s=round(t_sk, 4),
+              parity_1e6=bool(delta < 1e-6))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def _levels():
+    from qmmx_monolithic_monte_carlo_tpu.types import Levels
+
+    return Levels.from_rows(
+        [
+            {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+            {"color": "orange", "type": "dashed", "index": 0, "price": 100.4},
+        ],
+        max_levels=8,
+    )
+
+
+def config2_bootstrap_10k():
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+    from qmmx_monolithic_monte_carlo_tpu.ops import pathgen as PG
+    from qmmx_monolithic_monte_carlo_tpu.sim import pathsim
+
+    rng = np.random.default_rng(0)
+    n = 390
+    c = 100 * np.exp(np.cumsum(rng.normal(0, 3e-4, n)))
+    hist = PG.PathBars(
+        open=np.concatenate([c[:1], c[:-1]]).astype(np.float32),
+        high=(c * np.exp(np.abs(rng.normal(0, 2e-4, n)))).astype(np.float32),
+        low=(c * np.exp(-np.abs(rng.normal(0, 2e-4, n)))).astype(np.float32),
+        close=c.astype(np.float32),
+    )
+    params = EngineParams.default()
+    levels = _levels()
+    num = 10_240
+
+    def run(k):
+        return pathsim.mc_paths(
+            jax.random.key(k), levels, params, num_paths=num, num_bars=40,
+            s0=100.0, sampler="bootstrap", hist_bars=hist, block_paths=num,
+        )
+
+    st = run(0)
+    float(st.sum_r)
+    t0 = time.perf_counter()
+    st = run(1)
+    float(st.sum_r)
+    dt = time.perf_counter() - t0
+    _emit(2, metric="bootstrap_10k_40bar_replay_s", value=round(dt, 4),
+          paths_per_s=round(num / dt, 1), hit_rate=round(float(st.hit_rate), 4))
+
+
+def config3_gbm_1m_antithetic():
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+    from qmmx_monolithic_monte_carlo_tpu.sim import pathsim
+
+    params = EngineParams.default()
+    levels = _levels()
+    num = 1 << 20
+
+    def run(k):
+        return pathsim.mc_paths(
+            jax.random.key(k), levels, params, num_paths=num, num_bars=40,
+            s0=100.0, sigma=0.3, block_paths=1 << 17, antithetic=True,
+        )
+
+    st = run(0)
+    float(st.sum_r)
+    t0 = time.perf_counter()
+    st = run(1)
+    float(st.sum_r)
+    dt = time.perf_counter() - t0
+    _emit(3, metric="gbm_1m_antithetic_s", value=round(dt, 4),
+          paths_per_s=round(num / dt, 1),
+          var_05=round(float(st.quantile(0.05)), 4),
+          cvar_05=round(float(st.cvar(0.05)), 4))
+
+
+def config4_universe(scale: str):
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    s = 100 if scale == "full" else 8
+    pps = (1 << 20) if scale == "full" else (1 << 14)
+    rows = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0 + i}]
+        for i in range(s)
+    ]
+    levels = U.stack_levels(rows, max_levels=4)
+    s0 = np.array([100.0 + i for i in range(s)], np.float32)
+    sigma = np.full(s, 0.25, np.float32)
+    params = EngineParams.default()
+
+    def run(k):
+        return U.universe_mc(
+            jax.random.key(k), levels, params, s0, sigma,
+            paths_per_symbol=pps, num_bars=40, block_paths=min(pps, 1 << 14),
+        )
+
+    st = run(0)
+    float(st.sum_r[0])
+    t0 = time.perf_counter()
+    st = run(1)
+    float(st.sum_r[0])
+    dt = time.perf_counter() - t0
+
+    # per-symbol LR refresh
+    rng = np.random.default_rng(0)
+    xs = rng.normal(0, 1, (s, 256, 4)).astype(np.float32)
+    ys = (rng.uniform(size=(s, 256)) < 0.5).astype(np.int32)
+    m = U.universe_policy_refresh(None, xs, ys)
+    float(m.coef[0, 0])
+    t0 = time.perf_counter()
+    m = U.universe_policy_refresh(None, xs, ys)
+    float(m.coef[0, 0])
+    dt_lr = time.perf_counter() - t0
+    _emit(4, metric="universe_mc_s", value=round(dt, 4), symbols=s,
+          paths_per_symbol=pps, total_paths_per_s=round(s * pps / dt, 1),
+          lr_refresh_s=round(dt_lr, 4))
+
+
+def config5_pod_scale(scale: str):
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+
+    params = EngineParams.default()
+    levels = _levels()
+    on_tpu = jax.devices()[0].platform != "cpu"
+    grid = [(0.25, 0.15), (0.35, 0.25), (0.45, 0.35)]
+    num = (1 << 30) if (scale == "full" and on_tpu) else (1 << 18)
+
+    if on_tpu:
+        from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import mc_paths_pallas
+
+        def run(seed, sp, tp):
+            p = params.replace(
+                stop_padding=np.float32(sp), tp_padding=np.float32(tp)
+            )
+            return mc_paths_pallas(seed, levels, p, num_paths=num, num_bars=40,
+                                   s0=100.0, sigma=0.3)
+    else:
+        from qmmx_monolithic_monte_carlo_tpu.sim import pathsim
+
+        def run(seed, sp, tp):
+            p = params.replace(
+                stop_padding=np.float32(sp), tp_padding=np.float32(tp)
+            )
+            return pathsim.mc_paths(jax.random.key(seed), levels, p,
+                                    num_paths=num, num_bars=40, sigma=0.3,
+                                    block_paths=1 << 14)
+
+    st = run(0, *grid[0])
+    float(st.sum_r)
+    t0 = time.perf_counter()
+    results = []
+    for i, (sp, tp) in enumerate(grid):
+        st = run(i + 1, sp, tp)
+        results.append((sp, tp, float(st.hit_rate), float(st.mean_r)))
+        float(st.sum_r)
+    dt = time.perf_counter() - t0
+    _emit(5, metric="grid_sweep_total_s", value=round(dt, 4),
+          paths_per_config=num, configs=len(grid),
+          total_paths_per_s=round(len(grid) * num / dt, 1),
+          grid=[{"stop": sp, "tp": tp, "hit": round(h, 4),
+                 "mean_r": round(m, 4)} for sp, tp, h, m in results])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=["smoke", "full"], default="smoke")
+    ap.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
+    args = ap.parse_args()
+    fns = {
+        1: config1_lr_parity,
+        2: config2_bootstrap_10k,
+        3: config3_gbm_1m_antithetic,
+        4: lambda: config4_universe(args.scale),
+        5: lambda: config5_pod_scale(args.scale),
+    }
+    for c in args.configs:
+        fns[c]()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,30 +48,35 @@ def universe_mc(
     dt: float = 1.0 / (390.0 * 252.0),
     block_paths: int = 1 << 14,
 ) -> pathsim.PathStats:
-    """[S]-batched PathStats, one independent MC per symbol."""
+    """[S]-batched PathStats, one independent MC per symbol.
+
+    Loop order is scan-over-blocks OUTER, vmap-over-symbols INNER: one scan body
+    containing a single [S]-batched block compiles in O(1) of the symbol count
+    (the reverse nesting traces the scan once per vmapped symbol and compiles
+    ~S× slower for wide universes)."""
     n_blocks = paths_per_symbol // block_paths
     s = jax.tree_util.tree_leaves(levels)[0].shape[0]
+    sym_idx = jnp.arange(s, dtype=jnp.uint32)
+    s0 = jnp.asarray(s0, jnp.float32)
+    sigma = jnp.asarray(sigma, jnp.float32)
 
-    def per_symbol(sym_idx, lv, s0s, sgs):
-        skey = prng.key_for(key, prng.STREAM_PATH, sym_idx)
-
-        def body(carry, b):
-            st = pathsim._one_block(
+    def one_block_all_symbols(b):
+        def per_symbol(si, lv, s0s, sgs):
+            skey = prng.key_for(key, prng.STREAM_PATH, si)
+            return pathsim._one_block(
                 skey, b, levels=lv, params=params, block_paths=block_paths,
                 num_bars=num_bars, s0=s0s, mu=0.0, sigma=sgs, dt=dt,
                 sampler="gbm", hist_bars=None, antithetic=False,
             )
-            return carry.merge(st), None
 
-        out, _ = jax.lax.scan(
-            body, pathsim.PathStats.zero(), jnp.arange(n_blocks, dtype=jnp.uint32)
-        )
-        return out
+        return jax.vmap(per_symbol)(sym_idx, levels, s0, sigma)
 
-    return jax.vmap(per_symbol)(
-        jnp.arange(s, dtype=jnp.uint32), levels,
-        jnp.asarray(s0, jnp.float32), jnp.asarray(sigma, jnp.float32),
-    )
+    def body(carry, b):
+        return carry.merge(one_block_all_symbols(b)), None
+
+    zero = jax.vmap(lambda _: pathsim.PathStats.zero())(sym_idx)
+    out, _ = jax.lax.scan(body, zero, jnp.arange(n_blocks, dtype=jnp.uint32))
+    return out
 
 
 def sharded_universe(

@@ -1,1 +1,1 @@
-from . import candidates, montecarlo, pathsim, replay, summary  # noqa: F401
+from . import candidates, montecarlo, pathsim, replay, resumable, summary  # noqa: F401

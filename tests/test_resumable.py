@@ -1,0 +1,64 @@
+"""Resumable MC: fault injection → resume → bitwise-identical result."""
+
+import jax
+import numpy as np
+import pytest
+
+from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+from qmmx_monolithic_monte_carlo_tpu.sim import pathsim, resumable
+from qmmx_monolithic_monte_carlo_tpu.types import Levels
+
+LEVELS = Levels.from_rows(
+    [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}], max_levels=4
+)
+PARAMS = EngineParams.default()
+KW = dict(num_paths=1 << 13, num_bars=16, sigma=0.3, block_paths=1 << 10,
+          blocks_per_chunk=2)
+
+
+def test_crash_resume_bitwise_identical(tmp_path):
+    key = jax.random.key(0)
+    clean = resumable.run_resumable(
+        key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "clean"), **KW)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resumable.run_resumable(
+            key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "crashy"),
+            fail_after_chunks=2, **KW)
+    # resume from the watermark
+    resumed = resumable.run_resumable(
+        key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "crashy"), **KW)
+    for k in ("n", "n_tp", "n_stop", "n_open", "sum_r", "sum_r2"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(clean, k)), np.asarray(getattr(resumed, k)), err_msg=k
+        )
+    np.testing.assert_array_equal(np.asarray(clean.hist), np.asarray(resumed.hist))
+
+
+def test_resume_is_noop_when_complete(tmp_path):
+    key = jax.random.key(1)
+    a = resumable.run_resumable(key, LEVELS, PARAMS,
+                                ckpt_dir=str(tmp_path / "c"), **KW)
+    b = resumable.run_resumable(key, LEVELS, PARAMS,
+                                ckpt_dir=str(tmp_path / "c"), **KW)
+    np.testing.assert_array_equal(np.asarray(a.sum_r), np.asarray(b.sum_r))
+
+
+def test_matches_plain_mc_paths(tmp_path):
+    key = jax.random.key(2)
+    a = resumable.run_resumable(key, LEVELS, PARAMS,
+                                ckpt_dir=str(tmp_path / "c"), **KW)
+    b = pathsim.mc_paths(key, LEVELS, PARAMS, num_paths=KW["num_paths"],
+                         num_bars=KW["num_bars"], sigma=KW["sigma"],
+                         block_paths=KW["block_paths"])
+    np.testing.assert_allclose(float(a.sum_r), float(b.sum_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.hist), np.asarray(b.hist))
+
+
+def test_ragged_tail(tmp_path):
+    key = jax.random.key(3)
+    st = resumable.run_resumable(
+        key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "r"),
+        num_paths=5 << 10, num_bars=16, sigma=0.3, block_paths=1 << 10,
+        blocks_per_chunk=2,
+    )
+    assert float(st.n) == 5 << 10
