@@ -195,12 +195,28 @@ def cmd_paths(args):
 
     conn = _connect(args)
     rows, levels, params = _levels_and_params(conn, args)
-    stats = pathsim.mc_paths(
-        jax.random.key(args.seed), levels, params,
-        num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-        sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
-        antithetic=args.antithetic,
-    )
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    if backend == "pallas":
+        from ..ops.pallas_mc import mc_paths_pallas
+        from ..types import Levels
+
+        small = Levels.from_rows(rows[:8], max_levels=8) if len(rows) <= 8 else None
+        if small is None:
+            raise SystemExit("pallas backend supports up to 8 levels; use --backend xla")
+        stats = mc_paths_pallas(
+            args.seed, small, params,
+            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+            sigma=args.sigma,
+        )
+    else:
+        stats = pathsim.mc_paths(
+            jax.random.key(args.seed), levels, params,
+            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+            sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
+            antithetic=args.antithetic,
+        )
     print(json.dumps({
         "paths": float(stats.n), "entered": float(stats.n_entered),
         "hit_rate": float(stats.hit_rate), "mean_r": float(stats.mean_r),
@@ -418,6 +434,8 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--seed", type=int, default=0)
     pa.add_argument("--antithetic", action="store_true")
     pa.add_argument("--qmin", type=float, default=None)
+    pa.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto",
+                    help="pallas = fused kernel (TPU, <=8 levels); auto picks by device")
     pa.set_defaults(fn=cmd_paths)
 
     sw = sub.add_parser("sweep")
