@@ -154,6 +154,12 @@ class CompatFlags:
     # the sim *seed* its gate state from the live state (as the reference effectively
     # does) instead of a fresh state.
     sim_seeds_from_live_state: bool = True
+    # Q9 (found during the rebuild): NOTHING in the reference ever inserts into
+    # contact_events, so the batch LR retrain's contact⋈trade join is always
+    # empty and "Retrain Now" can never reach its ≥50-sample gate (:3838,
+    # :3864-3894 read a table no code writes). The rebuild records a contact
+    # event on every fresh touch latch; False reproduces the never-trains quirk.
+    record_contact_events: bool = True
     # Q8 (found during the rebuild): live escalation never fires in the reference —
     # get_minute_bars returns {t,o,h,l,c} dicts while ExitStrategy indexes
     # (price, volume, ts) tuples; the KeyError is swallowed and should_exit reports
@@ -167,6 +173,7 @@ class CompatFlags:
             double_evaluate=True,
             ml_feature_skew=True,
             sim_seeds_from_live_state=True,
+            record_contact_events=False,
             escalation_broken=True,
         )
 

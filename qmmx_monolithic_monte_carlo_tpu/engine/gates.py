@@ -77,6 +77,7 @@ class EntryDecision:
     dist: jnp.ndarray          # f32
     direction: jnp.ndarray     # i32 DIR_*
     touch_count: jnp.ndarray   # i32
+    new_touch: jnp.ndarray     # bool — this tick latched a fresh level contact
     conf: jnp.ndarray          # f32 (after decay mult)
     decay_mult: jnp.ndarray    # f32
     ml_prob: jnp.ndarray       # f32
@@ -177,6 +178,9 @@ def evaluate_entry(
     )
     contact = tree_select(reached_7, new_contact, carry.contact)
     touch_count = jnp.where(reached_7, tc_after, carry.contact.touch_counts[nearest_idx])
+    new_touch = jnp.logical_and(
+        reached_7, jnp.logical_not(carry.contact.latch[nearest_idx])
+    )
     reason = first_fail(reason, touch_count >= params.overtouch_limit, Reason.LEVEL_OVERTOUCHED)
 
     # 7b) accumulation gates (:1589-1621) — only while guard regime == accumulation
@@ -284,6 +288,7 @@ def evaluate_entry(
         dist=dist,
         direction=direction,
         touch_count=touch_count.astype(jnp.int32),
+        new_touch=new_touch,
         conf=conf,
         decay_mult=decay_mult,
         ml_prob=mlp,

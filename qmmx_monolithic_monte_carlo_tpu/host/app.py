@@ -143,6 +143,27 @@ class EngineHost:
                "closed": bool(event.closed), "escalated": bool(event.escalated),
                "price": price}
 
+        # contact event on every fresh touch latch (quirk Q9: the reference's
+        # batch retrain reads contact_events but nothing writes them; here the
+        # contact⋈trade training join actually has data)
+        if self.compat.record_contact_events and bool(d.new_touch):
+            lvl_idx = int(d.level_idx)
+            from ..types import COLORS, KINDS
+
+            self.conn.execute(
+                "INSERT INTO contact_events(ts, symbol, level_color, level_type,"
+                " level_index, level_price, approach, reaction, distance) "
+                "VALUES(?,?,?,?,?,?,?,?,?)",
+                (_db.utcnow(), self.symbol,
+                 COLORS[int(np.asarray(self.levels.color)[lvl_idx])],
+                 KINDS[int(np.asarray(self.levels.kind)[lvl_idx])],
+                 int(np.asarray(self.levels.index)[lvl_idx]),
+                 float(d.level_price),
+                 "up" if int(d.direction) == 1 else "down",
+                 None, float(d.dist)),
+            )
+            self.conn.commit()
+
         # structured policy event + mirrored audit line for every evaluation
         # except while idle-in-position (the reference floods IN_POSITION skips;
         # we keep them — parity — but skip QVoice for them)

@@ -245,3 +245,62 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert cli.main(["--db", db, "analyze"]) == 0
     assert cli.main(["--db", db, "chart", "--out", str(tmp_path / "c.png")]) == 0
     assert (tmp_path / "c.png").exists()
+
+
+def test_contact_events_recorded_and_retrain_pipeline(tmp_path):
+    """Q9 fix: fresh touches record contact_events; with enough closed trades,
+    the batch LR retrain has real data to fit."""
+    from qmmx_monolithic_monte_carlo_tpu.host.app import EngineHost
+    from qmmx_monolithic_monte_carlo_tpu.io import feed as feed_io
+
+    db = str(tmp_path / "q.db")
+    c = _db.db_connect(db)
+    _db.db_init(c)
+    _db.replace_levels(c, [
+        {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+        {"color": "teal", "type": "dashed", "index": 0, "price": 99.5},
+    ])
+    _db.settings_set(c, "Q_MIN_PROB", "0.45")
+    _db.settings_set(c, "DISABLE_POLICY_GATE", "1")
+    feed = feed_io.SyntheticFeed("SYN", s0=100.0, sigma=3.0, seed=2)
+    host = EngineHost(db_path=db, feed=feed, symbol="SYN", tick_sleep=0.0,
+                      policy_path=str(tmp_path / "p.npz"),
+                      lr_model_path=str(tmp_path / "l.npz"),
+                      retrain_interval_s=1e9)
+    host.run(max_ticks=800, sleep=lambda s: None)
+    n_contacts = c.execute("SELECT COUNT(*) FROM contact_events").fetchone()[0]
+    assert n_contacts >= 1
+    row = c.execute(
+        "SELECT symbol, level_color, level_type, approach, distance "
+        "FROM contact_events LIMIT 1").fetchone()
+    assert row[0] == "SYN" and row[1] in ("blue", "teal")
+    assert row[3] in ("up", "down") and row[4] is not None
+    # the training join finds samples when trades closed near contacts
+    x, y = trainstore.build_training_data(c)
+    n_closed = c.execute(
+        "SELECT COUNT(*) FROM trades WHERE ts_close IS NOT NULL").fetchone()[0]
+    if n_closed:
+        assert len(y) >= 1
+        model, n = trainstore.do_retrain(c, min_samples=1)
+        assert model is not None
+
+
+def test_strict_quirks_disable_contact_recording(tmp_path):
+    from qmmx_monolithic_monte_carlo_tpu.config import CompatFlags
+    from qmmx_monolithic_monte_carlo_tpu.host.app import EngineHost
+    from qmmx_monolithic_monte_carlo_tpu.io import feed as feed_io
+
+    db = str(tmp_path / "q.db")
+    c = _db.db_connect(db)
+    _db.db_init(c)
+    _db.replace_levels(c, [
+        {"color": "blue", "type": "solid", "index": 0, "price": 100.0}])
+    _db.settings_set(c, "Q_MIN_PROB", "0.45")
+    feed = feed_io.SyntheticFeed("SYN", s0=100.0, sigma=3.0, seed=3)
+    host = EngineHost(db_path=db, feed=feed, tick_sleep=0.0,
+                      compat=CompatFlags.strict_reference_quirks(),
+                      policy_path=str(tmp_path / "p.npz"),
+                      lr_model_path=str(tmp_path / "l.npz"),
+                      retrain_interval_s=1e9)
+    host.run(max_ticks=200, sleep=lambda s: None)
+    assert c.execute("SELECT COUNT(*) FROM contact_events").fetchone()[0] == 0
