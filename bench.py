@@ -97,4 +97,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the axon remote-compile tunnel occasionally throws a transient
+    # FAILED_PRECONDITION; retry in-process before giving up
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"# bench attempt {attempt + 1} failed ({e}); retrying",
+                  file=sys.stderr)
+            time.sleep(10)

@@ -93,6 +93,9 @@ class EngineHost:
         self.open_trade_id: int | None = None
         self._last_retrain = 0.0
         self._last_levels_reload = 0.0
+        # pending ex-post exit labels: [(event_id, side, exit_px, minutes_left)]
+        self._pending_exits: list[list] = []
+        self.exit_label_horizon_bars = 5
         self._step = self._build_step()
 
     # ---- setup ----
@@ -177,6 +180,27 @@ class EngineHost:
             now_ms=rel_ms,
         )
 
+        # ex-post exit labeling: the reference *documents* the exit-head label
+        # ("label=1 if exiting beat holding for the next K bars", :287-289) but
+        # never writes exit events; here each close records one and a deferred
+        # labeler scores it K minute-closes later.
+        if bool(event.minute_closed) and self._pending_exits:
+            still = []
+            for rec in self._pending_exits:
+                rec[3] -= 1
+                if rec[3] > 0:
+                    still.append(rec)
+                    continue
+                ev_id, side, exit_px, _ = rec
+                # exiting was good if holding would have done worse
+                better = price < exit_px if side == "long" else price > exit_px
+                self.conn.execute(
+                    "UPDATE policy_events SET label=? WHERE id=?",
+                    (1 if better else 0, ev_id),
+                )
+                self.conn.commit()
+            self._pending_exits = still
+
         if bool(event.opened):
             side = "long" if int(d.side) == SIDE_LONG else "short"
             self.open_trade_id = _db.open_trade(
@@ -200,8 +224,25 @@ class EngineHost:
             out["trade_id"] = self.open_trade_id
         elif bool(event.closed) and self.open_trade_id is not None:
             why = "STOP" if int(event.close_reason) == LC.CLOSE_STOP else "TARGET"
+            trow = self.conn.execute(
+                "SELECT side FROM trades WHERE id=?", (self.open_trade_id,)
+            ).fetchone()
+            side = trow[0] if trow else "long"
             pnl = _db.close_trade(self.conn, self.open_trade_id, price, why)
             _db.audit(self.conn, "EXIT", why, f"{why} hit at {price:.2f}", {})
+            ev_id = _db.insert_policy_event(
+                self.conn, "exit", "exit_now",
+                {"proximity_abs": float(d.dist),
+                 "approach": "from_below" if side == "long" else "from_above",
+                 "confluence": bool(d.confluence),
+                 "minutes_since_open": 0,
+                 "volume_trend": 0.0},
+                trade_id=self.open_trade_id,
+                notes=f"EXPOST_PENDING k={self.exit_label_horizon_bars}",
+            )
+            self._pending_exits.append(
+                [ev_id, side, float(price), self.exit_label_horizon_bars]
+            )
             self.qvoice.narrate_exit(
                 symbol=self.symbol,
                 code="STOP_HIT" if why == "STOP" else "TARGET_HIT",

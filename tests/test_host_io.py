@@ -304,3 +304,43 @@ def test_strict_quirks_disable_contact_recording(tmp_path):
                       retrain_interval_s=1e9)
     host.run(max_ticks=200, sleep=lambda s: None)
     assert c.execute("SELECT COUNT(*) FROM contact_events").fetchone()[0] == 0
+
+
+def test_exit_events_recorded_and_labeled_ex_post(tmp_path):
+    """Each close records an exit policy_event; a deferred labeler scores it
+    K minute-closes later (exiting beat holding?), feeding the exit head."""
+    from qmmx_monolithic_monte_carlo_tpu.host.app import EngineHost
+    from qmmx_monolithic_monte_carlo_tpu.io import feed as feed_io
+    from qmmx_monolithic_monte_carlo_tpu.models import online_policy as OP
+
+    db = str(tmp_path / "q.db")
+    c = _db.db_connect(db)
+    _db.db_init(c)
+    _db.replace_levels(c, [
+        {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+        {"color": "teal", "type": "solid", "index": 0, "price": 99.5},
+    ])
+    _db.settings_set(c, "Q_MIN_PROB", "0.45")
+    _db.settings_set(c, "DISABLE_POLICY_GATE", "1")
+    feed = feed_io.SyntheticFeed("SYN", s0=100.0, sigma=3.0, seed=5)
+    host = EngineHost(db_path=db, feed=feed, symbol="SYN", tick_sleep=0.0,
+                      policy_path=str(tmp_path / "p.npz"),
+                      lr_model_path=str(tmp_path / "l.npz"),
+                      retrain_interval_s=1e9)
+    host.run(max_ticks=1500, sleep=lambda s: None)
+    n_exit = c.execute(
+        "SELECT COUNT(*) FROM policy_events WHERE phase='exit'").fetchone()[0]
+    n_closed = c.execute(
+        "SELECT COUNT(*) FROM trades WHERE ts_close IS NOT NULL").fetchone()[0]
+    assert n_exit == n_closed
+    if n_closed:
+        labeled = c.execute(
+            "SELECT COUNT(*) FROM policy_events WHERE phase='exit' "
+            "AND label IS NOT NULL").fetchone()[0]
+        # closes early in the run have had their K bars elapse
+        assert labeled >= 1
+        # and the incremental trainer consumes them into the exit head
+        policy, n, _ = trainstore.retrain_from_labeled_events(
+            c, OP.PolicyParams.init())
+        assert n >= 1
+        assert not np.allclose(np.asarray(policy.w_exit), 0.0)
