@@ -133,13 +133,17 @@ def cmd_sim(args):
     from ..sim import replay as RP
     from ..sim.summary import format_replay_summary
 
+    import jax
+
     conn = _connect(args)
     dict_rows, bars = _load_bars(args)
     rows, levels, params = _levels_and_params(conn, args)
-    res = RP.simulate_last_bars(
-        bars, levels, params, touch_limit=args.touch_limit,
-        with_gates=args.gates,
+    sim = jax.jit(
+        lambda b, lv, p: RP.simulate_last_bars(
+            b, lv, p, touch_limit=args.touch_limit, with_gates=args.gates
+        )
     )
+    res = sim(bars, levels, params)
     s = res.summary
     msg = format_replay_summary(
         s, n=bars.num_bars,
@@ -177,11 +181,13 @@ def cmd_mc(args):
     rows, levels, params = _levels_and_params(conn, args)
     noise = MC.McNoise.make(args.entry_slip_std, args.level_jitter_std,
                             args.stop_slip_std, args.target_slip_std)
-    res = MC.simulate_monte_carlo(
-        jax.random.key(args.seed), bars, levels, params,
-        touch_limit=args.touch_limit, trials=args.trials,
-        with_gates=args.gates, noise=noise,
+    mc = jax.jit(
+        lambda k, b, lv, p, nz: MC.simulate_monte_carlo(
+            k, b, lv, p, touch_limit=args.touch_limit, trials=args.trials,
+            with_gates=args.gates, noise=nz,
+        )
     )
+    res = mc(jax.random.key(args.seed), bars, levels, params, noise)
     msg = format_mc_summary(res.summary)
     _db.audit(conn, "MC", "SUMMARY", msg)
     print(msg)

@@ -36,7 +36,9 @@ from ..config import EngineParams
 from ..sim.pathsim import HIST_BINS, HIST_HI, HIST_LO, PathStats
 from ..types import Levels
 
-LANES = 512          # paths per block (lane axis, multiple of 128)
+LANES = 2048         # paths per block (lane axis, multiple of 128); swept on
+                     # v5e: 512→216M, 1024→241M, 2048→246M, 8192→258M paths/s —
+                     # 2048 takes most of the gain with ~3 MB of VMEM headroom
 STATS_W = 8          # [n, entered, tp, stop, open, sum_r, sum_r2, pad]
 
 _TWO_PI = 6.283185307179586

@@ -344,3 +344,48 @@ def test_exit_events_recorded_and_labeled_ex_post(tmp_path):
             c, OP.PolicyParams.init())
         assert n >= 1
         assert not np.allclose(np.asarray(policy.w_exit), 0.0)
+
+
+def test_cli_sweep_trades_export_tune_qvoice(tmp_path, capsys):
+    from qmmx_monolithic_monte_carlo_tpu.host import cli
+
+    db = str(tmp_path / "q.db")
+    assert cli.main(["--db", db, "levels", "set", "blue:solid:0:100.0"]) == 0
+    assert cli.main(["--db", db, "sweep", "--num-paths", "4096",
+                     "--num-bars", "16", "--stops", "0.25", "0.35",
+                     "--tps", "0.15"]) == 0
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 2 and {"stop_padding", "hit_rate"} <= set(lines[0])
+    # trades/export/portfolio on a seeded trade
+    c = _db.db_connect(db)
+    tid = _db.open_trade(c, "SPY", "long", 100.0, 99.65, 100.25, "t")
+    _db.close_trade(c, tid, 100.25, "TARGET")
+    assert cli.main(["--db", db, "trades"]) == 0
+    assert "pnl=0.25" in capsys.readouterr().out
+    assert cli.main(["--db", db, "export", "--out", str(tmp_path / "t.csv")]) == 0
+    capsys.readouterr()
+    assert cli.main(["--db", db, "portfolio"]) == 0
+    snap = json.loads(capsys.readouterr().out)
+    assert snap["realized"] == pytest.approx(0.25)
+    # tune (not enough labels) and qvoice subcommands
+    assert cli.main(["--db", db, "tune"]) == 0
+    assert "not enough labels" in capsys.readouterr().out
+    assert cli.main(["--db", db, "qvoice", "backfill"]) == 0
+    assert cli.main(["--db", db, "qvoice", "recent"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--db", db, "settings", "list"]) == 0
+    assert "CONTACT_PROX" in capsys.readouterr().out
+
+
+def test_cli_live_synthetic(tmp_path, capsys):
+    from qmmx_monolithic_monte_carlo_tpu.host import cli
+
+    db = str(tmp_path / "q.db")
+    cli.main(["--db", db, "levels", "set", "blue:solid:0:100.0"])
+    cli.main(["--db", db, "settings", "set", "Q_MIN_PROB", "0.45"])
+    cli.main(["--db", db, "settings", "set", "DISABLE_POLICY_GATE", "1"])
+    capsys.readouterr()
+    assert cli.main(["--db", db, "live", "--synthetic", "--max-ticks", "100"]) == 0
+    out = capsys.readouterr().out
+    assert "processed" in out and "equity" in out
