@@ -179,6 +179,12 @@ class EngineHost:
             last_ts_ms=int(np.asarray(self.carry.last_ts_ms)),
             now_ms=rel_ms,
         )
+        # the reference's loop ALSO audits "ENTRY"/<returned code> for skips
+        # other than TOO_FAR (:3022-3025) — keep that row for WAL parity
+        if not bool(d.ok) and reason not in (Reason.TOO_FAR, Reason.IN_POSITION):
+            code = audit_io.returned_code_for(d, self.compat)
+            _db.audit(self.conn, "ENTRY", code,
+                      f"skip {reason.name}", {"price": price})
 
         # ex-post exit labeling: the reference *documents* the exit-head label
         # ("label=1 if exiting beat holding for the next K bars", :287-289) but

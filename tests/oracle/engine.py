@@ -141,8 +141,10 @@ class EngineOracle:
             if not ok:
                 return False, ("TOUCH_BUDGET" if why == "budget" else "TOUCH_COOLDOWN"), {}
             decay_mult = mult
+        # confidence uses the f32-rounded distance (the device computes |Δ| in
+        # f32; level/price anchors at 0 so only the distance enters the formula)
         conf = S.compute_confidence(
-            nearest["price"], nearest["type"] == "solid", price, direction, tc, self.prox
+            0.0, nearest["type"] == "solid", dist, direction, tc, self.prox
         ) * decay_mult
         if conf < self.qmin:
             return False, "CONF_LOW", {}

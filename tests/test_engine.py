@@ -117,3 +117,47 @@ def test_policy_gate_blocks_with_zero_weights():
     oks = np.asarray(ev.decision.ok)
     assert oks.sum() > 0
     assert not np.asarray(ev.policy_pass)[oks].any()
+
+
+def test_lifecycle_blend_mode_matches_oracle():
+    """Blend-mode (70/30) gate math through the full lifecycle scan."""
+    ts, prices, vols = _tape(11, n=400, vol_scale=1.0)
+    levels = Levels.from_rows(LEVEL_ROWS, max_levels=8)
+    params = EngineParams.default(q_min_prob=0.55, use_blend=True,
+                                  w_rules=0.7, w_ml=0.3)
+    carry = EngineCarry.init(levels.max_levels)
+    final, events = LC.run_ticks(carry, levels, params, ts, prices, vols,
+                                 policy_gate_disabled=True)
+    oracle = EngineOracle(LEVEL_ROWS, q_min_prob=0.55, use_blend=True,
+                          policy_gate_disabled=True)
+    reasons = np.asarray(events.decision.reason)
+    for i in range(len(ts)):
+        ev = oracle.tick(int(ts[i]), float(prices[i]), float(vols[i]))
+        assert REASON_NAME[int(reasons[i])] == ev["reason"], i
+    assert float(final.realized_pnl) == pytest.approx(oracle.pnl, abs=1e-3)
+
+
+def test_host_audit_entry_rows_use_returned_codes(tmp_path):
+    """The loop-level ENTRY audit rows carry the reference's *returned* codes
+    (VETO family → 'VETO', acc gate → 904), excluding TOO_FAR/IN_POSITION."""
+    from qmmx_monolithic_monte_carlo_tpu.host.app import EngineHost
+    from qmmx_monolithic_monte_carlo_tpu.io import db as _db
+    from qmmx_monolithic_monte_carlo_tpu.io import feed as feed_io
+
+    db = str(tmp_path / "q.db")
+    c = _db.db_connect(db)
+    _db.db_init(c)
+    _db.replace_levels(c, [
+        {"color": "blue", "type": "solid", "index": 0, "price": 100.0}])
+    _db.settings_set(c, "Q_MIN_PROB", "0.99")  # force CONF_LOW skips
+    feed = feed_io.SyntheticFeed("SYN", s0=100.0, sigma=1.0, seed=9)
+    host = EngineHost(db_path=db, feed=feed, symbol="SYN", tick_sleep=0.0,
+                      policy_path=str(tmp_path / "p.npz"),
+                      lr_model_path=str(tmp_path / "l.npz"),
+                      retrain_interval_s=1e9)
+    host.run(max_ticks=200, sleep=lambda s: None)
+    codes = {r[0] for r in c.execute(
+        "SELECT DISTINCT code FROM audit_log WHERE phase='ENTRY'").fetchall()}
+    assert "CONF_LOW" in codes
+    assert "TOO_FAR" not in codes          # excluded like the reference loop
+    assert "IN_POSITION" not in codes
