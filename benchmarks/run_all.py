@@ -157,11 +157,24 @@ def config4_universe(scale: str):
     sigma = np.full(s, 0.25, np.float32)
     params = EngineParams.default()
 
-    def run(k):
-        return U.universe_mc(
-            jax.random.key(k), levels, params, s0, sigma,
-            paths_per_symbol=pps, num_bars=40, block_paths=min(pps, 1 << 14),
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+            mc_paths_pallas_universe,
         )
+
+        def run(k):
+            return mc_paths_pallas_universe(
+                k, levels, params, s0, sigma,
+                paths_per_symbol=pps, num_bars=40,
+            )
+    else:
+        def run(k):
+            return U.universe_mc(
+                jax.random.key(k), levels, params, s0, sigma,
+                paths_per_symbol=pps, num_bars=40,
+                block_paths=min(pps, 1 << 14),
+            )
 
     st = run(0)
     float(st.sum_r[0])

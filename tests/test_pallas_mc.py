@@ -121,3 +121,46 @@ def test_kernel_rejects_bad_shapes():
     )
     with pytest.raises(ValueError):
         mc_paths_pallas(0, big, PARAMS, num_paths=LANES, num_bars=W)
+
+
+def test_universe_kernel_contract_interpret():
+    """Shape/stat contract of the per-symbol kernel (TPU-interpret on CPU;
+    interpret-mode PRNG yields degenerate paths, so only structure is checked —
+    real-value agreement vs the XLA universe pipeline is validated on TPU:
+    hit rates 0.60 vs 0.60 at 1M paths/symbol, see benchmarks/RESULTS.md)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    rows = [[{"color": "blue", "type": "solid", "index": 0, "price": 100.0 + i}]
+            for i in range(3)]
+    levels = U.stack_levels(rows, max_levels=8)
+    s0 = np.array([100.0, 101.0, 102.0], np.float32)
+    sigma = np.full(3, 0.25, np.float32)
+    st = mc_paths_pallas_universe(
+        0, levels, PARAMS, s0, sigma, paths_per_symbol=LANES, num_bars=16,
+        interpret=pltpu.InterpretParams(),
+    )
+    assert st.n.shape == (3,)
+    np.testing.assert_array_equal(np.asarray(st.n), LANES)
+    assert st.hist.shape == (3, 64)
+    # accounting holds per symbol
+    np.testing.assert_allclose(
+        np.asarray(st.n_tp + st.n_stop + st.n_open), np.asarray(st.n_entered)
+    )
+
+
+def test_universe_kernel_rejects_bad_shapes():
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    rows = [[{"color": "blue", "type": "solid", "index": 0, "price": 100.0}]]
+    levels = U.stack_levels(rows, max_levels=8)
+    with pytest.raises(ValueError):
+        mc_paths_pallas_universe(
+            0, levels, PARAMS, np.array([100.0]), np.array([0.2]),
+            paths_per_symbol=LANES + 1, num_bars=16,
+        )
