@@ -388,6 +388,14 @@ def cmd_qvoice(args):
     return 0
 
 
+def cmd_keepalive(args):
+    from . import keepalive
+
+    n = keepalive.run(args.db, interval_s=args.interval, max_beats=args.max_beats)
+    print(f"{n} heartbeats")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="qmmx-tpu",
@@ -499,6 +507,11 @@ def build_parser() -> argparse.ArgumentParser:
     qv.add_argument("action", choices=["recent", "backfill", "clear"])
     qv.add_argument("--limit", type=int, default=200)
     qv.set_defaults(fn=cmd_qvoice)
+
+    ka = sub.add_parser("keepalive")
+    ka.add_argument("--interval", type=float, default=300.0)
+    ka.add_argument("--max-beats", type=int, default=None)
+    ka.set_defaults(fn=cmd_keepalive)
 
     return p
 
