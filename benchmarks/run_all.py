@@ -209,40 +209,54 @@ def config5_pod_scale(scale: str):
     grid = [(0.25, 0.15), (0.35, 0.25), (0.45, 0.35)]
     num = (1 << 30) if (scale == "full" and on_tpu) else (1 << 18)
 
+    stops = [sp for sp, _ in grid]
+    tps = [tp for _, tp in grid]
     if on_tpu:
-        from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import mc_paths_pallas
+        # sweep-in-kernel: the whole grid shares each path block (CRN)
+        from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+            mc_paths_pallas_sweep,
+        )
 
-        def run(seed, sp, tp):
-            p = params.replace(
-                stop_padding=np.float32(sp), tp_padding=np.float32(tp)
+        def run(seed):
+            return mc_paths_pallas_sweep(
+                seed, levels, params, stops, tps,
+                num_paths=num, num_bars=40, s0=100.0, sigma=0.3,
             )
-            return mc_paths_pallas(seed, levels, p, num_paths=num, num_bars=40,
-                                   s0=100.0, sigma=0.3)
     else:
-        from qmmx_monolithic_monte_carlo_tpu.sim import pathsim
+        from qmmx_monolithic_monte_carlo_tpu.parallel import sweep as PS
 
-        def run(seed, sp, tp):
-            p = params.replace(
-                stop_padding=np.float32(sp), tp_padding=np.float32(tp)
+        gridp = PS.grid_params(params, stop_paddings=stops, tp_paddings=[0.0])
+        gridp = gridp.replace(
+            stop_padding=jnp_arr(stops), tp_padding=jnp_arr(tps)
+        )
+
+        def run(seed):
+            return PS.sweep_paths(
+                jax.random.key(seed), levels, gridp,
+                num_paths=num, num_bars=40, sigma=0.3, block_paths=1 << 14,
             )
-            return pathsim.mc_paths(jax.random.key(seed), levels, p,
-                                    num_paths=num, num_bars=40, sigma=0.3,
-                                    block_paths=1 << 14)
 
-    st = run(0, *grid[0])
-    float(st.sum_r)
+    st = run(0)
+    float(st.sum_r[0])
     t0 = time.perf_counter()
-    results = []
-    for i, (sp, tp) in enumerate(grid):
-        st = run(i + 1, sp, tp)
-        results.append((sp, tp, float(st.hit_rate), float(st.mean_r)))
-        float(st.sum_r)
+    st = run(1)
+    float(st.sum_r[0])
     dt = time.perf_counter() - t0
+    results = [
+        (stops[i], tps[i], float(st.hit_rate[i]), float(st.mean_r[i]))
+        for i in range(len(grid))
+    ]
     _emit(5, metric="grid_sweep_total_s", value=round(dt, 4),
           paths_per_config=num, configs=len(grid),
           total_paths_per_s=round(len(grid) * num / dt, 1),
           grid=[{"stop": sp, "tp": tp, "hit": round(h, 4),
                  "mean_r": round(m, 4)} for sp, tp, h, m in results])
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, jnp.float32)
 
 
 def main():

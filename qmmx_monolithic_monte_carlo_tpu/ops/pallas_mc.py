@@ -512,3 +512,225 @@ def mc_paths_pallas_universe(
         max_r=jnp.full((n_sym,), jnp.nan, jnp.float32),
         hist=acc[:, 1, :HIST_BINS],
     )
+
+
+def _sweep_kernel(
+    seed_ref,          # SMEM (1,1) i32
+    knobs_ref,         # SMEM (1,4) f32: [prox, _, _, _]
+    grid_ref,          # SMEM (G, 2) f32 rows: [stop_pad, tp_pad]
+    level_price_ref,   # VMEM (8, 128) f32
+    level_valid_ref,   # VMEM (8, 128) f32
+    acc_ref,           # VMEM (G, 8, 128) per-config accumulators
+    *,
+    num_bars: int,
+    s0: float,
+    drift: float,
+    sig_dt: float,
+    max_levels: int,
+    n_grid: int,
+):
+    """One path block evaluated against the ENTIRE stop/target grid: path
+    generation + first-contact detection run once, then each configuration
+    replays against the same bars (common random numbers — the classic
+    variance-reduction layout for comparing configurations)."""
+    prox = knobs_ref[0, 0]
+    w, b = num_bars, LANES
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+    def draw(k):
+        return _uniform((w, b) if k < 4 else (1, b))
+
+    u1 = draw(0)
+    u2 = draw(1)
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    incr = jnp.float32(drift) + jnp.float32(sig_dt) * z
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    tril = (col <= row).astype(jnp.float32)
+    log_rel = jnp.dot(tril, incr, preferred_element_type=jnp.float32)
+    log_s0 = jnp.float32(jnp.log(s0))
+    log_close = log_s0 + log_rel
+    log_open = log_close - incr
+    close = jnp.exp(log_close)
+    opens = jnp.exp(log_open)
+
+    u3 = draw(2)
+    u4 = draw(3)
+    sig2dt = jnp.float32(sig_dt) * jnp.float32(sig_dt)
+    d2 = (log_close - log_open) ** 2
+    high = jnp.exp(0.5 * (log_open + log_close + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
+    low = jnp.exp(0.5 * (log_open + log_close - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
+
+    inf = jnp.float32(3.4e38)
+    best_d = jnp.full((w, b), inf, jnp.float32)
+    best_p = jnp.zeros((w, b), jnp.float32)
+    for i in range(max_levels):
+        lp = level_price_ref[i, 0]
+        lv = level_valid_ref[i, 0]
+        d = jnp.where(lv > 0, jnp.abs(close - lp), inf)
+        take = d < best_d
+        best_p = jnp.where(take, lp, best_p)
+        best_d = jnp.where(take, d, best_d)
+    near = best_d <= prox
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
+    ebar = jnp.min(jnp.where(near, iota_w, w), axis=0, keepdims=True)
+    entered = ebar < w
+    at_entry = iota_w == ebar
+    entry = jnp.sum(jnp.where(at_entry, close, 0.0), axis=0, keepdims=True)
+    lvl = jnp.sum(jnp.where(at_entry, best_p, 0.0), axis=0, keepdims=True)
+    prev = jnp.sum(jnp.where(at_entry, opens, 0.0), axis=0, keepdims=True)
+    is_long = entry > prev
+    nil = jnp.logical_not(is_long)
+    after = iota_w > ebar
+    we = entered.astype(jnp.float32)
+    tie_u = draw(4)  # shared across configs (CRN)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_ref[:, :, :] = jnp.zeros_like(acc_ref)
+
+    for g in range(n_grid):
+        stop_pad = grid_ref[g, 0]
+        tp_pad = grid_ref[g, 1]
+        stop = jnp.where(is_long, lvl - stop_pad, lvl + stop_pad)
+        target = jnp.where(is_long, lvl + tp_pad, lvl - tp_pad)
+        stop_hit = jnp.logical_or(
+            jnp.logical_and(is_long, low <= stop),
+            jnp.logical_and(nil, high >= stop),
+        )
+        tgt_hit = jnp.logical_or(
+            jnp.logical_and(is_long, high >= target),
+            jnp.logical_and(nil, low <= target),
+        )
+        j_stop = jnp.min(jnp.where(jnp.logical_and(after, stop_hit), iota_w, w),
+                         axis=0, keepdims=True)
+        j_tgt = jnp.min(jnp.where(jnp.logical_and(after, tgt_hit), iota_w, w),
+                        axis=0, keepdims=True)
+        none_hit = jnp.logical_and(j_stop >= w, j_tgt >= w)
+        j_first = jnp.minimum(j_stop, j_tgt)
+        tie = jnp.logical_and(j_stop == j_tgt, jnp.logical_not(none_hit))
+
+        at_hit = iota_w == jnp.minimum(j_first, w - 1)
+        hh = jnp.sum(jnp.where(at_hit, high, 0.0), axis=0, keepdims=True)
+        ll = jnp.sum(jnp.where(at_hit, low, 0.0), axis=0, keepdims=True)
+        up_span = jnp.maximum(0.0, hh - entry)
+        dn_span = jnp.maximum(0.0, entry - ll)
+        p_tp = up_span / (up_span + dn_span + 1e-9)
+        coin_tp = tie_u < p_tp
+        target_first = jnp.logical_or(
+            jnp.logical_and(tie, coin_tp),
+            jnp.logical_and(jnp.logical_not(tie), j_tgt < j_stop),
+        )
+        risk = jnp.maximum(jnp.abs(entry - stop), 1e-9)
+        reward = jnp.abs(target - entry)
+        r = jnp.where(none_hit, 0.0, jnp.where(target_first, reward / risk, -1.0))
+        r = r * we
+        is_tp = jnp.logical_and(entered, jnp.logical_and(jnp.logical_not(none_hit),
+                                                         target_first))
+        is_stop = jnp.logical_and(
+            entered,
+            jnp.logical_and(jnp.logical_not(none_hit), jnp.logical_not(target_first)),
+        )
+        is_open = jnp.logical_and(entered, none_hit)
+
+        scalars = (
+            jnp.float32(b), jnp.sum(we), jnp.sum(is_tp.astype(jnp.float32)),
+            jnp.sum(is_stop.astype(jnp.float32)),
+            jnp.sum(is_open.astype(jnp.float32)),
+            jnp.sum(r), jnp.sum(r * r),
+        )
+        svec = jnp.zeros((1, 128), jnp.float32)
+        for k, v in enumerate(scalars):
+            svec = svec + jnp.where(col2 == k, v, 0.0)
+        acc_ref[g, 0:1, :] += svec
+
+        bin_f = (r - jnp.float32(HIST_LO)) * jnp.float32(HIST_BINS / (HIST_HI - HIST_LO))
+        bin_col = jnp.transpose(jnp.clip(bin_f.astype(jnp.int32), 0, HIST_BINS - 1))
+        we_col = jnp.transpose(we)
+        onehot = jnp.where(jnp.logical_and(bins == bin_col, we_col > 0.0), 1.0, 0.0)
+        acc_ref[g, 1:2, :] += jnp.sum(onehot, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
+                     "interpret"),
+)
+def mc_paths_pallas_sweep(
+    seed,
+    levels: Levels,
+    params: EngineParams,
+    grid_stops,            # f32[G]
+    grid_tps,              # f32[G]
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    s0: float = 100.0,
+    mu: float = 0.0,
+    sigma: float = 0.15,
+    dt: float = 1.0 / (390.0 * 252.0),
+    interpret=False,
+) -> PathStats:
+    """Whole stop/target grid per path block with shared path draws (CRN).
+    Returns [G]-batched PathStats; path generation amortizes across the grid,
+    so G configs cost far less than G independent kernel runs."""
+    if num_paths % LANES != 0:
+        raise ValueError(f"num_paths must be a multiple of {LANES}")
+    if levels.max_levels > 8:
+        raise ValueError("pallas kernel supports up to 8 level slots")
+    grid_stops = jnp.asarray(grid_stops, jnp.float32).reshape(-1)
+    grid_tps = jnp.asarray(grid_tps, jnp.float32).reshape(-1)
+    g = grid_stops.shape[0]
+    if grid_tps.shape[0] != g:
+        raise ValueError("grid_stops and grid_tps must have equal length")
+    n_blocks = num_paths // LANES
+
+    import numpy as np
+
+    drift = (mu - 0.5 * sigma * sigma) * dt
+    sig_dt = sigma * float(np.sqrt(dt))
+    kernel = functools.partial(
+        _sweep_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
+        max_levels=levels.max_levels, n_grid=g,
+    )
+    knobs = jnp.stack([
+        jnp.asarray(params.contact_prox, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 4)
+    grid = jnp.stack([grid_stops, grid_tps], axis=1)  # (G, 2)
+    lp = jnp.broadcast_to(levels.price[:, None], (levels.max_levels, 128))
+    lp = jnp.where(jnp.isfinite(lp), lp, 0.0)
+    lv = jnp.broadcast_to(
+        levels.valid.astype(jnp.float32)[:, None], (levels.max_levels, 128)
+    )
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, 8, 128), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(seed_arr, knobs, grid, lp, lv)
+
+    tot = acc[:, 0, :]
+    return PathStats(
+        n=tot[:, 0], n_entered=tot[:, 1], n_tp=tot[:, 2], n_stop=tot[:, 3],
+        n_open=tot[:, 4], sum_r=tot[:, 5], sum_r2=tot[:, 6],
+        min_r=jnp.full((g,), jnp.nan, jnp.float32),
+        max_r=jnp.full((g,), jnp.nan, jnp.float32),
+        hist=acc[:, 1, :HIST_BINS],
+    )

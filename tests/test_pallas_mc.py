@@ -164,3 +164,32 @@ def test_universe_kernel_rejects_bad_shapes():
             0, levels, PARAMS, np.array([100.0]), np.array([0.2]),
             paths_per_symbol=LANES + 1, num_bars=16,
         )
+
+
+def test_sweep_kernel_contract_and_crn():
+    """Sweep kernel with injected... no external-RNG path: interpret-mode
+    contract only (real-value cross-check vs the single kernel runs on TPU:
+    hit 0.5936 vs 0.5938 at (0.35, 0.25), see benchmarks/RESULTS.md)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import mc_paths_pallas_sweep
+
+    st = mc_paths_pallas_sweep(
+        0, LEVELS, PARAMS, [0.25, 0.35], [0.15, 0.25],
+        num_paths=LANES, num_bars=16, sigma=SIGMA, dt=DT,
+        interpret=pltpu.InterpretParams(),
+    )
+    assert st.n.shape == (2,)
+    np.testing.assert_array_equal(np.asarray(st.n), LANES)
+    np.testing.assert_allclose(
+        np.asarray(st.n_tp + st.n_stop + st.n_open), np.asarray(st.n_entered)
+    )
+    # CRN: every config saw the same paths → identical entered counts
+    entered = np.asarray(st.n_entered)
+    assert entered[0] == entered[1]
+
+
+def test_sweep_kernel_rejects_mismatched_grid():
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import mc_paths_pallas_sweep
+
+    with pytest.raises(ValueError):
+        mc_paths_pallas_sweep(0, LEVELS, PARAMS, [0.25, 0.35], [0.15],
+                              num_paths=LANES, num_bars=16)
