@@ -178,7 +178,7 @@ def path_replay(
 
 def _one_block(
     key, block_idx, *, levels, params, block_paths, num_bars, s0, mu, sigma, dt,
-    sampler, hist_bars, antithetic,
+    sampler, hist_bars, antithetic, block_len=10, heston=None,
 ) -> PathStats:
     bkey = prng.key_for(key, prng.STREAM_PATH, block_idx)
     if sampler == "gbm":
@@ -193,6 +193,19 @@ def _one_block(
             hist_low=hist_bars.low, hist_close=hist_bars.close,
             num_paths=block_paths, num_bars=num_bars, s0=s0,
         )
+    elif sampler == "block_bootstrap":
+        paths = PG.block_bootstrap_paths(
+            bkey,
+            hist_open=hist_bars.open, hist_high=hist_bars.high,
+            hist_low=hist_bars.low, hist_close=hist_bars.close,
+            num_paths=block_paths, num_bars=num_bars, s0=s0,
+            block_len=block_len,
+        )
+    elif sampler == "heston":
+        paths = PG.heston_paths(
+            bkey, num_paths=block_paths, num_bars=num_bars, s0=s0,
+            mu=mu, dt=dt, antithetic=antithetic, **(heston or {}),
+        )
     else:
         raise ValueError(f"unknown sampler {sampler!r}")
     tie = jax.random.uniform(
@@ -204,7 +217,8 @@ def _one_block(
 
 @partial(
     jax.jit,
-    static_argnames=("num_paths", "num_bars", "block_paths", "sampler", "antithetic"),
+    static_argnames=("num_paths", "num_bars", "block_paths", "sampler",
+                     "antithetic", "block_len"),
 )
 def mc_paths(
     key,
@@ -221,9 +235,13 @@ def mc_paths(
     hist_bars=None,
     block_paths: int = 1 << 16,
     antithetic: bool = False,
+    block_len: int = 10,
+    heston=None,
 ) -> PathStats:
     """Streamed generated-path MC: ``num_paths`` paths in blocks of
-    ``block_paths``; returns merged PathStats."""
+    ``block_paths``; returns merged PathStats.  Samplers: "gbm", "bootstrap",
+    "block_bootstrap" (dependence-preserving), "heston" (stochastic vol; pass
+    v0/kappa/theta/xi/rho via ``heston={...}``)."""
     if num_paths % block_paths != 0:
         raise ValueError("num_paths must be a multiple of block_paths")
     n_blocks = num_paths // block_paths
@@ -233,6 +251,7 @@ def mc_paths(
             key, b, levels=levels, params=params, block_paths=block_paths,
             num_bars=num_bars, s0=s0, mu=mu, sigma=sigma, dt=dt,
             sampler=sampler, hist_bars=hist_bars, antithetic=antithetic,
+            block_len=block_len, heston=heston,
         )
         return carry.merge(stats), None
 

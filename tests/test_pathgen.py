@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from qmmx_monolithic_monte_carlo_tpu.ops import pathgen as PG
 
@@ -69,3 +70,80 @@ def test_bootstrap_shapes_and_rebase():
     first_ratio = ch[:, 0] / 200.0
     assert np.all(first_ratio >= min(ratios) - 1e-5)
     assert np.all(first_ratio <= max(ratios) + 1e-5)
+
+
+def test_block_bootstrap_preserves_dependence():
+    """Block bootstrap must carry more of the history's volatility clustering
+    than i.i.d. resampling."""
+    rng = np.random.default_rng(1)
+    n = 2000
+    # history with strong vol clustering: alternating calm/wild regimes
+    vol = np.where((np.arange(n) // 50) % 2 == 0, 0.02, 0.3)
+    r = rng.normal(0, 1, n) * vol * 1e-2
+    c = 100 * np.exp(np.cumsum(r))
+    h = c * np.exp(np.abs(rng.normal(0, 0.3, n)) * vol * 1e-2)
+    l = c * np.exp(-np.abs(rng.normal(0, 0.3, n)) * vol * 1e-2)
+    o = np.concatenate([[c[0]], c[:-1]])
+    kw = dict(hist_open=o, hist_high=h, hist_low=l, hist_close=c,
+              num_paths=256, num_bars=100, s0=100.0)
+    blk = PG.block_bootstrap_paths(jax.random.key(0), block_len=25, **kw)
+    iid = PG.bootstrap_paths(jax.random.key(0), **kw)
+
+    def absret_autocorr(p):
+        lr = np.abs(np.diff(np.log(np.asarray(p.close)), axis=1))
+        x = lr[:, :-1].ravel()
+        y = lr[:, 1:].ravel()
+        return np.corrcoef(x, y)[0, 1]
+
+    assert absret_autocorr(blk) > absret_autocorr(iid) + 0.1
+
+
+def test_block_bootstrap_shapes_and_validation():
+    rng = np.random.default_rng(2)
+    c = 100 + np.cumsum(rng.normal(0, 0.1, 50))
+    kw = dict(hist_open=c, hist_high=c + 0.1, hist_low=c - 0.1, hist_close=c,
+              num_paths=8, num_bars=33, s0=100.0)
+    p = PG.block_bootstrap_paths(jax.random.key(1), block_len=10, **kw)
+    assert p.close.shape == (8, 33)
+    with pytest.raises(ValueError):
+        PG.block_bootstrap_paths(jax.random.key(1), block_len=60, **kw)
+
+
+def test_heston_paths_statistics():
+    key = jax.random.key(3)
+    p = PG.heston_paths(key, num_paths=2048, num_bars=64, s0=100.0,
+                        v0=0.09, theta=0.09, kappa=2.0, xi=0.5, rho=-0.7,
+                        dt=1e-4)
+    o, h, l, c = map(np.asarray, p)
+    assert np.all(h >= np.maximum(o, c) - 1e-5)
+    assert np.all(l <= np.minimum(o, c) + 1e-5)
+    assert np.all(c > 0)
+    # per-bar return variance near v0*dt at the start (vol starts at v0)
+    lr = np.diff(np.log(c), axis=1)
+    early_var = lr[:, :8].var()
+    assert abs(early_var - 0.09 * 1e-4) < 0.4 * 0.09 * 1e-4
+
+
+def test_heston_vol_clustering():
+    key = jax.random.key(4)
+    p = PG.heston_paths(key, num_paths=512, num_bars=256, s0=100.0,
+                        v0=0.04, theta=0.04, kappa=1.0, xi=1.0, rho=-0.5,
+                        dt=1e-4)
+    lr = np.abs(np.diff(np.log(np.asarray(p.close)), axis=1))
+    x = lr[:, :-1].ravel()
+    y = lr[:, 1:].ravel()
+    ac = np.corrcoef(x, y)[0, 1]
+    gbm = PG.gbm_paths(jax.random.key(5), num_paths=512, num_bars=256,
+                       s0=100.0, sigma=0.2, dt=1e-4)
+    lr2 = np.abs(np.diff(np.log(np.asarray(gbm.close)), axis=1))
+    ac_gbm = np.corrcoef(lr2[:, :-1].ravel(), lr2[:, 1:].ravel())[0, 1]
+    assert ac > ac_gbm + 0.02
+
+
+def test_heston_antithetic():
+    p = PG.heston_paths(jax.random.key(6), num_paths=64, num_bars=16,
+                        s0=100.0, antithetic=True)
+    assert p.close.shape == (64, 16)
+    with pytest.raises(ValueError):
+        PG.heston_paths(jax.random.key(6), num_paths=63, num_bars=16,
+                        s0=100.0, antithetic=True)

@@ -157,3 +157,30 @@ def test_sharded_sweep_matches_unsharded_statistically():
         num_paths=1 << 13, num_bars=40, sigma=0.3, block_paths=1 << 10,
     )
     assert abs(float(sharded.hit_rate[0]) - float(single.hit_rate[0])) < 0.05
+
+
+def test_block_bootstrap_and_heston_samplers_in_pipeline():
+    rng = np.random.default_rng(1)
+    n = 300
+    c = 100 + np.cumsum(rng.normal(0, 0.1, n))
+    hist = PG.PathBars(
+        open=jnp.asarray(np.concatenate([[c[0]], c[:-1]]), jnp.float32),
+        high=jnp.asarray(c + 0.05, jnp.float32),
+        low=jnp.asarray(c - 0.05, jnp.float32),
+        close=jnp.asarray(c, jnp.float32),
+    )
+    st = pathsim.mc_paths(
+        jax.random.key(9), LEVELS, PARAMS,
+        num_paths=1 << 12, num_bars=40, s0=100.0,
+        sampler="block_bootstrap", hist_bars=hist, block_paths=1 << 12,
+        block_len=8,
+    )
+    assert float(st.n) == 1 << 12
+    st2 = pathsim.mc_paths(
+        jax.random.key(10), LEVELS, PARAMS,
+        num_paths=1 << 12, num_bars=40, s0=100.0,
+        sampler="heston", block_paths=1 << 12,
+        heston=dict(v0=0.09, theta=0.09, kappa=2.0, xi=0.5, rho=-0.6),
+    )
+    assert float(st2.n) == 1 << 12
+    assert float(st2.n_entered) > 0
