@@ -153,16 +153,39 @@ def cmd_sim(args):
     )
     _db.audit(conn, "SIM", "SUMMARY", msg)
     print(msg)
-    # per-trade breadcrumbs (:3676-3681)
+    # gate-skip breadcrumbs with the reference's message text (:3595-3597 —
+    # format verified against SIM/GATE_SKIP rows recovered from the WAL)
+    if args.gates:
+        from ..io.audit import reason_message
+        from ..reasons import Reason, returned_code
+
+        reasons = np.asarray(res.candidates.gate_reason)
+        confs = np.asarray(res.candidates.gate_conf)
+        dists = np.asarray(res.candidates.gate_dist)
+        touches = np.asarray(res.candidates.touch_no)
+        qmin = float(np.asarray(params.q_min_prob))
+        for i in np.where(reasons != 0)[0]:
+            rsn = Reason(int(reasons[i]))
+            code = returned_code(rsn)
+            text = reason_message(rsn, conf=float(confs[i]), qmin=qmin,
+                                  touch_count=int(touches[i]),
+                                  dist=float(dists[i]))
+            _db.audit(conn, "SIM", f"GATE_SKIP:{code}",
+                      f"{text} prox={float(dists[i]):.03f}")
+    # per-trade breadcrumbs (:3676-3681; format matches the recorded WAL rows)
     mask = np.asarray(res.candidates.is_cand)
     outs = {0: "OPEN", 1: "TP", 2: "STOP"}
     for i in np.where(mask)[0]:
         side = "long" if int(np.asarray(res.candidates.side)[i]) > 0 else "short"
+        entry = float(np.asarray(res.candidates.entry)[i])
+        exit_px = float(np.asarray(res.exit_price)[i])
+        pnl = (exit_px - entry) * (1.0 if side == "long" else -1.0)
         line = (f"{outs[int(np.asarray(res.outcome)[i])]:5s} | {side:5s} "
-                f"@ {float(np.asarray(res.candidates.entry)[i]):.2f} → "
-                f"{float(np.asarray(res.exit_price)[i]):.2f} "
+                f"@ {entry:.2f} → {exit_px:.2f} "
                 f"| lvl {float(np.asarray(res.candidates.level_price)[i]):.2f} "
-                f"| R={float(np.asarray(res.r)[i]):+.2f}")
+                f"| R={float(np.asarray(res.r)[i]):+.2f} | ${pnl:+.2f} "
+                f"| prox={float(np.asarray(res.candidates.gate_dist)[i]):.03f} "
+                f"touch#{int(np.asarray(res.candidates.touch_no)[i])}")
         _db.audit(conn, "SIM", "TRADE", line)
         if args.verbose:
             print(line)

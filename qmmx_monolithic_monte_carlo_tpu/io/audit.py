@@ -166,3 +166,33 @@ def record_decision(conn, decision: EntryDecision, levels: Levels, *,
 def returned_code_for(decision: EntryDecision, compat: CompatFlags = CompatFlags()):
     return returned_code(Reason(int(decision.reason)),
                          strict_reference_quirks=compat.veto_nameerror)
+
+
+# the exact human messages evaluate_entry returns per reason (verified against
+# SIM/GATE_SKIP rows recovered from the reference WAL, e.g.
+# "Confidence 0.15 < min 0.60." / "Flat tick; cannot infer approach.")
+def reason_message(reason: Reason, *, conf: float = 0.0, qmin: float = 0.0,
+                   touch_count: int = 0, dist: float = 0.0) -> str:
+    if reason == Reason.MISSING_API_KEY:
+        return "No Polygon API key set."
+    if reason == Reason.PRICE_STALE:
+        return "Price None or stale (>15s)."
+    if reason == Reason.IN_POSITION:
+        return "Already in a position."
+    if reason == Reason.COOLDOWN:
+        return "Signal cooldown active."
+    if reason == Reason.NOLEVELS:
+        return "No levels loaded."
+    if reason == Reason.DIR_UNKNOWN:
+        return "Flat tick; cannot infer approach."
+    if reason == Reason.TOO_FAR:
+        return f"Nearest level too far ({dist:.2f})."
+    if reason == Reason.LEVEL_OVERTOUCHED:
+        return f"Level over-touched (#{touch_count})."
+    if reason in (Reason.CONF_LOW,):
+        return f"Confidence {conf:.2f} < min {qmin:.2f}."
+    if reason == Reason.ML_CONF_LOW:
+        return f"ML prob {conf:.2f} < min {qmin:.2f}"
+    if reason == Reason.COMBINED_LOW:
+        return f"Blended {conf:.2f} < min {qmin:.2f}"
+    return reason.name

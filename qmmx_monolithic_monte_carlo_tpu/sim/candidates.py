@@ -47,6 +47,8 @@ class Candidates:
     target: jnp.ndarray      # f32[N]
     touch_no: jnp.ndarray    # i32[N] touch ordinal at this level
     gate_reason: jnp.ndarray  # i32[N] Reason (OK when passed / gates off)
+    gate_conf: jnp.ndarray   # f32[N] decision confidence at bars where gates ran
+    gate_dist: jnp.ndarray   # f32[N] |close - nearest level| at those bars
 
     @property
     def count(self) -> jnp.ndarray:
@@ -151,6 +153,8 @@ def find_candidates(
             target,
             tc_next.astype(jnp.int32),
             jnp.where(ran_gates, decision.reason, 0).astype(jnp.int32),
+            jnp.where(ran_gates, decision.conf, 0.0),
+            dist,
         )
         new_state = (
             jnp.where(valid, c, prev_c),
@@ -172,5 +176,5 @@ def find_candidates(
     return Candidates(
         is_cand=outs[0], side=outs[1], level_idx=outs[2], level_price=outs[3],
         entry=outs[4], stop=outs[5], target=outs[6], touch_no=outs[7],
-        gate_reason=outs[8],
+        gate_reason=outs[8], gate_conf=outs[9], gate_dist=outs[10],
     )
