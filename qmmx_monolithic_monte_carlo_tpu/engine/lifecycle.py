@@ -30,8 +30,7 @@ from ..config import CompatFlags, EngineParams
 from ..ops import features as F
 from ..ops import guard as G
 from ..ops import touch as T
-from ..reasons import Reason
-from ..types import DIR_DOWN, DIR_UP, SIDE_FLAT, SIDE_LONG, Levels
+from ..types import DIR_DOWN, DIR_UP, SIDE_LONG, Levels
 from . import exits
 from .gates import EntryDecision, TickInput, evaluate_entry, tree_select
 from .state import CurrentBar, EngineCarry, MlModel, Position

@@ -27,7 +27,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import EngineParams
 from ..sim import pathsim
 from ..types import Levels
-from ..utils import prng
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "paths",
