@@ -129,3 +129,59 @@ def test_planner_continuation_signal():
     assert int(sig.basis) == P.BASIS_CONTINUATION
     assert float(sig.entry_price) == pytest.approx(99.97)  # level - slippage
     assert float(sig.target_hint) == pytest.approx(99.0)
+
+
+def test_planner_confluence_snapback_pattern():
+    """Pierce first cluster level, slightly pierce the second, snap back ≥
+    min_retrace → snapback flag set (reversal confirmation, ref :614-655)."""
+    import numpy as np
+
+    levels = Levels.from_rows(
+        [
+            {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+            {"color": "orange", "type": "dashed", "index": 0, "price": 99.6},
+        ],
+        max_levels=8,
+    )
+    # approach from above: first = 100.0 (max of cluster), second = 99.6.
+    # path: pierce 100.0 (within 0.35), slightly pierce 99.6 (between 0.35 and
+    # 0.35+0.042 below/above it), then snap back above 99.6 + 0.08.
+    prices = [100.8, 100.5, 100.2, 99.9,      # pierce first (|p-100|<=0.35)
+              99.22,                          # slight pierce of 99.6 (d=0.38)
+              99.9]                           # snap back >= 99.68
+    vols = [10, 8, 6, 4, 2, 1]
+    p, v, m = _hist(prices, vols)
+    from qmmx_monolithic_monte_carlo_tpu.engine.planner import snapback_pattern
+
+    snap = snapback_pattern(p, m, levels, 100.0, approach_from_below=False)
+    assert bool(snap)
+    # without the snap-back bar the pattern must NOT confirm
+    p2, v2, m2 = _hist(prices[:-1] + [99.3], vols)
+    snap2 = snapback_pattern(p2, m2, levels, 100.0, approach_from_below=False)
+    assert not bool(snap2)
+
+
+def test_planner_signal_carries_snapback():
+    levels = Levels.from_rows(
+        [
+            {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+            {"color": "orange", "type": "dashed", "index": 0, "price": 99.6},
+        ],
+        max_levels=8,
+    )
+    prices = [100.8, 100.5, 100.2, 99.9, 99.22, 99.9]
+    vols = [10, 8, 6, 4, 2, 1]  # decreasing into the level → reversal basis
+    p, v, m = _hist(prices, vols)
+    # the snap-back bar flips the *inferred* approach to from_below (last two
+    # prices move up toward the level) — exactly like the reference; supply the
+    # pattern's approach_direction as the reference's pattern dict does (:466)
+    sig = P.should_enter(
+        current_price=99.9, current_time_s=1000.0, pattern_time_s=950.0,
+        pattern_time_valid=True, levels=levels,
+        bar_prices=p, bar_volumes=v, bar_valid=m,
+        approach_hint=0,  # from_above
+    )
+    assert bool(sig.valid)
+    assert bool(sig.confluence)
+    assert bool(sig.snapback)
+    assert int(sig.side) == SIDE_LONG  # from_above reversal → long
