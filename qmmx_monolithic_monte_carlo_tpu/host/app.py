@@ -288,7 +288,8 @@ class EngineHost:
             self.reload_levels()
 
     # ---- the loop ----
-    def run(self, max_ticks: int | None = None, sleep=time.sleep) -> int:
+    def run(self, max_ticks: int | None = None, sleep=time.sleep,
+            on_tick=None) -> int:
         n = 0
         while max_ticks is None or n < max_ticks:
             try:
@@ -312,7 +313,9 @@ class EngineHost:
                     sleep(1.0)
                     n += 1
                     continue
-                self.tick(price, t_ms)
+                out = self.tick(price, t_ms)
+                if on_tick is not None:
+                    on_tick(n, out)
                 self.maybe_reload_levels()
                 self.maybe_retrain()
                 sleep(self.tick_sleep)

@@ -389,8 +389,21 @@ def cmd_live(args):
         feed = feed_io.PolygonFeed(args.symbol or "SPY")
     host = EngineHost(db_path=args.db, feed=feed, symbol=args.symbol,
                       tick_sleep=0.0 if args.synthetic else 0.7)
+
+    def on_tick(i, out):
+        if not args.watch:
+            return
+        flags = "".join(
+            c for c, v in (("O", out["opened"]), ("X", out["closed"]),
+                           ("E", out["escalated"])) if v
+        ) or "-"
+        snap = host.portfolio(out["price"])
+        print(f"[{i:5d}] px={out['price']:.2f} {out['reason']:<16s} {flags} "
+              f"eq={snap['equity']:.2f} w/l={snap['wins']}/{snap['losses']}")
+
     n = host.run(max_ticks=args.max_ticks,
-                 sleep=(lambda s: None) if args.synthetic else None or __import__("time").sleep)
+                 sleep=(lambda s: None) if args.synthetic else __import__("time").sleep,
+                 on_tick=on_tick)
     print(f"processed {n} ticks")
     print(json.dumps(host.portfolio()))
     return 0
@@ -524,6 +537,8 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--s0", type=float, default=100.0)
     lv.add_argument("--seed", type=int, default=0)
     lv.add_argument("--max-ticks", type=int, default=None)
+    lv.add_argument("--watch", action="store_true",
+                    help="print a per-tick status line (price, reason, equity)")
     lv.set_defaults(fn=cmd_live)
 
     qv = sub.add_parser("qvoice")
