@@ -50,11 +50,14 @@ def config1_lr_parity():
         t_sk = time.perf_counter() - t0
 
         with jax.default_device(jax.devices("cpu")[0]):
-            ours = L.fit(x, y, max_iter=50)   # includes compile
-            t0 = time.perf_counter()
             ours = L.fit(x, y, max_iter=50)
-            float(ours.coef[0])
-            t_us = time.perf_counter() - t0
+            float(ours.coef[0])               # materialize: compile + first run
+            reps = 10
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                ours = L.fit(x, y, max_iter=50)
+                float(ours.coef[0])
+            t_us = (time.perf_counter() - t0) / reps
 
         delta = float(np.max(np.abs(np.asarray(ours.coef) - sk.coef_[0])))
         _emit(1, metric="lr_coef_max_abs_delta_vs_sklearn", value=delta,
