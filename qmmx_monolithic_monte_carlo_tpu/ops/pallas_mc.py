@@ -15,20 +15,31 @@ path lifecycle on-chip:
        min-iota trick (reductions over the sublane axis only);
     5. stop/target first-hit with the distance-weighted same-bar coin flip
        (qmmx_monolithic.py:3467-3480 semantics);
-    6. block-local reduction to a 8-scalar stats row + 64-bin R histogram
-       (one-hot matmul, MXU again) written to a per-block output row.
+    6. block-local reduction into a (8, 128) accumulator: scalar sums row,
+       64-bin R histogram row, running min-R / max-R rows (sequential grid).
 
-Host-side, the per-block rows sum into the same ``PathStats`` accumulator the
-XLA pipeline produces, so the two backends are drop-in interchangeable (and are
-cross-checked statistically in tests via ``interpret=True`` on CPU).
+The pipeline body is shared by three kernels that differ only in where their
+parameters come from and how the accumulator is indexed:
+
+* ``_mc_kernel``        — one (levels, s0, sigma) configuration;
+* ``_universe_kernel``  — per-symbol s0/sigma/levels slabs, (symbol, block) grid;
+* ``_sweep_kernel``     — one path block replayed against a whole stop/target
+                          grid with common random numbers.
+
+Host-side, the per-block rows unpack into the same ``PathStats`` accumulator
+the XLA pipeline produces — including min_r/max_r — so the two backends are
+drop-in interchangeable (cross-checked in tests via interpret mode on CPU and
+statistically on TPU).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,12 +47,20 @@ from ..config import EngineParams
 from ..sim.pathsim import HIST_BINS, HIST_HI, HIST_LO, PathStats
 from ..types import Levels
 
-LANES = 2048         # paths per block (lane axis, multiple of 128); swept on
-                     # v5e: 512→216M, 1024→241M, 2048→246M, 8192→258M paths/s —
-                     # 2048 takes most of the gain with ~3 MB of VMEM headroom
-STATS_W = 8          # [n, entered, tp, stop, open, sum_r, sum_r2, pad]
+LANES = 2048         # paths per block (lane axis, multiple of 128).  Swept on
+                     # v5e: 512→216M, 1024→241M, 2048→246M, 8192→258M paths/s.
+                     # 2048 takes most of the gain with ~3 MB of VMEM headroom;
+                     # 8192's extra ~5% costs 4× the VMEM residency, which the
+                     # sweep/universe variants need for their G/S accumulators.
+
+# accumulator row layout (rows of the (…, 8, 128) output block)
+ROW_SUM = 0          # lanes [n, entered, tp, stop, open, sum_r, sum_r2] — '+' combine
+ROW_HIST = 1         # 64-bin R histogram — '+' combine
+ROW_MIN = 2          # running min R over entered paths — 'min' combine
+ROW_MAX = 3          # running max R — 'max' combine
 
 _TWO_PI = 6.283185307179586
+_BIG = 3.4e38        # f32-max sentinel (Mosaic handles ±inf poorly in minimum chains)
 
 
 def _uniform(shape):
@@ -55,12 +74,252 @@ def _uniform(shape):
     return u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24)) + jnp.float32(1e-12)
 
 
+class _Bars(NamedTuple):
+    """One block of generated GBM bars, (W, B) each."""
+
+    opens: jnp.ndarray
+    close: jnp.ndarray
+    high: jnp.ndarray
+    low: jnp.ndarray
+
+
+class _Contact(NamedTuple):
+    """First level contact per lane; per-lane rows are (1, B) — Mosaic cannot
+    reshape/broadcast i1 vectors, so 1-D bool intermediates are avoided."""
+
+    entered: jnp.ndarray   # (1, B) bool
+    we: jnp.ndarray        # (1, B) f32 entered weight
+    entry: jnp.ndarray     # (1, B) entry price
+    lvl: jnp.ndarray       # (1, B) contacted level price
+    is_long: jnp.ndarray   # (1, B) bool
+    after: jnp.ndarray     # (W, B) bars strictly after the entry bar
+    iota_w: jnp.ndarray    # (W, B) bar-index iota
+
+
+class _Replay(NamedTuple):
+    """One stop/target configuration replayed over a contacted block."""
+
+    r: jnp.ndarray         # (1, B) R outcome, zeroed on non-entered lanes
+    is_tp: jnp.ndarray     # (1, B) bool
+    is_stop: jnp.ndarray
+    is_open: jnp.ndarray
+    blk_min: jnp.ndarray   # scalar min R over entered lanes (_BIG if none)
+    blk_max: jnp.ndarray   # scalar max R over entered lanes (-_BIG if none)
+
+
+def _gbm_block(draw: Callable, *, w: int, b: int, drift, sig_dt, log_s0) -> _Bars:
+    """Stages 1-3: Box-Muller normals → MXU-cumsum GBM closes → bridge extremes.
+
+    ``drift``/``sig_dt``/``log_s0`` may be Python floats (static config) or
+    traced scalars (per-symbol slabs)."""
+    u1 = draw(0)
+    u2 = draw(1)
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    incr = jnp.float32(1.0) * drift + sig_dt * z
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    tril = (col <= row).astype(jnp.float32)
+    log_rel = jnp.dot(tril, incr, preferred_element_type=jnp.float32)  # cumsum
+    log_close = log_s0 + log_rel
+    log_open = log_close - incr
+    close = jnp.exp(log_close)
+    opens = jnp.exp(log_open)
+
+    u3 = draw(2)
+    u4 = draw(3)
+    sig2dt = sig_dt * sig_dt
+    d2 = (log_close - log_open) ** 2
+    high = jnp.exp(0.5 * (log_open + log_close + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
+    low = jnp.exp(0.5 * (log_open + log_close - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
+    return _Bars(opens=opens, close=close, high=high, low=low)
+
+
+def _first_contact(
+    bars: _Bars, get_level: Callable, max_levels: int, prox, *, w: int, b: int
+) -> _Contact:
+    """Stage 4: unrolled nearest-level pass + first-contact bar via min-iota.
+    ``get_level(i) -> (price, valid)`` abstracts the level-slab ref layout."""
+    inf = jnp.float32(_BIG)
+    best_d = jnp.full((w, b), inf, jnp.float32)
+    best_p = jnp.zeros((w, b), jnp.float32)
+    for i in range(max_levels):
+        lp, lv = get_level(i)
+        d = jnp.where(lv > 0, jnp.abs(bars.close - lp), inf)
+        take = d < best_d
+        best_p = jnp.where(take, lp, best_p)
+        best_d = jnp.where(take, d, best_d)
+    near = best_d <= prox
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
+    ebar = jnp.min(jnp.where(near, iota_w, w), axis=0, keepdims=True)   # (1, b)
+    entered = ebar < w
+    at_entry = iota_w == ebar
+    entry = jnp.sum(jnp.where(at_entry, bars.close, 0.0), axis=0, keepdims=True)
+    lvl = jnp.sum(jnp.where(at_entry, best_p, 0.0), axis=0, keepdims=True)
+    prev = jnp.sum(jnp.where(at_entry, bars.opens, 0.0), axis=0, keepdims=True)
+    return _Contact(
+        entered=entered,
+        we=entered.astype(jnp.float32),
+        entry=entry,
+        lvl=lvl,
+        is_long=entry > prev,
+        after=iota_w > ebar,
+        iota_w=iota_w,
+    )
+
+
+def _replay_config(
+    ct: _Contact, bars: _Bars, stop_pad, tp_pad, tie_u, *, w: int
+) -> _Replay:
+    """Stage 5: stop/target first-hit after the entry bar, same-bar tie broken
+    by the distance-weighted coin (qmmx_monolithic.py:3467-3480)."""
+    stop = jnp.where(ct.is_long, ct.lvl - stop_pad, ct.lvl + stop_pad)
+    target = jnp.where(ct.is_long, ct.lvl + tp_pad, ct.lvl - tp_pad)
+
+    # NOTE: select over i1 operands lowers to an unsupported i8->i1 trunc in
+    # Mosaic; compose hit masks with and/or instead of jnp.where.
+    nil = jnp.logical_not(ct.is_long)
+    stop_hit = jnp.logical_or(
+        jnp.logical_and(ct.is_long, bars.low <= stop),
+        jnp.logical_and(nil, bars.high >= stop),
+    )
+    tgt_hit = jnp.logical_or(
+        jnp.logical_and(ct.is_long, bars.high >= target),
+        jnp.logical_and(nil, bars.low <= target),
+    )
+    j_stop = jnp.min(jnp.where(jnp.logical_and(ct.after, stop_hit), ct.iota_w, w),
+                     axis=0, keepdims=True)
+    j_tgt = jnp.min(jnp.where(jnp.logical_and(ct.after, tgt_hit), ct.iota_w, w),
+                    axis=0, keepdims=True)
+    none_hit = jnp.logical_and(j_stop >= w, j_tgt >= w)
+    j_first = jnp.minimum(j_stop, j_tgt)
+    tie = jnp.logical_and(j_stop == j_tgt, jnp.logical_not(none_hit))
+
+    at_hit = ct.iota_w == jnp.minimum(j_first, w - 1)
+    hh = jnp.sum(jnp.where(at_hit, bars.high, 0.0), axis=0, keepdims=True)
+    ll = jnp.sum(jnp.where(at_hit, bars.low, 0.0), axis=0, keepdims=True)
+    up_span = jnp.maximum(0.0, hh - ct.entry)
+    dn_span = jnp.maximum(0.0, ct.entry - ll)
+    p_tp = up_span / (up_span + dn_span + 1e-9)
+    coin_tp = tie_u < p_tp
+    target_first = jnp.logical_or(
+        jnp.logical_and(tie, coin_tp),
+        jnp.logical_and(jnp.logical_not(tie), j_tgt < j_stop),
+    )
+
+    risk = jnp.maximum(jnp.abs(ct.entry - stop), 1e-9)
+    reward = jnp.abs(target - ct.entry)
+    r = jnp.where(none_hit, 0.0, jnp.where(target_first, reward / risk, -1.0))
+    r = r * ct.we                                                     # (1, b)
+
+    not_open = jnp.logical_not(none_hit)
+    return _Replay(
+        r=r,
+        is_tp=jnp.logical_and(ct.entered, jnp.logical_and(not_open, target_first)),
+        is_stop=jnp.logical_and(
+            ct.entered, jnp.logical_and(not_open, jnp.logical_not(target_first))
+        ),
+        is_open=jnp.logical_and(ct.entered, none_hit),
+        # entered lanes carry their R (open → 0, matching the XLA pipeline);
+        # empty blocks leave the ±_BIG sentinels for the host to strip
+        blk_min=jnp.min(jnp.where(ct.entered, r, jnp.float32(_BIG))),
+        blk_max=jnp.max(jnp.where(ct.entered, r, jnp.float32(-_BIG))),
+    )
+
+
+def _init_acc(acc_ref) -> None:
+    """Zero the accumulator and seed the min/max rows with their identities.
+    Works for any (…, 8, 128) block shape (single / universe / sweep)."""
+    pre = (slice(None),) * (len(acc_ref.shape) - 2)
+    acc_ref[pre + (slice(None), slice(None))] = jnp.zeros(
+        acc_ref.shape, jnp.float32
+    )
+    row_shape = acc_ref.shape[:-2] + (1, acc_ref.shape[-1])
+    acc_ref[pre + (slice(ROW_MIN, ROW_MIN + 1), slice(None))] = jnp.full(
+        row_shape, _BIG, jnp.float32
+    )
+    acc_ref[pre + (slice(ROW_MAX, ROW_MAX + 1), slice(None))] = jnp.full(
+        row_shape, -_BIG, jnp.float32
+    )
+
+
+def _accumulate(acc_ref, pre: tuple, rep: _Replay, ct: _Contact, *, b: int) -> None:
+    """Stage 6: fold one replayed block into accumulator rows at prefix ``pre``
+    (e.g. ``()`` for a (8,128) block, ``(0,)`` / ``(g,)`` for batched blocks)."""
+    def row(k):
+        return pre + (slice(k, k + 1), slice(None))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    scalars = (
+        jnp.float32(b), jnp.sum(ct.we), jnp.sum(rep.is_tp.astype(jnp.float32)),
+        jnp.sum(rep.is_stop.astype(jnp.float32)),
+        jnp.sum(rep.is_open.astype(jnp.float32)),
+        jnp.sum(rep.r), jnp.sum(rep.r * rep.r),
+    )
+    svec = jnp.zeros((1, 128), jnp.float32)
+    for k, v in enumerate(scalars):
+        svec = svec + jnp.where(col == k, v, 0.0)
+    acc_ref[row(ROW_SUM)] += svec
+
+    bin_f = (rep.r - jnp.float32(HIST_LO)) * jnp.float32(HIST_BINS / (HIST_HI - HIST_LO))
+    # route (1,b) -> (b,1) through f32/i32 transposes (i1 reshapes unsupported)
+    bin_col = jnp.transpose(jnp.clip(bin_f.astype(jnp.int32), 0, HIST_BINS - 1))
+    we_col = jnp.transpose(ct.we)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+    onehot = jnp.where(
+        jnp.logical_and(bins == bin_col, we_col > 0.0), 1.0, 0.0
+    )
+    acc_ref[row(ROW_HIST)] += jnp.sum(onehot, axis=0, keepdims=True)
+
+    acc_ref[row(ROW_MIN)] = jnp.minimum(acc_ref[row(ROW_MIN)], rep.blk_min)
+    acc_ref[row(ROW_MAX)] = jnp.maximum(acc_ref[row(ROW_MAX)], rep.blk_max)
+
+
+def _unpack_acc(acc) -> PathStats:
+    """Host-side: accumulator block(s) [..., 8, 128] → PathStats, converting
+    the ±_BIG empty sentinels to the ±inf identities PathStats.zero() uses.
+
+    Trade/drawdown fields are exact derivations for single-trade replay:
+    every entered path is one trade; the only negative R is the stop's exact
+    -1.0, so sum_dd == n_stop and max_dd == max(0, -min_r)."""
+    tot = acc[..., ROW_SUM, :]
+    entered = tot[..., 1]
+    mn = jnp.where(entered > 0, acc[..., ROW_MIN, 0], jnp.inf)
+    mx = jnp.where(entered > 0, acc[..., ROW_MAX, 0], -jnp.inf)
+    return PathStats(
+        n=tot[..., 0], n_entered=entered, n_tp=tot[..., 2], n_stop=tot[..., 3],
+        n_open=tot[..., 4], sum_r=tot[..., 5], sum_r2=tot[..., 6],
+        min_r=mn,
+        max_r=mx,
+        sum_trades=entered,
+        sum_dd=tot[..., 3],
+        max_dd=jnp.where(entered > 0, jnp.maximum(0.0, -mn), 0.0),
+        hist=acc[..., ROW_HIST, :HIST_BINS],
+    )
+
+
+def _level_rows(levels_price, levels_valid, max_levels: int, lanes: int = 128):
+    """Broadcast level slabs to (…, L, 128) VMEM rows; invalid slots carry +inf
+    prices upstream — zero them so the kernel's arithmetic stays finite."""
+    lp = jnp.broadcast_to(levels_price[..., None], levels_price.shape + (lanes,))
+    lp = jnp.where(jnp.isfinite(lp), lp, 0.0)
+    lv = jnp.broadcast_to(
+        jnp.asarray(levels_valid, jnp.float32)[..., None],
+        levels_valid.shape + (lanes,),
+    )
+    return lp, lv
+
+
+# --------------------------------------------------------------------------
+# kernel 1: single configuration
+# --------------------------------------------------------------------------
+
 def _mc_kernel(
     seed_ref,          # SMEM (1,1) i32
     knobs_ref,         # SMEM (1,4) f32: [prox, stop_pad, tp_pad, _]
-    level_price_ref,   # VMEM (8, 128) f32 (row-broadcast level prices)
-    level_valid_ref,   # VMEM (8, 128) f32 (1/0)
-    *refs,             # [u_ref (external rng only)], stats_ref, hist_ref
+    level_price_ref,   # VMEM (L, 128) f32 (row-broadcast level prices)
+    level_valid_ref,   # VMEM (L, 128) f32 (1/0)
+    *refs,             # [u_ref (external rng only)], acc_ref
     num_bars: int,
     s0: float,
     drift: float,
@@ -68,9 +327,6 @@ def _mc_kernel(
     max_levels: int,
     external_rng: bool = False,
 ):
-    prox = knobs_ref[0, 0]
-    stop_pad = knobs_ref[0, 1]
-    tp_pad = knobs_ref[0, 2]
     w, b = num_bars, LANES
     if external_rng:
         u_ref, acc_ref = refs
@@ -86,126 +342,21 @@ def _mc_kernel(
         def draw(k):
             return _uniform((w, b) if k < 4 else (1, b))
 
-    # --- 1/2: GBM closes ---
-    u1 = draw(0)
-    u2 = draw(1)
-    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-    incr = jnp.float32(drift) + jnp.float32(sig_dt) * z
-    row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    tril = (col <= row).astype(jnp.float32)
-    log_rel = jnp.dot(tril, incr, preferred_element_type=jnp.float32)  # cumsum
-    log_s0 = jnp.float32(jnp.log(s0))
-    log_close = log_s0 + log_rel
-    log_open = log_close - incr
-    close = jnp.exp(log_close)
-    opens = jnp.exp(log_open)
-
-    # --- 3: bridge extremes ---
-    u3 = draw(2)
-    u4 = draw(3)
-    sig2dt = jnp.float32(sig_dt) * jnp.float32(sig_dt)
-    d2 = (log_close - log_open) ** 2
-    high = jnp.exp(0.5 * (log_open + log_close + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
-    low = jnp.exp(0.5 * (log_open + log_close - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
-
-    # --- 4: nearest level + first contact ---
-    inf = jnp.float32(3.4e38)
-    best_d = jnp.full((w, b), inf, jnp.float32)
-    best_p = jnp.zeros((w, b), jnp.float32)
-    for i in range(max_levels):
-        lp = level_price_ref[i, 0]
-        lv = level_valid_ref[i, 0]
-        d = jnp.where(lv > 0, jnp.abs(close - lp), inf)
-        take = d < best_d
-        best_p = jnp.where(take, lp, best_p)
-        best_d = jnp.where(take, d, best_d)
-    near = best_d <= prox
-
-    # All per-lane quantities stay (1, b): Mosaic cannot reshape/broadcast i1
-    # vectors, so 1D bool intermediates are avoided entirely.
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
-    ebar = jnp.min(jnp.where(near, iota_w, w), axis=0, keepdims=True)   # (1, b)
-    entered = ebar < w
-    at_entry = iota_w == ebar
-    entry = jnp.sum(jnp.where(at_entry, close, 0.0), axis=0, keepdims=True)
-    lvl = jnp.sum(jnp.where(at_entry, best_p, 0.0), axis=0, keepdims=True)
-    prev = jnp.sum(jnp.where(at_entry, opens, 0.0), axis=0, keepdims=True)
-    is_long = entry > prev
-
-    stop = jnp.where(is_long, lvl - stop_pad, lvl + stop_pad)
-    target = jnp.where(is_long, lvl + tp_pad, lvl - tp_pad)
-
-    # --- 5: first hit after the entry bar ---
-    after = iota_w > ebar
-    # NOTE: select over i1 operands lowers to an unsupported i8->i1 trunc in
-    # Mosaic; compose hit masks with and/or instead of jnp.where.
-    nil = jnp.logical_not(is_long)
-    stop_hit = jnp.logical_or(
-        jnp.logical_and(is_long, low <= stop),
-        jnp.logical_and(nil, high >= stop),
+    bars = _gbm_block(
+        draw, w=w, b=b, drift=jnp.float32(drift), sig_dt=jnp.float32(sig_dt),
+        log_s0=jnp.float32(np.log(s0)),
     )
-    tgt_hit = jnp.logical_or(
-        jnp.logical_and(is_long, high >= target),
-        jnp.logical_and(nil, low <= target),
+    ct = _first_contact(
+        bars, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0]),
+        max_levels, knobs_ref[0, 0], w=w, b=b,
     )
-    j_stop = jnp.min(jnp.where(jnp.logical_and(after, stop_hit), iota_w, w),
-                     axis=0, keepdims=True)
-    j_tgt = jnp.min(jnp.where(jnp.logical_and(after, tgt_hit), iota_w, w),
-                    axis=0, keepdims=True)
-    none_hit = jnp.logical_and(j_stop >= w, j_tgt >= w)
-    j_first = jnp.minimum(j_stop, j_tgt)
-    tie = jnp.logical_and(j_stop == j_tgt, jnp.logical_not(none_hit))
+    rep = _replay_config(ct, bars, knobs_ref[0, 1], knobs_ref[0, 2], draw(4), w=w)
 
-    at_hit = iota_w == jnp.minimum(j_first, w - 1)
-    hh = jnp.sum(jnp.where(at_hit, high, 0.0), axis=0, keepdims=True)
-    ll = jnp.sum(jnp.where(at_hit, low, 0.0), axis=0, keepdims=True)
-    up_span = jnp.maximum(0.0, hh - entry)
-    dn_span = jnp.maximum(0.0, entry - ll)
-    p_tp = up_span / (up_span + dn_span + 1e-9)
-    tie_u = draw(4)
-    coin_tp = tie_u < p_tp
-    target_first = jnp.logical_or(
-        jnp.logical_and(tie, coin_tp),
-        jnp.logical_and(jnp.logical_not(tie), j_tgt < j_stop),
-    )
-
-    risk = jnp.maximum(jnp.abs(entry - stop), 1e-9)
-    reward = jnp.abs(target - entry)
-    r = jnp.where(none_hit, 0.0, jnp.where(target_first, reward / risk, -1.0))
-    we = entered.astype(jnp.float32)
-    r = r * we                                                     # (1, b)
-
-    is_tp = jnp.logical_and(entered, jnp.logical_and(jnp.logical_not(none_hit), target_first))
-    is_stop = jnp.logical_and(entered, jnp.logical_and(jnp.logical_not(none_hit),
-                                                       jnp.logical_not(target_first)))
-    is_open = jnp.logical_and(entered, none_hit)
-
-    # --- 6: accumulate into the (8, 128) running block (sequential grid) ---
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        _init_acc(acc_ref)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    scalars = (
-        jnp.float32(b), jnp.sum(we), jnp.sum(is_tp.astype(jnp.float32)),
-        jnp.sum(is_stop.astype(jnp.float32)), jnp.sum(is_open.astype(jnp.float32)),
-        jnp.sum(r), jnp.sum(r * r),
-    )
-    svec = jnp.zeros((1, 128), jnp.float32)
-    for k, v in enumerate(scalars):
-        svec = svec + jnp.where(col == k, v, 0.0)
-    acc_ref[0:1, :] += svec
-
-    bin_f = (r - jnp.float32(HIST_LO)) * jnp.float32(HIST_BINS / (HIST_HI - HIST_LO))
-    # route (1,b) -> (b,1) through f32/i32 transposes (i1 reshapes unsupported)
-    bin_col = jnp.transpose(jnp.clip(bin_f.astype(jnp.int32), 0, HIST_BINS - 1))
-    we_col = jnp.transpose(we)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
-    onehot = jnp.where(
-        jnp.logical_and(bins == bin_col, we_col > 0.0), 1.0, 0.0
-    )
-    acc_ref[1:2, :] += jnp.sum(onehot, axis=0, keepdims=True)
+    _accumulate(acc_ref, (), rep, ct, b=b)
 
 
 @functools.partial(
@@ -237,8 +388,6 @@ def mc_paths_pallas(
         raise ValueError("pallas kernel supports up to 8 level slots")
     n_blocks = num_paths // LANES
 
-    import numpy as np
-
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
 
@@ -259,12 +408,7 @@ def mc_paths_pallas(
         jnp.float32(0.0),
     ]).reshape(1, 4)
 
-    lp = jnp.broadcast_to(levels.price[:, None], (levels.max_levels, 128))
-    lv = jnp.broadcast_to(
-        levels.valid.astype(jnp.float32)[:, None], (levels.max_levels, 128)
-    )
-    # invalid slots carry +inf prices; zero them so the kernel's arithmetic stays finite
-    lp = jnp.where(jnp.isfinite(lp), lp, 0.0)
+    lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     acc = pl.pallas_call(
@@ -287,33 +431,27 @@ def mc_paths_pallas(
     )(*((seed_arr, knobs, lp, lv)
          + ((jnp.asarray(external_uniforms, jnp.float32),) if external_rng else ())))
 
-    tot = acc[0]
-    return PathStats(
-        n=tot[0], n_entered=tot[1], n_tp=tot[2], n_stop=tot[3], n_open=tot[4],
-        sum_r=tot[5], sum_r2=tot[6],
-        min_r=jnp.float32(jnp.nan),  # extremes not tracked in the fused kernel
-        max_r=jnp.float32(jnp.nan),
-        hist=acc[1, :HIST_BINS],
-    )
+    return _unpack_acc(acc)
 
+
+# --------------------------------------------------------------------------
+# kernel 2: per-symbol universe
+# --------------------------------------------------------------------------
 
 def _universe_kernel(
     seed_ref,          # SMEM (1,1) i32
     knobs_ref,         # SMEM (1,4) f32: [prox, stop_pad, tp_pad, _]
-    sym_ref,           # VMEM (1, 128) f32 per-symbol row: broadcast [s0, sigma]
-    level_price_ref,   # VMEM (L, 128) f32 — THIS symbol's level slab
-    level_valid_ref,   # VMEM (L, 128) f32
+    sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row: [s0, sigma, ...]
+    level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
+    level_valid_ref,   # VMEM (1, L, 128) f32
     acc_ref,           # VMEM (1, 8, 128) — THIS symbol's running accumulator
     *,
     num_bars: int,
     dt: float,
     max_levels: int,
 ):
-    """Per-(symbol, block) grid step: same fused pipeline as _mc_kernel but with
-    the symbol's s0/sigma read from VMEM and a per-symbol accumulator row."""
-    prox = knobs_ref[0, 0]
-    stop_pad = knobs_ref[0, 1]
-    tp_pad = knobs_ref[0, 2]
+    """Per-(symbol, block) grid step: the shared fused pipeline with the
+    symbol's s0/sigma read from VMEM and a per-symbol accumulator row."""
     w, b = num_bars, LANES
     s0 = sym_ref[0, 0, 0]
     sigma = sym_ref[0, 0, 1]
@@ -329,114 +467,18 @@ def _universe_kernel(
     def draw(k):
         return _uniform((w, b) if k < 4 else (1, b))
 
-    u1 = draw(0)
-    u2 = draw(1)
-    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-    incr = drift + sig_dt * z
-    row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    tril = (col <= row).astype(jnp.float32)
-    log_rel = jnp.dot(tril, incr, preferred_element_type=jnp.float32)
-    log_s0 = jnp.log(s0)
-    log_close = log_s0 + log_rel
-    log_open = log_close - incr
-    close = jnp.exp(log_close)
-    opens = jnp.exp(log_open)
-
-    u3 = draw(2)
-    u4 = draw(3)
-    sig2dt = sig_dt * sig_dt
-    d2 = (log_close - log_open) ** 2
-    high = jnp.exp(0.5 * (log_open + log_close + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
-    low = jnp.exp(0.5 * (log_open + log_close - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
-
-    inf = jnp.float32(3.4e38)
-    best_d = jnp.full((w, b), inf, jnp.float32)
-    best_p = jnp.zeros((w, b), jnp.float32)
-    for i in range(max_levels):
-        lp = level_price_ref[0, i, 0]
-        lv = level_valid_ref[0, i, 0]
-        d = jnp.where(lv > 0, jnp.abs(close - lp), inf)
-        take = d < best_d
-        best_p = jnp.where(take, lp, best_p)
-        best_d = jnp.where(take, d, best_d)
-    near = best_d <= prox
-
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
-    ebar = jnp.min(jnp.where(near, iota_w, w), axis=0, keepdims=True)
-    entered = ebar < w
-    at_entry = iota_w == ebar
-    entry = jnp.sum(jnp.where(at_entry, close, 0.0), axis=0, keepdims=True)
-    lvl = jnp.sum(jnp.where(at_entry, best_p, 0.0), axis=0, keepdims=True)
-    prev = jnp.sum(jnp.where(at_entry, opens, 0.0), axis=0, keepdims=True)
-    is_long = entry > prev
-
-    stop = jnp.where(is_long, lvl - stop_pad, lvl + stop_pad)
-    target = jnp.where(is_long, lvl + tp_pad, lvl - tp_pad)
-
-    after = iota_w > ebar
-    nil = jnp.logical_not(is_long)
-    stop_hit = jnp.logical_or(
-        jnp.logical_and(is_long, low <= stop),
-        jnp.logical_and(nil, high >= stop),
+    bars = _gbm_block(draw, w=w, b=b, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0))
+    ct = _first_contact(
+        bars, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0]),
+        max_levels, knobs_ref[0, 0], w=w, b=b,
     )
-    tgt_hit = jnp.logical_or(
-        jnp.logical_and(is_long, high >= target),
-        jnp.logical_and(nil, low <= target),
-    )
-    j_stop = jnp.min(jnp.where(jnp.logical_and(after, stop_hit), iota_w, w),
-                     axis=0, keepdims=True)
-    j_tgt = jnp.min(jnp.where(jnp.logical_and(after, tgt_hit), iota_w, w),
-                    axis=0, keepdims=True)
-    none_hit = jnp.logical_and(j_stop >= w, j_tgt >= w)
-    j_first = jnp.minimum(j_stop, j_tgt)
-    tie = jnp.logical_and(j_stop == j_tgt, jnp.logical_not(none_hit))
-
-    at_hit = iota_w == jnp.minimum(j_first, w - 1)
-    hh = jnp.sum(jnp.where(at_hit, high, 0.0), axis=0, keepdims=True)
-    ll = jnp.sum(jnp.where(at_hit, low, 0.0), axis=0, keepdims=True)
-    up_span = jnp.maximum(0.0, hh - entry)
-    dn_span = jnp.maximum(0.0, entry - ll)
-    p_tp = up_span / (up_span + dn_span + 1e-9)
-    tie_u = draw(4)
-    coin_tp = tie_u < p_tp
-    target_first = jnp.logical_or(
-        jnp.logical_and(tie, coin_tp),
-        jnp.logical_and(jnp.logical_not(tie), j_tgt < j_stop),
-    )
-
-    risk = jnp.maximum(jnp.abs(entry - stop), 1e-9)
-    reward = jnp.abs(target - entry)
-    r = jnp.where(none_hit, 0.0, jnp.where(target_first, reward / risk, -1.0))
-    we = entered.astype(jnp.float32)
-    r = r * we
-
-    is_tp = jnp.logical_and(entered, jnp.logical_and(jnp.logical_not(none_hit), target_first))
-    is_stop = jnp.logical_and(entered, jnp.logical_and(jnp.logical_not(none_hit),
-                                                       jnp.logical_not(target_first)))
-    is_open = jnp.logical_and(entered, none_hit)
+    rep = _replay_config(ct, bars, knobs_ref[0, 1], knobs_ref[0, 2], draw(4), w=w)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        acc_ref[0, :, :] = jnp.zeros_like(acc_ref[0])
+        _init_acc(acc_ref)
 
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    scalars = (
-        jnp.float32(b), jnp.sum(we), jnp.sum(is_tp.astype(jnp.float32)),
-        jnp.sum(is_stop.astype(jnp.float32)), jnp.sum(is_open.astype(jnp.float32)),
-        jnp.sum(r), jnp.sum(r * r),
-    )
-    svec = jnp.zeros((1, 128), jnp.float32)
-    for k, v in enumerate(scalars):
-        svec = svec + jnp.where(col2 == k, v, 0.0)
-    acc_ref[0, 0:1, :] += svec
-
-    bin_f = (r - jnp.float32(HIST_LO)) * jnp.float32(HIST_BINS / (HIST_HI - HIST_LO))
-    bin_col = jnp.transpose(jnp.clip(bin_f.astype(jnp.int32), 0, HIST_BINS - 1))
-    we_col = jnp.transpose(we)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
-    onehot = jnp.where(jnp.logical_and(bins == bin_col, we_col > 0.0), 1.0, 0.0)
-    acc_ref[0, 1:2, :] += jnp.sum(onehot, axis=0, keepdims=True)
+    _accumulate(acc_ref, (0,), rep, ct, b=b)
 
 
 @functools.partial(
@@ -474,11 +516,7 @@ def mc_paths_pallas_universe(
         jnp.asarray(params.tp_padding, jnp.float32),
         jnp.float32(0.0),
     ]).reshape(1, 4)
-    lp = jnp.broadcast_to(lv_price[:, :, None], (n_sym, n_lv, 128))
-    lp = jnp.where(jnp.isfinite(lp), lp, 0.0)
-    lvv = jnp.broadcast_to(
-        jnp.asarray(levels.valid, jnp.float32)[:, :, None], (n_sym, n_lv, 128)
-    )
+    lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
     sym = jnp.stack(
         [jnp.asarray(s0, jnp.float32), jnp.asarray(sigma, jnp.float32)], axis=1
     )  # [S, 2]
@@ -504,15 +542,12 @@ def mc_paths_pallas_universe(
         interpret=interpret,
     )(seed_arr, knobs, sym, lp, lvv)
 
-    tot = acc[:, 0, :]
-    return PathStats(
-        n=tot[:, 0], n_entered=tot[:, 1], n_tp=tot[:, 2], n_stop=tot[:, 3],
-        n_open=tot[:, 4], sum_r=tot[:, 5], sum_r2=tot[:, 6],
-        min_r=jnp.full((n_sym,), jnp.nan, jnp.float32),
-        max_r=jnp.full((n_sym,), jnp.nan, jnp.float32),
-        hist=acc[:, 1, :HIST_BINS],
-    )
+    return _unpack_acc(acc)
 
+
+# --------------------------------------------------------------------------
+# kernel 3: stop/target grid sweep with common random numbers
+# --------------------------------------------------------------------------
 
 def _sweep_kernel(
     seed_ref,          # SMEM (1,1) i32
@@ -533,125 +568,29 @@ def _sweep_kernel(
     generation + first-contact detection run once, then each configuration
     replays against the same bars (common random numbers — the classic
     variance-reduction layout for comparing configurations)."""
-    prox = knobs_ref[0, 0]
     w, b = num_bars, LANES
     pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
     def draw(k):
         return _uniform((w, b) if k < 4 else (1, b))
 
-    u1 = draw(0)
-    u2 = draw(1)
-    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-    incr = jnp.float32(drift) + jnp.float32(sig_dt) * z
-    row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    tril = (col <= row).astype(jnp.float32)
-    log_rel = jnp.dot(tril, incr, preferred_element_type=jnp.float32)
-    log_s0 = jnp.float32(jnp.log(s0))
-    log_close = log_s0 + log_rel
-    log_open = log_close - incr
-    close = jnp.exp(log_close)
-    opens = jnp.exp(log_open)
-
-    u3 = draw(2)
-    u4 = draw(3)
-    sig2dt = jnp.float32(sig_dt) * jnp.float32(sig_dt)
-    d2 = (log_close - log_open) ** 2
-    high = jnp.exp(0.5 * (log_open + log_close + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
-    low = jnp.exp(0.5 * (log_open + log_close - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
-
-    inf = jnp.float32(3.4e38)
-    best_d = jnp.full((w, b), inf, jnp.float32)
-    best_p = jnp.zeros((w, b), jnp.float32)
-    for i in range(max_levels):
-        lp = level_price_ref[i, 0]
-        lv = level_valid_ref[i, 0]
-        d = jnp.where(lv > 0, jnp.abs(close - lp), inf)
-        take = d < best_d
-        best_p = jnp.where(take, lp, best_p)
-        best_d = jnp.where(take, d, best_d)
-    near = best_d <= prox
-
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
-    ebar = jnp.min(jnp.where(near, iota_w, w), axis=0, keepdims=True)
-    entered = ebar < w
-    at_entry = iota_w == ebar
-    entry = jnp.sum(jnp.where(at_entry, close, 0.0), axis=0, keepdims=True)
-    lvl = jnp.sum(jnp.where(at_entry, best_p, 0.0), axis=0, keepdims=True)
-    prev = jnp.sum(jnp.where(at_entry, opens, 0.0), axis=0, keepdims=True)
-    is_long = entry > prev
-    nil = jnp.logical_not(is_long)
-    after = iota_w > ebar
-    we = entered.astype(jnp.float32)
+    bars = _gbm_block(
+        draw, w=w, b=b, drift=jnp.float32(drift), sig_dt=jnp.float32(sig_dt),
+        log_s0=jnp.float32(np.log(s0)),
+    )
+    ct = _first_contact(
+        bars, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0]),
+        max_levels, knobs_ref[0, 0], w=w, b=b,
+    )
     tie_u = draw(4)  # shared across configs (CRN)
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        acc_ref[:, :, :] = jnp.zeros_like(acc_ref)
+        _init_acc(acc_ref)
 
     for g in range(n_grid):
-        stop_pad = grid_ref[g, 0]
-        tp_pad = grid_ref[g, 1]
-        stop = jnp.where(is_long, lvl - stop_pad, lvl + stop_pad)
-        target = jnp.where(is_long, lvl + tp_pad, lvl - tp_pad)
-        stop_hit = jnp.logical_or(
-            jnp.logical_and(is_long, low <= stop),
-            jnp.logical_and(nil, high >= stop),
-        )
-        tgt_hit = jnp.logical_or(
-            jnp.logical_and(is_long, high >= target),
-            jnp.logical_and(nil, low <= target),
-        )
-        j_stop = jnp.min(jnp.where(jnp.logical_and(after, stop_hit), iota_w, w),
-                         axis=0, keepdims=True)
-        j_tgt = jnp.min(jnp.where(jnp.logical_and(after, tgt_hit), iota_w, w),
-                        axis=0, keepdims=True)
-        none_hit = jnp.logical_and(j_stop >= w, j_tgt >= w)
-        j_first = jnp.minimum(j_stop, j_tgt)
-        tie = jnp.logical_and(j_stop == j_tgt, jnp.logical_not(none_hit))
-
-        at_hit = iota_w == jnp.minimum(j_first, w - 1)
-        hh = jnp.sum(jnp.where(at_hit, high, 0.0), axis=0, keepdims=True)
-        ll = jnp.sum(jnp.where(at_hit, low, 0.0), axis=0, keepdims=True)
-        up_span = jnp.maximum(0.0, hh - entry)
-        dn_span = jnp.maximum(0.0, entry - ll)
-        p_tp = up_span / (up_span + dn_span + 1e-9)
-        coin_tp = tie_u < p_tp
-        target_first = jnp.logical_or(
-            jnp.logical_and(tie, coin_tp),
-            jnp.logical_and(jnp.logical_not(tie), j_tgt < j_stop),
-        )
-        risk = jnp.maximum(jnp.abs(entry - stop), 1e-9)
-        reward = jnp.abs(target - entry)
-        r = jnp.where(none_hit, 0.0, jnp.where(target_first, reward / risk, -1.0))
-        r = r * we
-        is_tp = jnp.logical_and(entered, jnp.logical_and(jnp.logical_not(none_hit),
-                                                         target_first))
-        is_stop = jnp.logical_and(
-            entered,
-            jnp.logical_and(jnp.logical_not(none_hit), jnp.logical_not(target_first)),
-        )
-        is_open = jnp.logical_and(entered, none_hit)
-
-        scalars = (
-            jnp.float32(b), jnp.sum(we), jnp.sum(is_tp.astype(jnp.float32)),
-            jnp.sum(is_stop.astype(jnp.float32)),
-            jnp.sum(is_open.astype(jnp.float32)),
-            jnp.sum(r), jnp.sum(r * r),
-        )
-        svec = jnp.zeros((1, 128), jnp.float32)
-        for k, v in enumerate(scalars):
-            svec = svec + jnp.where(col2 == k, v, 0.0)
-        acc_ref[g, 0:1, :] += svec
-
-        bin_f = (r - jnp.float32(HIST_LO)) * jnp.float32(HIST_BINS / (HIST_HI - HIST_LO))
-        bin_col = jnp.transpose(jnp.clip(bin_f.astype(jnp.int32), 0, HIST_BINS - 1))
-        we_col = jnp.transpose(we)
-        onehot = jnp.where(jnp.logical_and(bins == bin_col, we_col > 0.0), 1.0, 0.0)
-        acc_ref[g, 1:2, :] += jnp.sum(onehot, axis=0, keepdims=True)
+        rep = _replay_config(ct, bars, grid_ref[g, 0], grid_ref[g, 1], tie_u, w=w)
+        _accumulate(acc_ref, (g,), rep, ct, b=b)
 
 
 @functools.partial(
@@ -688,8 +627,6 @@ def mc_paths_pallas_sweep(
         raise ValueError("grid_stops and grid_tps must have equal length")
     n_blocks = num_paths // LANES
 
-    import numpy as np
-
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
     kernel = functools.partial(
@@ -701,11 +638,7 @@ def mc_paths_pallas_sweep(
         jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
     ]).reshape(1, 4)
     grid = jnp.stack([grid_stops, grid_tps], axis=1)  # (G, 2)
-    lp = jnp.broadcast_to(levels.price[:, None], (levels.max_levels, 128))
-    lp = jnp.where(jnp.isfinite(lp), lp, 0.0)
-    lv = jnp.broadcast_to(
-        levels.valid.astype(jnp.float32)[:, None], (levels.max_levels, 128)
-    )
+    lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     acc = pl.pallas_call(
@@ -726,11 +659,4 @@ def mc_paths_pallas_sweep(
         interpret=interpret,
     )(seed_arr, knobs, grid, lp, lv)
 
-    tot = acc[:, 0, :]
-    return PathStats(
-        n=tot[:, 0], n_entered=tot[:, 1], n_tp=tot[:, 2], n_stop=tot[:, 3],
-        n_open=tot[:, 4], sum_r=tot[:, 5], sum_r2=tot[:, 6],
-        min_r=jnp.full((g,), jnp.nan, jnp.float32),
-        max_r=jnp.full((g,), jnp.nan, jnp.float32),
-        hist=acc[:, 1, :HIST_BINS],
-    )
+    return _unpack_acc(acc)

@@ -94,6 +94,7 @@ def sharded_mc_paths(
         return merged.replace(
             min_r=jax.lax.pmin(local.min_r, axis),
             max_r=jax.lax.pmax(local.max_r, axis),
+            max_dd=jax.lax.pmax(local.max_dd, axis),
         )
 
     # each device receives its starting global block index

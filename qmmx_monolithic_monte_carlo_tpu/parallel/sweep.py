@@ -110,6 +110,7 @@ def sharded_sweep(
         return merged.replace(
             min_r=jax.lax.pmin(local.min_r, axis),
             max_r=jax.lax.pmax(local.max_r, axis),
+            max_dd=jax.lax.pmax(local.max_dd, axis),
         )
 
     idx = jax.device_put(

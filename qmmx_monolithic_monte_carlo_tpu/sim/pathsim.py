@@ -38,7 +38,18 @@ HIST_HI = 2.5
 
 @struct.dataclass
 class PathStats:
-    """Associative accumulator over path outcomes (combine with ``merge``/psum)."""
+    """Associative accumulator over path outcomes (combine with ``merge``/psum).
+
+    Two producers share this contract:
+
+    * first-contact replay (``from_outcomes``) — one trade per path, so
+      n_tp + n_stop + n_open == n_entered and sum_trades == n_entered;
+    * engine-gated lifecycle (``from_lifecycle``, sim/gatedpath.py) — many
+      trades per path, so n_tp/n_stop count *trades* (wins/losses) while
+      n/n_entered count *paths*, and min_r/max_r/hist cover per-path TOTAL R
+      (= best/worst trial totals of the reference MC, qmmx_monolithic.py
+      :3512-3525).
+    """
 
     n: jnp.ndarray         # f32 — paths counted
     n_tp: jnp.ndarray
@@ -49,6 +60,9 @@ class PathStats:
     sum_r2: jnp.ndarray
     min_r: jnp.ndarray
     max_r: jnp.ndarray
+    sum_trades: jnp.ndarray  # total trades taken across paths
+    sum_dd: jnp.ndarray      # sum of per-path max drawdown (R, >= 0)
+    max_dd: jnp.ndarray      # worst per-path drawdown (R, >= 0; 'max' combine)
     hist: jnp.ndarray      # f32[HIST_BINS] of R values (entered paths)
 
     @classmethod
@@ -56,6 +70,7 @@ class PathStats:
         z = jnp.float32(0.0)
         return cls(n=z, n_tp=z, n_stop=z, n_open=z, n_entered=z, sum_r=z, sum_r2=z,
                    min_r=jnp.float32(jnp.inf), max_r=jnp.float32(-jnp.inf),
+                   sum_trades=z, sum_dd=z, max_dd=z,
                    hist=jnp.zeros((HIST_BINS,), jnp.float32))
 
     @classmethod
@@ -69,6 +84,8 @@ class PathStats:
         )
         hist = jnp.zeros((HIST_BINS,), jnp.float32).at[bin_idx].add(w)
         big = jnp.float32(jnp.inf)
+        # single-trade equity curve: peak = max(0, r), so drawdown = max(0, -r)
+        dd = jnp.maximum(0.0, -r) * w
         return cls(
             n=jnp.sum(jnp.ones_like(r)),
             n_tp=jnp.sum(w * (outcome == OUTCOME_TP)),
@@ -79,6 +96,42 @@ class PathStats:
             sum_r2=jnp.sum(w * r * r),
             min_r=jnp.min(jnp.where(entered, r, big)),
             max_r=jnp.max(jnp.where(entered, r, -big)),
+            sum_trades=jnp.sum(w),
+            sum_dd=jnp.sum(dd),
+            max_dd=jnp.max(dd, initial=0.0),
+            hist=hist,
+        )
+
+    @classmethod
+    def from_lifecycle(cls, *, equity, trades, wins, losses, open_at_end,
+                       max_dd) -> "PathStats":
+        """Multi-trade per-path accumulator (sim/gatedpath.py): ``equity`` is the
+        per-path total R; hist/min/max/moments cover path totals; n_tp/n_stop
+        count trades; n_open counts paths left holding a position."""
+        equity = jnp.asarray(equity, jnp.float32)
+        trades = jnp.asarray(trades, jnp.float32)
+        entered = trades > 0
+        w = entered.astype(jnp.float32)
+        bin_idx = jnp.clip(
+            ((equity - HIST_LO) / (HIST_HI - HIST_LO) * HIST_BINS).astype(jnp.int32),
+            0, HIST_BINS - 1,
+        )
+        hist = jnp.zeros((HIST_BINS,), jnp.float32).at[bin_idx].add(w)
+        big = jnp.float32(jnp.inf)
+        dd = jnp.asarray(max_dd, jnp.float32) * w
+        return cls(
+            n=jnp.sum(jnp.ones_like(equity)),
+            n_tp=jnp.sum(jnp.asarray(wins, jnp.float32)),
+            n_stop=jnp.sum(jnp.asarray(losses, jnp.float32)),
+            n_open=jnp.sum(jnp.asarray(open_at_end, jnp.float32) * w),
+            n_entered=jnp.sum(w),
+            sum_r=jnp.sum(w * equity),
+            sum_r2=jnp.sum(w * equity * equity),
+            min_r=jnp.min(jnp.where(entered, equity, big)),
+            max_r=jnp.max(jnp.where(entered, equity, -big)),
+            sum_trades=jnp.sum(trades),
+            sum_dd=jnp.sum(dd),
+            max_dd=jnp.max(dd, initial=0.0),
             hist=hist,
         )
 
@@ -93,6 +146,9 @@ class PathStats:
             sum_r2=self.sum_r2 + other.sum_r2,
             min_r=jnp.minimum(self.min_r, other.min_r),
             max_r=jnp.maximum(self.max_r, other.max_r),
+            sum_trades=self.sum_trades + other.sum_trades,
+            sum_dd=self.sum_dd + other.sum_dd,
+            max_dd=jnp.maximum(self.max_dd, other.max_dd),
             hist=self.hist + other.hist,
         )
 
@@ -109,6 +165,17 @@ class PathStats:
     @property
     def hit_rate(self):
         return self.n_tp / jnp.maximum(self.n_tp + self.n_stop, 1.0)
+
+    @property
+    def mean_trades(self):
+        """Trades per entered path (1.0 exactly for first-contact replay)."""
+        return self.sum_trades / jnp.maximum(self.n_entered, 1.0)
+
+    @property
+    def mean_dd(self):
+        """Mean per-path max drawdown in R (reference 'mean worst drawdown',
+        qmmx_monolithic.py:3512-3525)."""
+        return self.sum_dd / jnp.maximum(self.n_entered, 1.0)
 
     def quantile(self, q):
         """Histogram-estimated R quantile (used for VaR at path scale, where an

@@ -28,7 +28,8 @@ def _oracle(u, lvls, prox=0.05, sp=0.35, tp=0.25, s0=100.0):
     drift = f((0 - 0.5 * SIGMA**2) * DT)
     sig = f(SIGMA * np.sqrt(DT))
     nb = u.shape[0]
-    tot = dict(entered=0, tp=0, stop=0, open=0, sum_r=0.0)
+    tot = dict(entered=0, tp=0, stop=0, open=0, sum_r=0.0,
+               min_r=np.inf, max_r=-np.inf)
     for blk in range(nb):
         ub = u[blk].astype(np.float32)
         u1, u2, u3, u4 = ub[:W], ub[W:2 * W], ub[2 * W:3 * W], ub[3 * W:4 * W]
@@ -75,7 +76,10 @@ def _oracle(u, lvls, prox=0.05, sp=0.35, tp=0.25, s0=100.0):
                     got = "stop"
                     break
             tot[got] += 1
-            tot["sum_r"] += reward / risk if got == "tp" else (-1.0 if got == "stop" else 0.0)
+            r = reward / risk if got == "tp" else (-1.0 if got == "stop" else 0.0)
+            tot["sum_r"] += r
+            tot["min_r"] = min(tot["min_r"], r)
+            tot["max_r"] = max(tot["max_r"], r)
     return tot
 
 
@@ -96,6 +100,11 @@ def test_kernel_matches_numpy_oracle_exact_uniforms():
     assert abs(float(s.n_open) - want["open"]) <= 2
     assert float(s.sum_r) == pytest.approx(want["sum_r"], abs=3.0)
     assert float(s.hist.sum()) == pytest.approx(float(s.n_entered))
+    # min/max R tracked in the kernel accumulator (VERDICT r1 item 3): the R
+    # value set is discrete ({-1, 0, tp/sp ratios}); the ratio itself differs
+    # from numpy at ~5e-5 (MXU matmul-cumsum vs np.cumsum f32 association)
+    assert float(s.min_r) == pytest.approx(want["min_r"], abs=1e-3)
+    assert float(s.max_r) == pytest.approx(want["max_r"], abs=1e-3)
 
 
 def test_kernel_stats_contract():
@@ -109,6 +118,10 @@ def test_kernel_stats_contract():
     assert 0.0 <= float(s.hit_rate) <= 1.0
     q = float(s.quantile(0.5))
     assert -1.5 <= q <= 2.5
+    # no NaNs in the PathStats contract; extremes bound the R support
+    assert np.isfinite(float(s.min_r)) and np.isfinite(float(s.max_r))
+    assert float(s.min_r) <= float(s.max_r)
+    assert -1.0 <= float(s.min_r) and float(s.max_r) <= 2.5
 
 
 def test_kernel_rejects_bad_shapes():
@@ -149,6 +162,9 @@ def test_universe_kernel_contract_interpret():
     np.testing.assert_allclose(
         np.asarray(st.n_tp + st.n_stop + st.n_open), np.asarray(st.n_entered)
     )
+    # extremes are never NaN (±inf allowed when a symbol saw no entries)
+    assert not np.isnan(np.asarray(st.min_r)).any()
+    assert not np.isnan(np.asarray(st.max_r)).any()
 
 
 def test_universe_kernel_rejects_bad_shapes():
@@ -185,6 +201,8 @@ def test_sweep_kernel_contract_and_crn():
     # CRN: every config saw the same paths → identical entered counts
     entered = np.asarray(st.n_entered)
     assert entered[0] == entered[1]
+    assert not np.isnan(np.asarray(st.min_r)).any()
+    assert not np.isnan(np.asarray(st.max_r)).any()
 
 
 def test_sweep_kernel_rejects_mismatched_grid():
