@@ -227,7 +227,21 @@ def cmd_paths(args):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
-    if backend == "pallas":
+    if getattr(args, "gated", False):
+        # engine-gated multi-trade lifecycle (sim/gatedpath.py): XLA scan path
+        from ..sim import gatedpath
+
+        gate = gatedpath.GateConfig.from_params(
+            params, touch_limit=args.touch_limit,
+            cooldown_bars=args.cooldown_bars,
+        )
+        stats = gatedpath.mc_paths_gated(
+            jax.random.key(args.seed), levels, params, gate,
+            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+            sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
+            antithetic=args.antithetic,
+        )
+    elif backend == "pallas":
         from ..ops.pallas_mc import mc_paths_pallas
         from ..types import Levels
 
@@ -246,12 +260,20 @@ def cmd_paths(args):
             sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
             antithetic=args.antithetic,
         )
-    print(json.dumps({
+    out = {
         "paths": float(stats.n), "entered": float(stats.n_entered),
         "hit_rate": float(stats.hit_rate), "mean_r": float(stats.mean_r),
         "std_r": float(stats.std_r), "var_05": float(stats.quantile(0.05)),
         "cvar_05": float(stats.cvar(0.05)),
-    }))
+        "best_r": float(stats.max_r), "worst_r": float(stats.min_r),
+    }
+    if getattr(args, "gated", False):
+        out.update({
+            "trades": float(stats.sum_trades),
+            "mean_trades": float(stats.mean_trades),
+            "mean_dd": float(stats.mean_dd), "max_dd": float(stats.max_dd),
+        })
+    print(json.dumps(out))
     return 0
 
 
@@ -486,6 +508,12 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--qmin", type=float, default=None)
     pa.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto",
                     help="pallas = fused kernel (TPU, <=8 levels); auto picks by device")
+    pa.add_argument("--gated", action="store_true",
+                    help="run the engine-gated multi-trade lifecycle per path "
+                         "(cooldown/touch-budget/confidence gates, per-path "
+                         "equity+drawdown)")
+    pa.add_argument("--touch-limit", type=int, default=4)
+    pa.add_argument("--cooldown-bars", type=int, default=0)
     pa.set_defaults(fn=cmd_paths)
 
     sw = sub.add_parser("sweep")

@@ -243,38 +243,51 @@ def path_replay(
     return r, outcome, entered
 
 
-def _one_block(
-    key, block_idx, *, levels, params, block_paths, num_bars, s0, mu, sigma, dt,
+def sample_block(
+    bkey, *, block_paths, num_bars, s0, mu, sigma, dt,
     sampler, hist_bars, antithetic, block_len=10, heston=None,
-) -> PathStats:
-    bkey = prng.key_for(key, prng.STREAM_PATH, block_idx)
+) -> PG.PathBars:
+    """One path block from the named sampler ("gbm", "bootstrap",
+    "block_bootstrap", "heston").  Shared by the first-contact pipeline here
+    and the engine-gated lifecycle pipeline (sim/gatedpath.py)."""
     if sampler == "gbm":
-        paths = PG.gbm_paths(
+        return PG.gbm_paths(
             bkey, num_paths=block_paths, num_bars=num_bars, s0=s0,
             mu=mu, sigma=sigma, dt=dt, antithetic=antithetic,
         )
-    elif sampler == "bootstrap":
-        paths = PG.bootstrap_paths(
+    if sampler == "bootstrap":
+        return PG.bootstrap_paths(
             bkey,
             hist_open=hist_bars.open, hist_high=hist_bars.high,
             hist_low=hist_bars.low, hist_close=hist_bars.close,
             num_paths=block_paths, num_bars=num_bars, s0=s0,
         )
-    elif sampler == "block_bootstrap":
-        paths = PG.block_bootstrap_paths(
+    if sampler == "block_bootstrap":
+        return PG.block_bootstrap_paths(
             bkey,
             hist_open=hist_bars.open, hist_high=hist_bars.high,
             hist_low=hist_bars.low, hist_close=hist_bars.close,
             num_paths=block_paths, num_bars=num_bars, s0=s0,
             block_len=block_len,
         )
-    elif sampler == "heston":
-        paths = PG.heston_paths(
+    if sampler == "heston":
+        return PG.heston_paths(
             bkey, num_paths=block_paths, num_bars=num_bars, s0=s0,
             mu=mu, dt=dt, antithetic=antithetic, **(heston or {}),
         )
-    else:
-        raise ValueError(f"unknown sampler {sampler!r}")
+    raise ValueError(f"unknown sampler {sampler!r}")
+
+
+def _one_block(
+    key, block_idx, *, levels, params, block_paths, num_bars, s0, mu, sigma, dt,
+    sampler, hist_bars, antithetic, block_len=10, heston=None,
+) -> PathStats:
+    bkey = prng.key_for(key, prng.STREAM_PATH, block_idx)
+    paths = sample_block(
+        bkey, block_paths=block_paths, num_bars=num_bars, s0=s0, mu=mu,
+        sigma=sigma, dt=dt, sampler=sampler, hist_bars=hist_bars,
+        antithetic=antithetic, block_len=block_len, heston=heston,
+    )
     tie = jax.random.uniform(
         prng.key_for(bkey, prng.STREAM_TIE_COIN), (block_paths,), jnp.float32
     )
