@@ -27,6 +27,7 @@ from ..engine import lifecycle as LC
 from ..engine.gates import TickInput
 from ..engine.state import EngineCarry, MlModel
 from ..models import online_policy as OP
+from ..ops import features as F
 from ..reasons import Reason
 from ..types import SIDE_LONG, Levels
 from ..io import audit as audit_io
@@ -131,15 +132,17 @@ class EngineHost:
         prev_price = float(np.asarray(self.carry.last_price))
         prev_valid = bool(np.asarray(self.carry.last_price_valid))
 
+        mins = minutes_since_open(now_s)
         self.carry, event = self._step(
             self.carry, self.levels, self.params, self.policy, self.ml_model,
             np.float32(price), np.float32(prev_price), prev_valid,
-            np.int32(rel), np.int32(minutes_since_open(now_s)),
+            np.int32(rel), np.int32(mins),
             pgd=self.policy_gate_disabled,
         )
-        return self._persist_event(event, price, rel)
+        return self._persist_event(event, price, rel, mins=mins)
 
-    def _persist_event(self, event: LC.TickEvent, price: float, rel_ms: int) -> dict:
+    def _persist_event(self, event: LC.TickEvent, price: float, rel_ms: int,
+                       mins: int = 0) -> dict:
         d = event.decision
         reason = Reason(int(d.reason))
         out = {"reason": reason.name, "opened": bool(event.opened),
@@ -231,18 +234,31 @@ class EngineHost:
         elif bool(event.closed) and self.open_trade_id is not None:
             why = "STOP" if int(event.close_reason) == LC.CLOSE_STOP else "TARGET"
             trow = self.conn.execute(
-                "SELECT side FROM trades WHERE id=?", (self.open_trade_id,)
+                "SELECT side, stop FROM trades WHERE id=?", (self.open_trade_id,)
             ).fetchone()
             side = trow[0] if trow else "long"
             pnl = _db.close_trade(self.conn, self.open_trade_id, price, why)
             _db.audit(self.conn, "EXIT", why, f"{why} hit at {price:.2f}", {})
+            # real exit features: volume trend toward the trade's level
+            # (reconstructed from the stored stop: level = stop ± STOP_PADDING)
+            # computed over the carry's bar ring, and the actual session clock
+            volume_trend = 0.0
+            if trow is not None and trow[1] is not None:
+                sp = float(np.asarray(self.params.stop_padding))
+                lvl = float(trow[1]) + (sp if side == "long" else -sp)
+                b_close, b_vol, b_valid = self.carry.bars.ordered()
+                vt, vt_defined = F.volume_trend_toward_level(
+                    b_close, b_vol, b_valid, np.float32(lvl)
+                )
+                if bool(np.asarray(vt_defined)):
+                    volume_trend = float(np.asarray(vt))
             ev_id = _db.insert_policy_event(
                 self.conn, "exit", "exit_now",
                 {"proximity_abs": float(d.dist),
                  "approach": "from_below" if side == "long" else "from_above",
                  "confluence": bool(d.confluence),
-                 "minutes_since_open": 0,
-                 "volume_trend": 0.0},
+                 "minutes_since_open": int(mins),
+                 "volume_trend": volume_trend},
                 trade_id=self.open_trade_id,
                 notes=f"EXPOST_PENDING k={self.exit_label_horizon_bars}",
             )

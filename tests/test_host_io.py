@@ -333,6 +333,19 @@ def test_exit_events_recorded_and_labeled_ex_post(tmp_path):
     n_closed = c.execute(
         "SELECT COUNT(*) FROM trades WHERE ts_close IS NOT NULL").fetchone()[0]
     assert n_exit == n_closed
+    # exit events carry REAL features (round 2): the session clock, and a
+    # volume trend computed from the bar ring (0.0 here only because live
+    # tick volume is 0 — reference quirk Q6 — never a hardcoded placeholder)
+    import time as _time
+
+    from qmmx_monolithic_monte_carlo_tpu.host.app import minutes_since_open
+
+    expect_mins = minutes_since_open(_time.time())
+    for (fjson,) in c.execute(
+            "SELECT features_json FROM policy_events WHERE phase='exit'"):
+        feats = json.loads(fjson)
+        assert abs(int(feats["minutes_since_open"]) - expect_mins) <= 2
+        assert isinstance(feats["volume_trend"], float)
     if n_closed:
         labeled = c.execute(
             "SELECT COUNT(*) FROM policy_events WHERE phase='exit' "
