@@ -16,6 +16,8 @@ subcommands:
   trades / export         — the Trades tab + CSV export (:2167-2333)
   portfolio               — the portfolio box (:3246-3303)
   live                    — the engine loop (Polygon key required, or --synthetic)
+  wal                     — recover rows from a raw qmmx.db-wal (no main db
+                            needed) and optionally import them into --db
 
 Bars for sim/mc/chart come from --bars-csv (t,o,h,l,c[,v]) or --synthetic.
 """
@@ -277,6 +279,46 @@ def cmd_paths(args):
     return 0
 
 
+def cmd_wal(args):
+    """Recover rows from a raw WAL file; with --import, load them into --db
+    (levels replace the table; audit/policy rows append with original ts)."""
+    from ..io import db as _db
+    from ..io import walrecover
+
+    rec = walrecover.recover(args.wal)
+    if args.do_import:
+        conn = _connect(args)
+        if rec["price_levels"]:
+            _db.replace_levels(conn, rec["price_levels"])
+        for k, v in rec["settings"].items():
+            _db.settings_set(conn, k, v)
+        for row in rec["audit_log"]:
+            conn.execute(
+                "INSERT INTO audit_log(ts, phase, code, message, extras_json)"
+                " VALUES(?,?,?,?,?)",
+                (row["ts"], row["phase"], row["code"], row["message"],
+                 row["extras_json"]),
+            )
+        for row in rec["policy_events"]:
+            conn.execute(
+                "INSERT INTO policy_events(ts, phase, action, features_json,"
+                " label, trade_id, notes) VALUES(?,?,?,?,?,?,?)",
+                (row["ts"], row["phase"], row["action"], row["features_json"],
+                 row["label"], row["trade_id"], row["notes"]),
+            )
+        conn.commit()
+    print(json.dumps({
+        "pages": rec["n_pages"], "db_size_pages": rec["db_size_pages"],
+        "tables": sorted(rec["schema"]),
+        "price_levels": len(rec["price_levels"]),
+        "audit_log": len(rec["audit_log"]),
+        "policy_events": len(rec["policy_events"]),
+        "settings": len(rec["settings"]),
+        "imported": bool(args.do_import),
+    }))
+    return 0
+
+
 def cmd_sweep(args):
     import jax
 
@@ -515,6 +557,12 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--touch-limit", type=int, default=4)
     pa.add_argument("--cooldown-bars", type=int, default=0)
     pa.set_defaults(fn=cmd_paths)
+
+    wal = sub.add_parser("wal")
+    wal.add_argument("wal", help="path to a qmmx.db-wal file")
+    wal.add_argument("--import", dest="do_import", action="store_true",
+                     help="import recovered rows into --db")
+    wal.set_defaults(fn=cmd_wal)
 
     sw = sub.add_parser("sweep")
     sw.add_argument("--num-paths", type=int, default=1 << 18)
