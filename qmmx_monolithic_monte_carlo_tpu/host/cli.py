@@ -454,6 +454,17 @@ def cmd_live(args):
     host = EngineHost(db_path=args.db, feed=feed, symbol=args.symbol,
                       tick_sleep=0.0 if args.synthetic else 0.7)
 
+    if args.dashboard:
+        from . import dashboard
+
+        n = dashboard.run_dashboard(
+            host, max_ticks=args.max_ticks, synthetic=args.synthetic,
+            refresh_every=1 if not args.synthetic else 10,
+        )
+        print(f"processed {n} ticks")
+        print(json.dumps(host.portfolio()))
+        return 0
+
     def on_tick(i, out):
         if not args.watch:
             return
@@ -615,6 +626,9 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("--max-ticks", type=int, default=None)
     lv.add_argument("--watch", action="store_true",
                     help="print a per-tick status line (price, reason, equity)")
+    lv.add_argument("--dashboard", action="store_true",
+                    help="live rich TUI: chart + levels + position + portfolio "
+                         "+ QVoice stream (the Tk app's window, in a terminal)")
     lv.set_defaults(fn=cmd_live)
 
     qv = sub.add_parser("qvoice")
