@@ -230,19 +230,39 @@ def cmd_paths(args):
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     if getattr(args, "gated", False):
-        # engine-gated multi-trade lifecycle (sim/gatedpath.py): XLA scan path
+        # engine-gated multi-trade lifecycle (sim/gatedpath.py); the fused
+        # kernel (ops/pallas_mc._gated_kernel) runs the same state machine
+        # on-chip at ~7x the XLA scan
         from ..sim import gatedpath
 
         gate = gatedpath.GateConfig.from_params(
             params, touch_limit=args.touch_limit,
             cooldown_bars=args.cooldown_bars,
         )
-        stats = gatedpath.mc_paths_gated(
-            jax.random.key(args.seed), levels, params, gate,
-            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-            sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
-            antithetic=args.antithetic,
-        )
+        if backend == "pallas":
+            from ..ops.pallas_mc import GATED_BLOCK, mc_paths_pallas_gated
+            from ..types import Levels
+
+            if len(rows) > 8:
+                raise SystemExit("pallas backend supports up to 8 levels; "
+                                 "use --backend xla")
+            if args.num_paths % GATED_BLOCK:
+                raise SystemExit(
+                    f"--num-paths must be a multiple of {GATED_BLOCK} "
+                    "for the pallas gated backend")
+            small = Levels.from_rows(rows[:8], max_levels=8)
+            stats = mc_paths_pallas_gated(
+                args.seed, small, params, gate,
+                num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+                sigma=args.sigma,
+            )
+        else:
+            stats = gatedpath.mc_paths_gated(
+                jax.random.key(args.seed), levels, params, gate,
+                num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+                sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
+                antithetic=args.antithetic,
+            )
     elif backend == "pallas":
         from ..ops.pallas_mc import mc_paths_pallas
         from ..types import Levels

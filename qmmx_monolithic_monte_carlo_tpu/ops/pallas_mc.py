@@ -546,6 +546,357 @@ def mc_paths_pallas_universe(
 
 
 # --------------------------------------------------------------------------
+# kernel 4: engine-gated multi-trade lifecycle, fully fused
+# --------------------------------------------------------------------------
+
+GATED_SUB = 8        # state-tile sublanes: (8, GATED_LANES) rows use full vregs
+GATED_LANES = 1024   # lanes per state tile → one block = 8×1024 = 8192 paths
+GATED_BLOCK = GATED_SUB * GATED_LANES
+ROW_MAXDD = 4        # worst per-path drawdown — 'max' combine, zero identity
+
+
+def _gated_kernel(
+    seed_ref,          # SMEM (1,1) i32
+    knobs_ref,         # SMEM (1,4) f32: [prox, stop_pad, tp_pad, _]
+    gate_ref,          # SMEM (1,8) f32: [qmin, touch_limit, cooldown_bars,
+                       #                  touch_gap_bars, use_confidence, ...]
+    level_price_ref,   # VMEM (L, 128) f32
+    level_valid_ref,   # VMEM (L, 128) f32
+    level_kind_ref,    # VMEM (L, 128) f32 (1 solid / 0 dashed)
+    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    num_bars: int,
+    s0: float,
+    drift: float,
+    sig_dt: float,
+    max_levels: int,
+    external_rng: bool = False,
+):
+    """The QMMX engine per path, entirely on-chip: bars are generated
+    bar-by-bar inside the loop (no (W,B) residency, no cumsum matmul — the
+    log-price accumulates in the carry) and the multi-trade state machine
+    (sim/gatedpath.py semantics: cooldown, per-level fresh-touch latch with
+    the LEVEL_OVERTOUCHED budget, confidence gate, per-path equity/peak/
+    drawdown) advances over full (8, 1024) vector registers.
+
+    All counters are f32 (small integers are exact; keeps every op in one
+    vreg type).  Bool algebra is composed with and/or — Mosaic cannot select
+    over i1 operands — while f32 selects use jnp.where freely.
+    """
+    s, b = GATED_SUB, GATED_LANES
+    prox = knobs_ref[0, 0]
+    stop_pad = knobs_ref[0, 1]
+    tp_pad = knobs_ref[0, 2]
+    qmin = gate_ref[0, 0]
+    touch_limit = gate_ref[0, 1]
+    cooldown_bars = gate_ref[0, 2]
+    touch_gap = gate_ref[0, 3]
+    use_conf = gate_ref[0, 4]
+
+    if external_rng:
+        u_ref, acc_ref = refs
+
+        def draw(t, k):
+            blk = u_ref[0, pl.ds(t * 5 + k, 1)]       # (1, s, b)
+            return blk.reshape(s, b)
+    else:
+        (acc_ref,) = refs
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+        def draw(t, k):
+            return _uniform((s, b))
+
+    zero = jnp.zeros((s, b), jnp.float32)
+    big = jnp.float32(_BIG)
+    init = (
+        jnp.full((s, b), jnp.float32(np.log(s0)), jnp.float32),  # log_s
+        jnp.full((s, b), jnp.float32(s0), jnp.float32),          # prev_c
+        zero, zero, zero, zero,       # side / entry / stop / target
+        zero,                          # cooldown (bars remaining)
+        zero, zero, zero,              # equity / peak / dd
+        zero, zero, zero,              # trades / wins / losses
+        tuple(zero for _ in range(max_levels)),            # touch counts
+        tuple(jnp.full((s, b), -1e9, jnp.float32)
+              for _ in range(max_levels)),                 # last touch bar
+    )
+
+    def body(t, st):
+        (log_s, prev_c, side, entry, stop, target, cooldown,
+         equity, peak, dd, trades, wins, losses, touch, last_tb) = st
+        t_f = t.astype(jnp.float32)
+
+        # ---- generate this bar (streaming GBM + bridge extremes) ----
+        u1 = draw(t, 0)
+        u2 = draw(t, 1)
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        incr = jnp.float32(drift) + jnp.float32(sig_dt) * z
+        log_open = log_s                      # open == previous close, exact
+        log_close = log_s + incr
+        c = jnp.exp(log_close)
+        u3 = draw(t, 2)
+        u4 = draw(t, 3)
+        sig2dt = jnp.float32(sig_dt) * jnp.float32(sig_dt)
+        d2 = (log_close - log_open) ** 2
+        high = jnp.exp(0.5 * (log_open + log_close
+                              + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
+        low = jnp.exp(0.5 * (log_open + log_close
+                             - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
+        tie = draw(t, 4)
+
+        # ---- 1) position management ----
+        is_open = side != 0.0
+        is_long = side > 0.0
+        nil = jnp.logical_and(is_open, jnp.logical_not(is_long))
+        stop_hit = jnp.logical_or(
+            jnp.logical_and(jnp.logical_and(is_open, is_long), low <= stop),
+            jnp.logical_and(nil, high >= stop),
+        )
+        tgt_hit = jnp.logical_or(
+            jnp.logical_and(jnp.logical_and(is_open, is_long), high >= target),
+            jnp.logical_and(nil, low <= target),
+        )
+        both = jnp.logical_and(stop_hit, tgt_hit)
+        up_span = jnp.maximum(0.0, high - entry)
+        dn_span = jnp.maximum(0.0, entry - low)
+        p_tp = up_span / (up_span + dn_span + 1e-9)
+        target_first = jnp.logical_or(
+            jnp.logical_and(both, tie < p_tp),
+            jnp.logical_and(tgt_hit, jnp.logical_not(stop_hit)),
+        )
+        closed = jnp.logical_or(stop_hit, tgt_hit)
+        closed_f = closed.astype(jnp.float32)
+        risk = jnp.maximum(jnp.abs(entry - stop), 1e-9)
+        reward = jnp.abs(target - entry)
+        r = closed_f * jnp.where(target_first, reward / risk, -1.0)
+        equity = equity + r
+        peak = jnp.maximum(peak, equity)
+        dd = jnp.maximum(dd, peak - equity)
+        wins = wins + jnp.logical_and(closed, target_first).astype(jnp.float32)
+        losses = losses + jnp.logical_and(
+            closed, jnp.logical_not(target_first)).astype(jnp.float32)
+        side = side * (1.0 - closed_f)
+
+        # ---- 2) entry evaluation (flat-at-bar-start paths only) ----
+        was_flat = jnp.logical_not(is_open)
+        cd_ok = cooldown <= 0.0
+        cooldown = jnp.where(closed, cooldown_bars,
+                             jnp.maximum(cooldown - 1.0, 0.0))
+
+        dir_known = c != prev_c
+        go_long = c > prev_c
+        inf = jnp.float32(_BIG)
+        best_d = jnp.full((s, b), inf, jnp.float32)
+        best_p = zero
+        best_k = zero
+        best_i = zero
+        for i in range(max_levels):
+            lp = level_price_ref[i, 0]
+            lv = level_valid_ref[i, 0]
+            lk = level_kind_ref[i, 0]
+            d = jnp.where(lv > 0, jnp.abs(c - lp), inf)
+            take = d < best_d
+            best_p = jnp.where(take, lp, best_p)
+            best_k = jnp.where(take, lk, best_k)
+            best_i = jnp.where(take, jnp.float32(i), best_i)
+            best_d = jnp.where(take, d, best_d)
+        near = best_d <= prox
+        signal = jnp.logical_and(
+            jnp.logical_and(was_flat, cd_ok),
+            jnp.logical_and(dir_known, near),
+        )
+
+        # per-(path, level) fresh-touch latch via f32 one-hots; best_i matches
+        # exactly one slot, so the masked sums are exact gathers
+        tc_old = zero
+        last_t = zero
+        ohs = []
+        for i in range(max_levels):
+            oh = (best_i == jnp.float32(i)).astype(jnp.float32)
+            ohs.append(oh)
+            tc_old = tc_old + touch[i] * oh
+            last_t = last_t + last_tb[i] * oh
+        fresh = jnp.logical_and(signal, (t_f - last_t) >= touch_gap)
+        fresh_f = fresh.astype(jnp.float32)
+        tc_new = tc_old + fresh_f
+        touch = tuple(touch[i] + ohs[i] * fresh_f for i in range(max_levels))
+        last_tb = tuple(
+            jnp.where(jnp.logical_and(fresh, ohs[i] > 0), t_f, last_tb[i])
+            for i in range(max_levels)
+        )
+
+        overtouched = tc_new >= touch_limit
+        # confidence (ops/confidence.compute_confidence order, f32)
+        base = jnp.maximum(0.0, 1.0 - best_d / jnp.maximum(jnp.float32(1e-4), prox))
+        base = base + jnp.where(best_k > 0.5, 0.08, 0.02)
+        base = base + jnp.where(tc_new <= 1.0, 0.10,
+                                jnp.where(tc_new == 2.0, -0.08, -0.16))
+        base = base + 0.03  # direction always known inside a signal
+        conf = jnp.clip(base, 0.0, 1.0)
+        conf_ok = jnp.logical_or(use_conf < 0.5, conf >= qmin)
+        enter = jnp.logical_and(
+            signal, jnp.logical_and(jnp.logical_not(overtouched), conf_ok)
+        )
+        new_side = jnp.where(go_long, 1.0, -1.0)
+        side = jnp.where(enter, new_side, side)
+        entry = jnp.where(enter, c, entry)
+        stop = jnp.where(
+            enter, jnp.where(go_long, best_p - stop_pad, best_p + stop_pad), stop)
+        target = jnp.where(
+            enter, jnp.where(go_long, best_p + tp_pad, best_p - tp_pad), target)
+        trades = trades + enter.astype(jnp.float32)
+
+        return (log_close, c, side, entry, stop, target, cooldown,
+                equity, peak, dd, trades, wins, losses, touch, last_tb)
+
+    (_, _, side, _, _, _, _, equity, _, dd, trades, wins, losses, _, _) = (
+        jax.lax.fori_loop(0, num_bars, body, init)
+    )
+
+    # ---- block reduction into the accumulator ----
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        _init_acc(acc_ref)
+
+    entered = trades > 0.0
+    we = entered.astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    scalars = (
+        jnp.float32(s * b), jnp.sum(we), jnp.sum(wins), jnp.sum(losses),
+        jnp.sum((side != 0.0).astype(jnp.float32)),
+        jnp.sum(equity), jnp.sum(equity * equity),
+        jnp.sum(trades), jnp.sum(dd),
+    )
+    svec = jnp.zeros((1, 128), jnp.float32)
+    for k, v in enumerate(scalars):
+        svec = svec + jnp.where(col == k, v, 0.0)
+    acc_ref[0:1, :] += svec
+
+    bin_idx = jnp.clip(
+        ((equity - jnp.float32(HIST_LO))
+         * jnp.float32(HIST_BINS / (HIST_HI - HIST_LO))).astype(jnp.int32),
+        0, HIST_BINS - 1,
+    )
+    hvec = jnp.zeros((1, 128), jnp.float32)
+    for k in range(HIST_BINS):
+        cnt = jnp.sum(jnp.where(bin_idx == k, we, 0.0))
+        hvec = hvec + jnp.where(col == k, cnt, 0.0)
+    acc_ref[1:2, :] += hvec
+
+    blk_min = jnp.min(jnp.where(entered, equity, jnp.float32(_BIG)))
+    blk_max = jnp.max(jnp.where(entered, equity, jnp.float32(-_BIG)))
+    acc_ref[ROW_MIN:ROW_MIN + 1, :] = jnp.minimum(
+        acc_ref[ROW_MIN:ROW_MIN + 1, :], blk_min)
+    acc_ref[ROW_MAX:ROW_MAX + 1, :] = jnp.maximum(
+        acc_ref[ROW_MAX:ROW_MAX + 1, :], blk_max)
+    acc_ref[ROW_MAXDD:ROW_MAXDD + 1, :] = jnp.maximum(
+        acc_ref[ROW_MAXDD:ROW_MAXDD + 1, :], jnp.max(dd))
+
+
+def _unpack_acc_gated(acc) -> PathStats:
+    """Gated accumulator → PathStats with lifecycle semantics (n_tp/n_stop are
+    trade-level wins/losses; hist/extremes cover per-path TOTAL R)."""
+    tot = acc[..., ROW_SUM, :]
+    entered = tot[..., 1]
+    mn = jnp.where(entered > 0, acc[..., ROW_MIN, 0], jnp.inf)
+    mx = jnp.where(entered > 0, acc[..., ROW_MAX, 0], -jnp.inf)
+    return PathStats(
+        n=tot[..., 0], n_entered=entered, n_tp=tot[..., 2], n_stop=tot[..., 3],
+        n_open=tot[..., 4], sum_r=tot[..., 5], sum_r2=tot[..., 6],
+        min_r=mn, max_r=mx,
+        sum_trades=tot[..., 7], sum_dd=tot[..., 8],
+        max_dd=acc[..., ROW_MAXDD, 0],
+        hist=acc[..., ROW_HIST, :HIST_BINS],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
+                     "interpret"),
+)
+def mc_paths_pallas_gated(
+    seed,
+    levels: Levels,
+    params: EngineParams,
+    gate=None,               # sim.gatedpath.GateConfig (traced values OK)
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    s0: float = 100.0,
+    mu: float = 0.0,
+    sigma: float = 0.15,
+    dt: float = 1.0 / (390.0 * 252.0),
+    interpret=False,
+    external_uniforms=None,   # f32[n_blocks, 5*num_bars, 8, GATED_LANES] (tests)
+) -> PathStats:
+    """Fused-kernel engine-gated MC: the sim/gatedpath.py lifecycle entirely
+    on-chip.  Same PathStats lifecycle contract as ``mc_paths_gated``; the
+    noise stream is the per-core hardware PRNG (statistical agreement with
+    the XLA pipeline; exact parity is tested under injected uniforms)."""
+    from ..sim.gatedpath import GateConfig
+
+    if gate is None:
+        gate = GateConfig.from_params(params)
+    if num_paths % GATED_BLOCK != 0:
+        raise ValueError(f"num_paths must be a multiple of {GATED_BLOCK}")
+    if levels.max_levels > 8:
+        raise ValueError("pallas gated kernel supports up to 8 level slots")
+    n_blocks = num_paths // GATED_BLOCK
+
+    drift = (mu - 0.5 * sigma * sigma) * dt
+    sig_dt = sigma * float(np.sqrt(dt))
+    external_rng = external_uniforms is not None
+    kernel = functools.partial(
+        _gated_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
+        max_levels=levels.max_levels, external_rng=external_rng,
+    )
+    knobs = jnp.stack([
+        jnp.asarray(params.contact_prox, jnp.float32),
+        jnp.asarray(params.stop_padding, jnp.float32),
+        jnp.asarray(params.tp_padding, jnp.float32),
+        jnp.float32(0.0),
+    ]).reshape(1, 4)
+    gvec = jnp.stack([
+        jnp.asarray(gate.q_min_prob, jnp.float32),
+        jnp.asarray(gate.touch_limit, jnp.float32),
+        jnp.asarray(gate.cooldown_bars, jnp.float32),
+        jnp.asarray(gate.touch_gap_bars, jnp.float32),
+        jnp.asarray(gate.use_confidence, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 8)
+    lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
+    lk = jnp.broadcast_to(
+        jnp.asarray(levels.kind, jnp.float32)[:, None], (levels.max_levels, 128))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((1, 5 * num_bars, GATED_SUB, GATED_LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        ] if external_rng else []),
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(*((seed_arr, knobs, gvec, lp, lv, lk)
+         + ((jnp.asarray(external_uniforms, jnp.float32),)
+            if external_rng else ())))
+
+    return _unpack_acc_gated(acc)
+
+
+# --------------------------------------------------------------------------
 # kernel 3: stop/target grid sweep with common random numbers
 # --------------------------------------------------------------------------
 

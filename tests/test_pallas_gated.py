@@ -1,0 +1,115 @@
+"""Fused gated-lifecycle kernel: exact parity vs the XLA gatedpath pipeline
+under injected uniforms (TPU-interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+    GATED_BLOCK,
+    GATED_LANES,
+    GATED_SUB,
+    mc_paths_pallas_gated,
+)
+from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import PathBars
+from qmmx_monolithic_monte_carlo_tpu.sim import gatedpath
+from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import GateConfig
+from qmmx_monolithic_monte_carlo_tpu.sim.pathsim import PathStats
+from qmmx_monolithic_monte_carlo_tpu.types import Levels
+
+LEVELS = Levels.from_rows(
+    [
+        {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+        {"color": "orange", "type": "dashed", "index": 0, "price": 100.4},
+    ],
+    max_levels=8,
+)
+PARAMS = EngineParams.default()
+W = 16
+SIGMA = 0.3
+DT = 1.0 / (390.0 * 252.0)
+
+
+def _bars_from_uniforms(u):
+    """Regenerate the kernel's streaming GBM bars with the same jnp f32 ops
+    (same XLA CPU backend in interpret mode → bitwise-identical bars), and
+    collect the per-bar tie coins.  u: (5W, 8, B) f32."""
+    drift = jnp.float32((0.0 - 0.5 * SIGMA * SIGMA) * DT)
+    sig = jnp.float32(SIGMA * np.sqrt(DT))
+    sig2dt = sig * sig
+    log_s = jnp.full((GATED_SUB, GATED_LANES), jnp.float32(np.log(100.0)))
+    opens, closes, highs, lows, ties = [], [], [], [], []
+    for t in range(W):
+        u1, u2, u3, u4, tie = (jnp.asarray(u[5 * t + k], jnp.float32)
+                               for k in range(5))
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(6.283185307179586 * u2)
+        incr = drift + sig * z
+        log_open = log_s
+        log_close = log_s + incr
+        d2 = (log_close - log_open) ** 2
+        highs.append(jnp.exp(0.5 * (log_open + log_close
+                                    + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3)))))
+        lows.append(jnp.exp(0.5 * (log_open + log_close
+                                   - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4)))))
+        opens.append(jnp.exp(log_open))
+        closes.append(jnp.exp(log_close))
+        ties.append(tie)
+        log_s = log_close
+
+    def flat(rows):  # list of W × (8, B) → (P, W)
+        return jnp.stack(rows, axis=-1).reshape(GATED_BLOCK, W)
+
+    bars = PathBars(open=flat(opens), high=flat(highs),
+                    low=flat(lows), close=flat(closes))
+    return bars, flat(ties)
+
+
+@pytest.mark.parametrize("gate_kw", [
+    dict(touch_limit=100, touch_gap_bars=1, use_confidence=False),  # multi-trade
+    dict(),                                                          # engine defaults
+    dict(touch_limit=2, cooldown_bars=3),                            # tight gates
+])
+def test_gated_kernel_matches_xla_pipeline_exact_uniforms(gate_kw):
+    rng = np.random.default_rng(0)
+    u = rng.uniform(1e-6, 1.0, (1, 5 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
+    gate = GateConfig.default(**gate_kw)
+
+    # plain XLA interpret (not the TPU-semantics simulator: a fori_loop over
+    # a ~30-array carry takes minutes per op there); the external-RNG path
+    # uses no TPU-specific primitives, so XLA interpret is faithful
+    got = mc_paths_pallas_gated(
+        0, LEVELS, PARAMS, gate, num_paths=GATED_BLOCK, num_bars=W,
+        sigma=SIGMA, dt=DT, interpret=True,
+        external_uniforms=u,
+    )
+
+    bars, tie = _bars_from_uniforms(u[0])
+    out = gatedpath.gated_path_replay(bars, LEVELS, PARAMS, gate, tie)
+    want = PathStats.from_lifecycle(
+        equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
+        open_at_end=out.open_at_end, max_dd=out.max_dd,
+    )
+
+    # counts are exact; sums tolerate reduction-order ulps
+    assert float(got.n) == float(want.n) == GATED_BLOCK
+    assert float(got.n_entered) == float(want.n_entered)
+    assert float(got.n_tp) == float(want.n_tp)
+    assert float(got.n_stop) == float(want.n_stop)
+    assert float(got.n_open) == float(want.n_open)
+    assert float(got.sum_trades) == float(want.sum_trades)
+    assert float(got.sum_r) == pytest.approx(float(want.sum_r), abs=2e-2)
+    assert float(got.sum_dd) == pytest.approx(float(want.sum_dd), abs=2e-2)
+    assert float(got.min_r) == pytest.approx(float(want.min_r), abs=1e-5)
+    assert float(got.max_r) == pytest.approx(float(want.max_r), abs=1e-5)
+    assert float(got.max_dd) == pytest.approx(float(want.max_dd), abs=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
+    if gate_kw.get("touch_limit") == 100:
+        assert float(got.sum_trades) > float(got.n_entered)  # multi-trade proof
+
+
+def test_gated_kernel_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        mc_paths_pallas_gated(0, LEVELS, PARAMS, num_paths=GATED_BLOCK + 1,
+                              num_bars=W)
