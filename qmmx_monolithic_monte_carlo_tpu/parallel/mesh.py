@@ -55,8 +55,14 @@ def sharded_mc_paths(
     block_paths: int = 1 << 16,
     antithetic: bool = False,
     axis: str = "paths",
+    gate=None,
 ) -> pathsim.PathStats:
-    """Generated-path MC sharded over the mesh's path axis; psum-merged stats."""
+    """Generated-path MC sharded over the mesh's path axis; psum-merged stats.
+
+    Pass ``gate`` (a sim.gatedpath.GateConfig) to run the engine-gated
+    multi-trade lifecycle per path instead of first-contact replay — the
+    accumulator stays associative either way, so the same psum/pmin/pmax
+    merge applies."""
     n_dev = mesh.shape[axis]
     if num_paths % (n_dev * block_paths) != 0:
         raise ValueError(
@@ -66,6 +72,12 @@ def sharded_mc_paths(
     blocks_per_dev = num_paths // (n_dev * block_paths)
 
     from jax import shard_map
+
+    if gate is not None:
+        from ..sim.gatedpath import _one_block_gated
+        one_block = partial(_one_block_gated, gate=gate)
+    else:
+        one_block = pathsim._one_block
 
     @partial(
         shard_map,
@@ -78,7 +90,7 @@ def sharded_mc_paths(
         b0 = dev_block0[0]  # this device's first global block index
 
         def body(carry, i):
-            stats = pathsim._one_block(
+            stats = one_block(
                 key, (b0 + i).astype(jnp.uint32),
                 levels=levels, params=params, block_paths=block_paths,
                 num_bars=num_bars, s0=s0, mu=mu, sigma=sigma, dt=dt,

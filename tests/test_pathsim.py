@@ -111,6 +111,35 @@ def test_sharded_mc_matches_single_device():
     np.testing.assert_allclose(float(sharded.min_r), float(single.min_r), rtol=1e-6)
 
 
+def test_sharded_gated_mc_matches_single_device():
+    """The gated multi-trade lifecycle shards with the same psum/pmin/pmax
+    merge — identical global block keying → identical merged stats."""
+    from qmmx_monolithic_monte_carlo_tpu.sim import gatedpath
+    from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import GateConfig
+
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1)
+    mesh = PM.make_mesh(8)
+    sharded = PM.sharded_mc_paths(
+        mesh, jax.random.key(4), LEVELS, PARAMS,
+        num_paths=1 << 13, num_bars=40, sigma=0.3, block_paths=1 << 10,
+        gate=gate,
+    )
+    single = gatedpath.mc_paths_gated(
+        jax.random.key(4), LEVELS, PARAMS, gate,
+        num_paths=1 << 13, num_bars=40, sigma=0.3, block_paths=1 << 10,
+    )
+    np.testing.assert_allclose(float(sharded.n), float(single.n))
+    np.testing.assert_allclose(float(sharded.sum_trades), float(single.sum_trades))
+    np.testing.assert_allclose(float(sharded.n_tp), float(single.n_tp))
+    np.testing.assert_allclose(float(sharded.sum_r), float(single.sum_r), rtol=1e-5)
+    np.testing.assert_allclose(float(sharded.sum_dd), float(single.sum_dd), rtol=1e-5)
+    np.testing.assert_allclose(float(sharded.max_dd), float(single.max_dd), rtol=1e-6)
+    np.testing.assert_allclose(float(sharded.min_r), float(single.min_r), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sharded.hist), np.asarray(single.hist), rtol=1e-5
+    )
+
+
 def test_bootstrap_sampler_path():
     rng = np.random.default_rng(0)
     n = 200
