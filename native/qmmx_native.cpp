@@ -133,3 +133,94 @@ void qmmx_resample_returns(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched audit writer (compiled when the runtime sqlite3 library links).
+//
+// The reference commits every audit row individually (qmmx_monolithic.py:157)
+// — one fsync per row.  High-volume flows (sim gate-skip breadcrumbs, WAL
+// imports) write hundreds of rows; this binds them into ONE prepared-statement
+// transaction through the sqlite3 C ABI.  The image ships libsqlite3.so.0 but
+// no dev headers, so the needed ABI subset is declared locally (stable since
+// sqlite 3.0).
+// ---------------------------------------------------------------------------
+#ifdef QMMX_WITH_SQLITE
+
+extern "C" {
+typedef struct sqlite3 sqlite3;
+typedef struct sqlite3_stmt sqlite3_stmt;
+int sqlite3_open(const char*, sqlite3**);
+int sqlite3_close(sqlite3*);
+int sqlite3_exec(sqlite3*, const char*, int (*)(void*, int, char**, char**),
+                 void*, char**);
+int sqlite3_prepare_v2(sqlite3*, const char*, int, sqlite3_stmt**,
+                       const char**);
+int sqlite3_bind_text(sqlite3_stmt*, int, const char*, int, void (*)(void*));
+int sqlite3_step(sqlite3_stmt*);
+int sqlite3_reset(sqlite3_stmt*);
+int sqlite3_finalize(sqlite3_stmt*);
+}
+
+namespace {
+constexpr int kSqliteOk = 0;
+constexpr int kSqliteDone = 101;
+const auto kTransient = reinterpret_cast<void (*)(void*)>(-1);
+}  // namespace
+
+extern "C" {
+
+// Insert n audit rows in one transaction.  Returns rows written, or a
+// negative step code on failure (the transaction rolls back).
+long long qmmx_audit_batch_write(
+    const char* db_path, const char** ts, const char** phase,
+    const char** code, const char** message, const char** extras_json,
+    long long n) {
+  sqlite3* db = nullptr;
+  if (sqlite3_open(db_path, &db) != kSqliteOk) {
+    if (db) sqlite3_close(db);
+    return -1;
+  }
+  sqlite3_exec(db, "PRAGMA journal_mode=WAL;", nullptr, nullptr, nullptr);
+  sqlite3_exec(db, "PRAGMA busy_timeout=5000;", nullptr, nullptr, nullptr);
+  if (sqlite3_exec(db, "BEGIN;", nullptr, nullptr, nullptr) != kSqliteOk) {
+    sqlite3_close(db);
+    return -2;
+  }
+  sqlite3_stmt* st = nullptr;
+  if (sqlite3_prepare_v2(
+          db,
+          "INSERT INTO audit_log(ts, phase, code, message, extras_json) "
+          "VALUES(?,?,?,?,?)",
+          -1, &st, nullptr) != kSqliteOk) {
+    sqlite3_exec(db, "ROLLBACK;", nullptr, nullptr, nullptr);
+    sqlite3_close(db);
+    return -3;
+  }
+  long long written = 0;
+  for (long long i = 0; i < n; ++i) {
+    sqlite3_bind_text(st, 1, ts[i], -1, kTransient);
+    sqlite3_bind_text(st, 2, phase[i], -1, kTransient);
+    sqlite3_bind_text(st, 3, code[i], -1, kTransient);
+    sqlite3_bind_text(st, 4, message[i], -1, kTransient);
+    sqlite3_bind_text(st, 5, extras_json[i], -1, kTransient);
+    if (sqlite3_step(st) != kSqliteDone) {
+      sqlite3_finalize(st);
+      sqlite3_exec(db, "ROLLBACK;", nullptr, nullptr, nullptr);
+      sqlite3_close(db);
+      return -4;
+    }
+    sqlite3_reset(st);
+    ++written;
+  }
+  sqlite3_finalize(st);
+  if (sqlite3_exec(db, "COMMIT;", nullptr, nullptr, nullptr) != kSqliteOk) {
+    sqlite3_close(db);
+    return -5;
+  }
+  sqlite3_close(db);
+  return written;
+}
+
+}  // extern "C"
+
+#endif  // QMMX_WITH_SQLITE

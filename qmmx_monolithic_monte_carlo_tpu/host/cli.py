@@ -157,6 +157,10 @@ def cmd_sim(args):
     print(msg)
     # gate-skip breadcrumbs with the reference's message text (:3595-3597 —
     # format verified against SIM/GATE_SKIP rows recovered from the WAL)
+    # breadcrumbs batch into ONE transaction (the reference commits per row,
+    # :157 — hundreds of fsyncs for a 200-bar sim; io/native.audit_batch cuts
+    # that to one, through the C++ sqlite writer when built)
+    crumbs: list[tuple] = []
     if args.gates:
         from ..io.audit import reason_message
         from ..reasons import Reason, returned_code
@@ -172,8 +176,8 @@ def cmd_sim(args):
             text = reason_message(rsn, conf=float(confs[i]), qmin=qmin,
                                   touch_count=int(touches[i]),
                                   dist=float(dists[i]))
-            _db.audit(conn, "SIM", f"GATE_SKIP:{code}",
-                      f"{text} prox={float(dists[i]):.03f}")
+            crumbs.append((_db.utcnow(), "SIM", f"GATE_SKIP:{code}",
+                           f"{text} prox={float(dists[i]):.03f}", "{}"))
     # per-trade breadcrumbs (:3676-3681; format matches the recorded WAL rows)
     mask = np.asarray(res.candidates.is_cand)
     outs = {0: "OPEN", 1: "TP", 2: "STOP"}
@@ -188,9 +192,13 @@ def cmd_sim(args):
                 f"| R={float(np.asarray(res.r)[i]):+.2f} | ${pnl:+.2f} "
                 f"| prox={float(np.asarray(res.candidates.gate_dist)[i]):.03f} "
                 f"touch#{int(np.asarray(res.candidates.touch_no)[i])}")
-        _db.audit(conn, "SIM", "TRADE", line)
+        crumbs.append((_db.utcnow(), "SIM", "TRADE", line, "{}"))
         if args.verbose:
             print(line)
+    if crumbs:
+        from ..io import native
+
+        native.audit_batch(args.db, crumbs)
     return 0
 
 

@@ -28,15 +28,18 @@ _I32 = ctypes.POINTER(ctypes.c_int32)
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-             "-o", _SO_PATH, _SRC_PATH],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+    flags = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17"]
+    out = ["-o", _SO_PATH, _SRC_PATH]
+    # prefer the sqlite-enabled build (batched audit writer); the image ships
+    # libsqlite3.so.0 without dev headers, so link it by exact soname
+    for cmd in (flags + ["-DQMMX_WITH_SQLITE"] + out + ["-l:libsqlite3.so.0"],
+                flags + out):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def load() -> ctypes.CDLL | None:
@@ -72,6 +75,13 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_longlong, ctypes.c_longlong, ctypes.c_double,
             _F64, _F64, _F64, _F64,
         ]
+        if hasattr(lib, "qmmx_audit_batch_write"):
+            _CPP = ctypes.POINTER(ctypes.c_char_p)
+            lib.qmmx_audit_batch_write.restype = ctypes.c_longlong
+            lib.qmmx_audit_batch_write.argtypes = [
+                ctypes.c_char_p, _CPP, _CPP, _CPP, _CPP, _CPP,
+                ctypes.c_longlong,
+            ]
         _lib = lib
         return _lib
 
@@ -189,6 +199,40 @@ def _parse_bars_csv_py(path: str):
         "c": np.asarray(cols["c"], np.float64),
         "v": np.asarray(cols["v"], np.float64),
     }
+
+
+def audit_batch(db_path: str, rows) -> int:
+    """Write audit rows (ts, phase, code, message, extras_json) in ONE
+    transaction — the reference commits per row (qmmx_monolithic.py:157),
+    which costs one fsync each; batch flows (sim breadcrumbs, WAL imports)
+    go through here instead.  Native sqlite3 C-ABI writer when built with
+    sqlite support; a single-transaction ``executemany`` otherwise."""
+    rows = [tuple(str(x) for x in r) for r in rows]
+    n = len(rows)
+    if n == 0:
+        return 0
+    lib = load()
+    if lib is not None and hasattr(lib, "qmmx_audit_batch_write"):
+        cols = [
+            (ctypes.c_char_p * n)(*[r[k].encode() for r in rows])
+            for k in range(5)
+        ]
+        rc = lib.qmmx_audit_batch_write(db_path.encode(), *cols, n)
+        if rc >= 0:
+            return int(rc)
+    import sqlite3
+
+    conn = sqlite3.connect(db_path)
+    try:
+        with conn:
+            conn.executemany(
+                "INSERT INTO audit_log(ts, phase, code, message, extras_json)"
+                " VALUES(?,?,?,?,?)",
+                rows,
+            )
+    finally:
+        conn.close()
+    return n
 
 
 def resample_returns(logc, logh, logl, logo, idx, log_s0: float):

@@ -96,3 +96,29 @@ def test_resample_returns_matches_numpy():
     )
     np.testing.assert_allclose(got[0], prev + r, rtol=1e-12)
     np.testing.assert_allclose(got[1], prev + logh[idx], rtol=1e-12)
+
+
+def test_audit_batch_writer(tmp_path):
+    """Batched audit rows land identically to per-row db.audit, in ONE
+    transaction (native sqlite writer when built, executemany otherwise)."""
+    from qmmx_monolithic_monte_carlo_tpu.io import db as _db
+
+    db = str(tmp_path / "a.db")
+    conn = _db.db_connect(db)
+    _db.db_init(conn)
+    rows = [(_db.utcnow(), "SIM", "GATE_SKIP:CONF_LOW",
+             f"Confidence 0.{i % 10} < min 0.60. prox=0.080", "{}")
+            for i in range(500)]
+    assert native.audit_batch(db, rows) == 500
+    got = conn.execute(
+        "SELECT ts, phase, code, message, extras_json FROM audit_log "
+        "ORDER BY id").fetchall()
+    assert [tuple(r) for r in got] == rows
+
+
+def test_audit_batch_native_symbol_present_when_sqlite_links():
+    lib = native.load()
+    if lib is None:
+        pytest.skip("no compiler available")
+    # this image ships libsqlite3.so.0, so the sqlite-enabled build must win
+    assert hasattr(lib, "qmmx_audit_batch_write")
