@@ -43,6 +43,10 @@ SETTINGS_DEFAULTS: dict[str, str] = {
     "retrain_time": "02:00",              # :3741
     "auto_retrain": "1",                  # :3740
     "last_trained_policy_event_id": "0",  # :3758
+    # rebuild-only keys (no reference analog): opt-in exit-head gating — the
+    # reference trains score_exit but never consults it live (:366 uncalled)
+    "USE_EXIT_HEAD": "0",
+    "EXIT_HEAD_MIN": "0.60",
 }
 
 

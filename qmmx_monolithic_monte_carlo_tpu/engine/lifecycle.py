@@ -56,6 +56,7 @@ class TickEvent:
     new_target: jnp.ndarray    # f32
     policy_pass: jnp.ndarray   # bool
     policy_scores: jnp.ndarray  # f32[3]
+    exit_scores: jnp.ndarray   # f32[2] exit head [exit_now, hold]
     minute_closed: jnp.ndarray  # bool
 
 
@@ -154,11 +155,19 @@ def tick_step(
     guard_params: G.GuardParams | None = None,
     minutes_since_open=0,
     policy_gate_disabled=False,
+    use_exit_head=False,
+    exit_head_threshold=0.60,
     compat: CompatFlags = CompatFlags(),
 ) -> tuple[EngineCarry, TickEvent]:
     """One engine-loop iteration (§3.2).  ``tick.now_ms`` doubles as the bar
     timestamp for ingest (live host passes the trade-print ts separately if it
-    differs — the reference uses t_ms for bars and wall-clock for gates)."""
+    differs — the reference uses t_ms for bars and wall-clock for gates).
+
+    ``use_exit_head`` (opt-in, off by default): the reference trains a
+    two-head exit policy it never consults in the live loop (``score_exit``
+    has no caller, qmmx_monolithic.py:366); behind this flag a strong
+    exit_now signal (P >= ``exit_head_threshold``) vetoes target escalation
+    so the trade banks the target instead of rolling it."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
@@ -221,6 +230,24 @@ def tick_step(
     do_escalate = jnp.logical_and(
         target_hit,
         jnp.logical_and(near_target, esc.escalate),
+    )
+    # exit-head gating (opt-in): a confident exit_now score vetoes the
+    # escalation — the trade closes at target instead of rolling it
+    x_exit = F.policy_features(
+        proximity_abs=jnp.abs(tick.price - pos.target),
+        volume_trend=0.0,
+        approach=jnp.where(is_long, 1, 0),
+        confluence=F.confluence_count(levels, pos.target, 0.6) > 1,
+        minutes_since_open=minutes_since_open,
+    )
+    exit_scores = OP.score_exit(policy, x_exit)
+    head_says_exit = exit_scores[OP.A_EXIT_NOW] >= jnp.asarray(
+        exit_head_threshold, jnp.float32)
+    do_escalate = jnp.logical_and(
+        do_escalate,
+        jnp.logical_not(
+            jnp.logical_and(jnp.asarray(use_exit_head), head_says_exit)
+        ),
     )
     if compat.escalation_broken:
         do_escalate = jnp.asarray(False)
@@ -307,6 +334,7 @@ def tick_step(
         new_target=esc.next_target,
         policy_pass=policy_pass,
         policy_scores=scores,
+        exit_scores=exit_scores,
         minute_closed=minute_closed,
     )
     return carry, event
@@ -324,6 +352,8 @@ def run_ticks(
     ml_model: MlModel | None = None,
     minutes_since_open: jnp.ndarray | None = None,
     policy_gate_disabled=False,
+    use_exit_head=False,
+    exit_head_threshold=0.60,
     compat: CompatFlags = CompatFlags(),
 ) -> tuple[EngineCarry, TickEvent]:
     """Scan ``tick_step`` over a tick tape (deterministic live replay)."""
@@ -351,7 +381,10 @@ def run_ticks(
             c, levels, params, tick,
             volume=vol, policy=policy, ml_model=ml_model,
             minutes_since_open=mins,
-            policy_gate_disabled=policy_gate_disabled, compat=compat,
+            policy_gate_disabled=policy_gate_disabled,
+            use_exit_head=use_exit_head,
+            exit_head_threshold=exit_head_threshold,
+            compat=compat,
         )
 
     return jax.lax.scan(

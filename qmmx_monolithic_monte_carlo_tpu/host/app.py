@@ -88,6 +88,14 @@ class EngineHost:
         self.policy_gate_disabled = (
             _db.settings_get(self.conn, "DISABLE_POLICY_GATE", "0") == "1"
         )
+        # opt-in exit-head gating (the reference never consults score_exit
+        # live; see engine/lifecycle.tick_step docstring)
+        self.use_exit_head = (
+            _db.settings_get(self.conn, "USE_EXIT_HEAD", "0") == "1"
+        )
+        self.exit_head_threshold = float(
+            _db.settings_get(self.conn, "EXIT_HEAD_MIN", "0.60") or 0.60
+        )
         self.reload_levels()
         self.carry = EngineCarry.init(self.max_levels)
         self.epoch_ms: int | None = None
@@ -105,9 +113,9 @@ class EngineHost:
         self.levels = Levels.from_rows(self.level_rows, max_levels=self.max_levels)
 
     def _build_step(self):
-        @partial(jax.jit, static_argnames=("pgd",))
+        @partial(jax.jit, static_argnames=("pgd", "ueh"))
         def step(carry, levels, params, policy, ml_model, price, prev_price,
-                 prev_valid, now_rel_ms, mins, pgd):
+                 prev_valid, now_rel_ms, mins, pgd, ueh):
             tick = TickInput(
                 price=price, price_valid=jax.numpy.asarray(True),
                 prev_price=prev_price, prev_price_valid=prev_valid,
@@ -116,7 +124,10 @@ class EngineHost:
             return LC.tick_step(
                 carry, levels, params, tick,
                 policy=policy, ml_model=ml_model, minutes_since_open=mins,
-                policy_gate_disabled=pgd, compat=self.compat,
+                policy_gate_disabled=pgd,
+                use_exit_head=ueh,
+                exit_head_threshold=self.exit_head_threshold,
+                compat=self.compat,
             )
 
         return step
@@ -138,6 +149,7 @@ class EngineHost:
             np.float32(price), np.float32(prev_price), prev_valid,
             np.int32(rel), np.int32(mins),
             pgd=self.policy_gate_disabled,
+            ueh=self.use_exit_head,
         )
         return self._persist_event(event, price, rel, mins=mins)
 

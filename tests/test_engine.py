@@ -161,3 +161,71 @@ def test_host_audit_entry_rows_use_returned_codes(tmp_path):
     assert "CONF_LOW" in codes
     assert "TOO_FAR" not in codes          # excluded like the reference loop
     assert "IN_POSITION" not in codes
+
+
+def test_exit_head_vetoes_escalation_when_enabled():
+    """Opt-in exit-head gating: with a policy whose exit head strongly says
+    exit_now, an escalation-eligible target hit closes at target instead of
+    rolling the target/stop; with the flag off (default), behavior is
+    unchanged."""
+    import jax.numpy as jnp
+
+    from qmmx_monolithic_monte_carlo_tpu.engine.state import Position
+    from qmmx_monolithic_monte_carlo_tpu.models import online_policy as OP
+
+    levels = Levels.from_rows([
+        {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+        {"color": "blue", "type": "dashed", "index": 1, "price": 100.5},
+        {"color": "teal", "type": "solid", "index": 0, "price": 99.0},
+    ], max_levels=8)
+    params = EngineParams.default(q_min_prob=1.01)  # conf<=1 → no fresh entries
+
+    # phase A: build rising-volume history toward 100.0 from below (the
+    # escalation recipe: continuation favored at target) with no position
+    ts = np.arange(10, dtype=np.int64) * 60_000 + 1_000
+    prices = np.array([99.0, 99.1, 99.2, 99.3, 99.4, 99.5, 99.6, 99.7, 99.8,
+                       99.85], np.float32)
+    vols = np.linspace(2, 10, 10).astype(np.float32)
+
+    def run_phase_a(policy, use_exit_head):
+        carry = EngineCarry.init(levels.max_levels)
+        carry, _ = LC.run_ticks(
+            carry, levels, params, ts.astype(np.int32), prices, vols,
+            policy=policy, policy_gate_disabled=True,
+            use_exit_head=use_exit_head,
+        )
+        # phase B: inject an open long whose target is the 100.0 level and
+        # tick AT the target — escalation-eligible (near target, continuation)
+        carry = carry.replace(position=Position(
+            side=jnp.int32(1), entry=jnp.float32(99.8),
+            stop=jnp.float32(99.45), target=jnp.float32(100.0),
+            open_ts_ms=jnp.int32(int(ts[-1])),
+        ))
+        tick_ts = np.int32(int(ts[-1]) + 60_000)
+        carry2, ev = LC.run_ticks(
+            carry, levels, params, np.asarray([tick_ts]),
+            np.asarray([100.0], np.float32), np.asarray([10.0], np.float32),
+            policy=policy, policy_gate_disabled=True,
+            use_exit_head=use_exit_head,
+        )
+        return ev
+
+    # exit head rigged to scream exit_now (big positive bias weight)
+    loud_exit = OP.PolicyParams.init().replace(
+        w_exit=jnp.zeros((2, 7), jnp.float32).at[OP.A_EXIT_NOW, 0].set(10.0)
+    )
+
+    ev_off = run_phase_a(loud_exit, use_exit_head=False)
+    assert bool(np.asarray(ev_off.escalated)[0]), (
+        "fixture must be escalation-eligible with the flag off")
+    assert not bool(np.asarray(ev_off.closed)[0])
+
+    ev_on = run_phase_a(loud_exit, use_exit_head=True)
+    assert not bool(np.asarray(ev_on.escalated)[0])
+    assert bool(np.asarray(ev_on.closed)[0])
+    assert int(np.asarray(ev_on.close_reason)[0]) == LC.CLOSE_TARGET
+    assert float(np.asarray(ev_on.exit_scores)[0, OP.A_EXIT_NOW]) > 0.99
+
+    # a quiet exit head changes nothing even with the flag on
+    ev_quiet = run_phase_a(OP.PolicyParams.init(), use_exit_head=True)
+    assert bool(np.asarray(ev_quiet.escalated)[0])
