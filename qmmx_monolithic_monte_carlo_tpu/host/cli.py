@@ -355,19 +355,27 @@ def cmd_sweep(args):
     conn = _connect(args)
     rows, levels, params = _levels_and_params(conn, args)
     grid = PS.grid_params(params, stop_paddings=args.stops, tp_paddings=args.tps)
-    stats = PS.sweep_paths(
+    block = min(args.num_paths, 1 << 14)
+    fn = PS.sweep_paths_gated if getattr(args, "gated", False) else PS.sweep_paths
+    stats = fn(
         jax.random.key(args.seed), levels, grid,
         num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-        sigma=args.sigma,
+        sigma=args.sigma, block_paths=block,
     )
     g = 0
     for sp in args.stops:
         for tp in args.tps:
-            print(json.dumps({
+            row = {
                 "stop_padding": sp, "tp_padding": tp,
                 "hit_rate": float(stats.hit_rate[g]),
                 "mean_r": float(stats.mean_r[g]),
-            }))
+            }
+            if getattr(args, "gated", False):
+                row.update({
+                    "mean_trades": float(stats.mean_trades[g]),
+                    "mean_dd": float(stats.mean_dd[g]),
+                })
+            print(json.dumps(row))
             g += 1
     return 0
 
@@ -612,6 +620,9 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--stops", type=float, nargs="+", default=[0.25, 0.35, 0.45])
     sw.add_argument("--tps", type=float, nargs="+", default=[0.15, 0.25, 0.35])
     sw.add_argument("--qmin", type=float, default=None)
+    sw.add_argument("--gated", action="store_true",
+                    help="sweep the engine-gated multi-trade lifecycle "
+                         "(CRN: every config replays the same paths)")
     sw.set_defaults(fn=cmd_sweep)
 
     rt = sub.add_parser("retrain")

@@ -53,6 +53,10 @@ def sweep_paths(
     block_paths: int = 1 << 14,
 ) -> pathsim.PathStats:
     """All grid points on one device: [G] PathStats, common random paths."""
+    if num_paths % block_paths != 0 or num_paths < block_paths:
+        raise ValueError(
+            f"num_paths ({num_paths}) must be a positive multiple of "
+            f"block_paths ({block_paths})")
     n_blocks = num_paths // block_paths
 
     def body(carry, b):
@@ -66,6 +70,62 @@ def sweep_paths(
         def per_cfg(p):
             r, outcome, entered = pathsim.path_replay(paths, levels, p, tie)
             return pathsim.PathStats.from_outcomes(r, outcome, entered)
+
+        stats = jax.vmap(per_cfg)(grid)
+        return carry.merge(stats), None
+
+    zero = jax.vmap(lambda _: pathsim.PathStats.zero())(
+        jnp.arange(jax.tree_util.tree_leaves(grid)[0].shape[0])
+    )
+    out, _ = jax.lax.scan(body, zero, jnp.arange(n_blocks, dtype=jnp.uint32))
+    return out
+
+
+@partial(jax.jit, static_argnames=("num_paths", "num_bars", "block_paths"))
+def sweep_paths_gated(
+    key,
+    levels: Levels,
+    grid: EngineParams,          # [G]-batched params (stop/tp vary)
+    gate=None,                   # one GateConfig shared across the grid
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    s0=100.0,
+    mu: float = 0.0,
+    sigma: float = 0.15,
+    dt: float = 1.0 / (390.0 * 252.0),
+    block_paths: int = 1 << 14,
+) -> pathsim.PathStats:
+    """Grid sweep of the engine-gated multi-trade lifecycle: each block's
+    paths and per-bar tie coins are generated ONCE and every (stop, tp)
+    configuration replays the full lifecycle against them (common random
+    numbers), so grid points differ only by their parameters."""
+    from ..sim import gatedpath
+
+    if gate is None:
+        gate = gatedpath.GateConfig.default()
+    if num_paths % block_paths != 0 or num_paths < block_paths:
+        raise ValueError(
+            f"num_paths ({num_paths}) must be a positive multiple of "
+            f"block_paths ({block_paths})")
+    n_blocks = num_paths // block_paths
+
+    def body(carry, b):
+        bkey = prng.key_for(key, prng.STREAM_PATH, b)
+        paths = PG.gbm_paths(bkey, num_paths=block_paths, num_bars=num_bars,
+                             s0=s0, mu=mu, sigma=sigma, dt=dt)
+        tie = jax.random.uniform(
+            prng.key_for(bkey, prng.STREAM_TIE_COIN),
+            (block_paths, num_bars), jnp.float32,
+        )
+
+        def per_cfg(p):
+            out = gatedpath.gated_path_replay(paths, levels, p, gate, tie)
+            return pathsim.PathStats.from_lifecycle(
+                equity=out.equity, trades=out.trades, wins=out.wins,
+                losses=out.losses, open_at_end=out.open_at_end,
+                max_dd=out.max_dd,
+            )
 
         stats = jax.vmap(per_cfg)(grid)
         return carry.merge(stats), None

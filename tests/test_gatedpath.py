@@ -177,3 +177,25 @@ def test_from_lifecycle_semantics():
     assert float(stats.max_dd) == 2.0
     assert float(stats.mean_trades) == pytest.approx(2.5)
     assert float(stats.mean_dd) == pytest.approx(1.25)
+
+
+def test_sweep_paths_gated_crn_and_monotonicity():
+    """Gated grid sweep: identical configs produce identical stats (CRN), and
+    a wider stop (same tp) can only raise trade-level hit rate on shared
+    paths."""
+    from qmmx_monolithic_monte_carlo_tpu.parallel import sweep as PS
+
+    grid = PS.grid_params(PARAMS, stop_paddings=[0.35, 0.35, 0.5],
+                          tp_paddings=[0.25])
+    stats = PS.sweep_paths_gated(
+        jax.random.key(0), LEVELS, grid,
+        GateConfig.default(touch_limit=100, touch_gap_bars=1),
+        num_paths=1 << 13, num_bars=40, sigma=0.3, block_paths=1 << 12,
+    )
+    # configs 0 and 1 are identical → bitwise-equal stats (CRN proof)
+    for f in ("n", "n_entered", "n_tp", "n_stop", "sum_r", "sum_trades",
+              "sum_dd", "max_dd"):
+        a, b = np.asarray(getattr(stats, f)), None
+        assert float(a[0]) == float(a[1]), f
+    # wider stop, same target: stops get harder to hit on the SAME paths
+    assert float(stats.hit_rate[2]) >= float(stats.hit_rate[0])
