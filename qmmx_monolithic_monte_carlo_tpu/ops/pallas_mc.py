@@ -583,15 +583,6 @@ def _gated_kernel(
     over i1 operands — while f32 selects use jnp.where freely.
     """
     s, b = GATED_SUB, GATED_LANES
-    prox = knobs_ref[0, 0]
-    stop_pad = knobs_ref[0, 1]
-    tp_pad = knobs_ref[0, 2]
-    qmin = gate_ref[0, 0]
-    touch_limit = gate_ref[0, 1]
-    cooldown_bars = gate_ref[0, 2]
-    touch_gap = gate_ref[0, 3]
-    use_conf = gate_ref[0, 4]
-
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -605,11 +596,44 @@ def _gated_kernel(
         def draw(t, k):
             return _uniform((s, b))
 
+    final = _gated_lifecycle_loop(
+        draw, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0],
+                         level_kind_ref[i, 0]),
+        num_bars=num_bars, drift=jnp.float32(drift),
+        sig_dt=jnp.float32(sig_dt), log_s0=jnp.float32(np.log(s0)),
+        s0_init=jnp.float32(s0), knobs_ref=knobs_ref, gate_ref=gate_ref,
+        max_levels=max_levels,
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        _init_acc(acc_ref)
+
+    _gated_accumulate(acc_ref, (), final, n_paths=s * b)
+
+
+def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
+                          s0_init, knobs_ref, gate_ref, max_levels):
+    """The streaming generate+trade loop shared by the gated kernels.
+
+    ``draw(t, k)`` yields the k-th uniform block of bar t; ``get_level(i)``
+    yields (price, valid, kind) scalars for level slot i; drift/sig_dt/
+    log_s0/s0_init may be static floats or traced per-symbol scalars.
+    Returns the final (side, equity, dd, trades, wins, losses) tiles."""
+    s, b = GATED_SUB, GATED_LANES
+    prox = knobs_ref[0, 0]
+    stop_pad = knobs_ref[0, 1]
+    tp_pad = knobs_ref[0, 2]
+    qmin = gate_ref[0, 0]
+    touch_limit = gate_ref[0, 1]
+    cooldown_bars = gate_ref[0, 2]
+    touch_gap = gate_ref[0, 3]
+    use_conf = gate_ref[0, 4]
+
     zero = jnp.zeros((s, b), jnp.float32)
-    big = jnp.float32(_BIG)
     init = (
-        jnp.full((s, b), jnp.float32(np.log(s0)), jnp.float32),  # log_s
-        jnp.full((s, b), jnp.float32(s0), jnp.float32),          # prev_c
+        zero + log_s0,                 # log_s
+        zero + s0_init,                # prev_c
         zero, zero, zero, zero,       # side / entry / stop / target
         zero,                          # cooldown (bars remaining)
         zero, zero, zero,              # equity / peak / dd
@@ -628,13 +652,13 @@ def _gated_kernel(
         u1 = draw(t, 0)
         u2 = draw(t, 1)
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-        incr = jnp.float32(drift) + jnp.float32(sig_dt) * z
+        incr = drift + sig_dt * z
         log_open = log_s                      # open == previous close, exact
         log_close = log_s + incr
         c = jnp.exp(log_close)
         u3 = draw(t, 2)
         u4 = draw(t, 3)
-        sig2dt = jnp.float32(sig_dt) * jnp.float32(sig_dt)
+        sig2dt = sig_dt * sig_dt
         d2 = (log_close - log_open) ** 2
         high = jnp.exp(0.5 * (log_open + log_close
                               + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
@@ -689,9 +713,7 @@ def _gated_kernel(
         best_k = zero
         best_i = zero
         for i in range(max_levels):
-            lp = level_price_ref[i, 0]
-            lv = level_valid_ref[i, 0]
-            lk = level_kind_ref[i, 0]
+            lp, lv, lk = get_level(i)
             d = jnp.where(lv > 0, jnp.abs(c - lp), inf)
             take = d < best_d
             best_p = jnp.where(take, lp, best_p)
@@ -750,17 +772,22 @@ def _gated_kernel(
     (_, _, side, _, _, _, _, equity, _, dd, trades, wins, losses, _, _) = (
         jax.lax.fori_loop(0, num_bars, body, init)
     )
+    return side, equity, dd, trades, wins, losses
 
-    # ---- block reduction into the accumulator ----
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        _init_acc(acc_ref)
+
+def _gated_accumulate(acc_ref, pre: tuple, final, *, n_paths: int) -> None:
+    """Fold one gated block's final state into accumulator rows at prefix
+    ``pre`` (``()`` single-config, ``(0,)`` per-symbol block)."""
+    side, equity, dd, trades, wins, losses = final
+
+    def row(k):
+        return pre + (slice(k, k + 1), slice(None))
 
     entered = trades > 0.0
     we = entered.astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     scalars = (
-        jnp.float32(s * b), jnp.sum(we), jnp.sum(wins), jnp.sum(losses),
+        jnp.float32(n_paths), jnp.sum(we), jnp.sum(wins), jnp.sum(losses),
         jnp.sum((side != 0.0).astype(jnp.float32)),
         jnp.sum(equity), jnp.sum(equity * equity),
         jnp.sum(trades), jnp.sum(dd),
@@ -768,7 +795,7 @@ def _gated_kernel(
     svec = jnp.zeros((1, 128), jnp.float32)
     for k, v in enumerate(scalars):
         svec = svec + jnp.where(col == k, v, 0.0)
-    acc_ref[0:1, :] += svec
+    acc_ref[row(ROW_SUM)] += svec
 
     bin_idx = jnp.clip(
         ((equity - jnp.float32(HIST_LO))
@@ -779,16 +806,141 @@ def _gated_kernel(
     for k in range(HIST_BINS):
         cnt = jnp.sum(jnp.where(bin_idx == k, we, 0.0))
         hvec = hvec + jnp.where(col == k, cnt, 0.0)
-    acc_ref[1:2, :] += hvec
+    acc_ref[row(ROW_HIST)] += hvec
 
     blk_min = jnp.min(jnp.where(entered, equity, jnp.float32(_BIG)))
     blk_max = jnp.max(jnp.where(entered, equity, jnp.float32(-_BIG)))
-    acc_ref[ROW_MIN:ROW_MIN + 1, :] = jnp.minimum(
-        acc_ref[ROW_MIN:ROW_MIN + 1, :], blk_min)
-    acc_ref[ROW_MAX:ROW_MAX + 1, :] = jnp.maximum(
-        acc_ref[ROW_MAX:ROW_MAX + 1, :], blk_max)
-    acc_ref[ROW_MAXDD:ROW_MAXDD + 1, :] = jnp.maximum(
-        acc_ref[ROW_MAXDD:ROW_MAXDD + 1, :], jnp.max(dd))
+    acc_ref[row(ROW_MIN)] = jnp.minimum(acc_ref[row(ROW_MIN)], blk_min)
+    acc_ref[row(ROW_MAX)] = jnp.maximum(acc_ref[row(ROW_MAX)], blk_max)
+    acc_ref[row(ROW_MAXDD)] = jnp.maximum(acc_ref[row(ROW_MAXDD)], jnp.max(dd))
+
+
+def _gated_universe_kernel(
+    seed_ref,          # SMEM (1,1) i32
+    knobs_ref,         # SMEM (1,4) f32: [prox, stop_pad, tp_pad, _]
+    gate_ref,          # SMEM (1,8) f32 gate knobs
+    sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row: [s0, sigma, ...]
+    level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
+    level_valid_ref,   # VMEM (1, L, 128) f32
+    level_kind_ref,    # VMEM (1, L, 128) f32
+    acc_ref,           # VMEM (1, 8, 128) — THIS symbol's accumulator
+    *,
+    num_bars: int,
+    dt: float,
+    max_levels: int,
+):
+    """Per-(symbol, block) gated lifecycle: the shared streaming loop with the
+    symbol's s0/sigma read from VMEM and a per-symbol accumulator block."""
+    s, b = GATED_SUB, GATED_LANES
+    s0 = sym_ref[0, 0, 0]
+    sigma = sym_ref[0, 0, 1]
+    sig_dt = sigma * jnp.float32(dt) ** 0.5
+    drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
+
+    pltpu.prng_seed(
+        seed_ref[0, 0]
+        + pl.program_id(0) * (pl.num_programs(1) + 1)
+        + pl.program_id(1)
+    )
+
+    def draw(t, k):
+        return _uniform((s, b))
+
+    final = _gated_lifecycle_loop(
+        draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
+                         level_kind_ref[0, i, 0]),
+        num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0),
+        s0_init=s0, knobs_ref=knobs_ref, gate_ref=gate_ref,
+        max_levels=max_levels,
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        _init_acc(acc_ref)
+
+    _gated_accumulate(acc_ref, (0,), final, n_paths=s * b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("paths_per_symbol", "num_bars", "dt", "interpret"),
+)
+def mc_paths_pallas_gated_universe(
+    seed,
+    levels: Levels,        # batched [S, L<=8]
+    params: EngineParams,
+    s0,                    # f32[S]
+    sigma,                 # f32[S]
+    gate=None,
+    *,
+    paths_per_symbol: int,
+    num_bars: int = 40,
+    dt: float = 1.0 / (390.0 * 252.0),
+    interpret=False,
+) -> PathStats:
+    """Per-symbol fused gated-lifecycle MC over a (symbol, block) grid;
+    returns [S]-batched PathStats with lifecycle semantics."""
+    from ..sim.gatedpath import GateConfig
+
+    if gate is None:
+        gate = GateConfig.from_params(params)
+    if paths_per_symbol % GATED_BLOCK != 0:
+        raise ValueError(f"paths_per_symbol must be a multiple of {GATED_BLOCK}")
+    lv_price = jnp.asarray(levels.price)
+    n_sym, n_lv = lv_price.shape
+    if n_lv > 8:
+        raise ValueError("pallas gated universe kernel supports up to 8 level slots")
+    n_blocks = paths_per_symbol // GATED_BLOCK
+
+    kernel = functools.partial(
+        _gated_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
+    )
+    knobs = jnp.stack([
+        jnp.asarray(params.contact_prox, jnp.float32),
+        jnp.asarray(params.stop_padding, jnp.float32),
+        jnp.asarray(params.tp_padding, jnp.float32),
+        jnp.float32(0.0),
+    ]).reshape(1, 4)
+    gvec = jnp.stack([
+        jnp.asarray(gate.q_min_prob, jnp.float32),
+        jnp.asarray(gate.touch_limit, jnp.float32),
+        jnp.asarray(gate.cooldown_bars, jnp.float32),
+        jnp.asarray(gate.touch_gap_bars, jnp.float32),
+        jnp.asarray(gate.use_confidence, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 8)
+    lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
+    lk = jnp.broadcast_to(
+        jnp.asarray(levels.kind, jnp.float32)[..., None], (n_sym, n_lv, 128))
+    sym = jnp.stack(
+        [jnp.asarray(s0, jnp.float32), jnp.asarray(sigma, jnp.float32)], axis=1
+    )
+    sym = jnp.pad(sym, ((0, 0), (0, 126)))[:, None, :]  # [S, 1, 128]
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_sym, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda sy, bl: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda sy, bl: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda sy, bl: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 128), lambda sy, bl: (sy, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda sy, bl: (sy, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda sy, bl: (sy, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda sy, bl: (sy, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda sy, bl: (sy, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_sym, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(seed_arr, knobs, gvec, sym, lp, lvv, lk)
+
+    return _unpack_acc_gated(acc)
 
 
 def _unpack_acc_gated(acc) -> PathStats:

@@ -113,3 +113,25 @@ def test_gated_kernel_rejects_bad_shapes():
     with pytest.raises(ValueError):
         mc_paths_pallas_gated(0, LEVELS, PARAMS, num_paths=GATED_BLOCK + 1,
                               num_bars=W)
+
+
+# NOTE: the gated universe kernel has no injected-uniform mode (hardware PRNG
+# only), plain interpret=True cannot lower prng_seed on CPU, and the
+# TPU-semantics interpreter takes minutes per fori_loop op at these shapes —
+# so, like the first-contact universe kernel, its real-value agreement with
+# the XLA gated pipeline is validated on the physical chip (per-symbol stats
+# vs mc_paths_gated; see benchmarks/RESULTS.md).  The shared lifecycle loop
+# itself is exactness-tested above through the single-config kernel.
+def test_gated_universe_kernel_rejects_bad_shapes():
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_gated_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    rows = [[{"color": "blue", "type": "solid", "index": 0, "price": 100.0}]]
+    levels = U.stack_levels(rows, max_levels=8)
+    with pytest.raises(ValueError):
+        mc_paths_pallas_gated_universe(
+            0, levels, PARAMS, np.array([100.0]), np.array([0.2]),
+            paths_per_symbol=GATED_BLOCK + 1, num_bars=8,
+        )
