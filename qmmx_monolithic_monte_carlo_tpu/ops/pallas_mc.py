@@ -47,11 +47,15 @@ from ..config import EngineParams
 from ..sim.pathsim import HIST_BINS, HIST_HI, HIST_LO, PathStats
 from ..types import Levels
 
-LANES = 2048         # paths per block (lane axis, multiple of 128).  Swept on
-                     # v5e: 512→216M, 1024→241M, 2048→246M, 8192→258M paths/s.
-                     # 2048 takes most of the gain with ~3 MB of VMEM headroom;
-                     # 8192's extra ~5% costs 4× the VMEM residency, which the
-                     # sweep/universe variants need for their G/S accumulators.
+LANES = 2048         # paths per block (lane axis, multiple of 128) for the
+                     # universe/sweep kernels, whose G/S-batched accumulators
+                     # need the VMEM headroom.  The single-config kernel takes
+                     # a per-call ``lanes`` width instead (default
+                     # SINGLE_LANES): re-swept round 2 on v5e after the
+                     # pipeline dedupe — 2048→264M, 4096→277M, 8192→283M
+                     # paths/s — 8192 wins ~7% and fits comfortably
+                     # (~10 MB of (W, 8192) f32 live arrays).
+SINGLE_LANES = 8192
 
 # accumulator row layout (rows of the (…, 8, 128) output block)
 ROW_SUM = 0          # lanes [n, entered, tp, stop, open, sum_r, sum_r2] — '+' combine
@@ -325,9 +329,10 @@ def _mc_kernel(
     drift: float,
     sig_dt: float,
     max_levels: int,
+    lanes: int = SINGLE_LANES,
     external_rng: bool = False,
 ):
-    w, b = num_bars, LANES
+    w, b = num_bars, lanes
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -361,7 +366,8 @@ def _mc_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt", "interpret"),
+    static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
+                     "lanes", "interpret"),
 )
 def mc_paths_pallas(
     seed,
@@ -374,19 +380,20 @@ def mc_paths_pallas(
     mu: float = 0.0,
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
+    lanes: int = SINGLE_LANES,
     interpret=False,
-    external_uniforms=None,   # f32[n_blocks, 4*num_bars+1, LANES]: test-injection mode
+    external_uniforms=None,   # f32[n_blocks, 4*num_bars+1, lanes]: test-injection mode
 ) -> PathStats:
     """Fused-kernel GBM MC.  Same PathStats contract as sim.pathsim.mc_paths.
 
     NOTE: the noise stream differs from the XLA pipeline (per-core hardware PRNG
     vs threefry), so results agree statistically, not bitwise.
     """
-    if num_paths % LANES != 0:
-        raise ValueError(f"num_paths must be a multiple of {LANES}")
+    if num_paths % lanes != 0:
+        raise ValueError(f"num_paths must be a multiple of {lanes}")
     if levels.max_levels > 8:
         raise ValueError("pallas kernel supports up to 8 level slots")
-    n_blocks = num_paths // LANES
+    n_blocks = num_paths // lanes
 
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
@@ -399,6 +406,7 @@ def mc_paths_pallas(
         drift=drift,
         sig_dt=sig_dt,
         max_levels=levels.max_levels,
+        lanes=lanes,
         external_rng=external_rng,
     )
     knobs = jnp.stack([
@@ -422,7 +430,7 @@ def mc_paths_pallas(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 4 * num_bars + 1, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 4 * num_bars + 1, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),

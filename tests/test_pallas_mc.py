@@ -89,7 +89,7 @@ def test_kernel_matches_numpy_oracle_exact_uniforms():
     u = rng.uniform(1e-9, 1.0, (nb, 4 * W + 1, LANES)).astype(np.float32)
     s = mc_paths_pallas(
         0, LEVELS, PARAMS, num_paths=nb * LANES, num_bars=W, sigma=SIGMA, dt=DT,
-        interpret=pltpu.InterpretParams(), external_uniforms=u,
+        lanes=LANES, interpret=pltpu.InterpretParams(), external_uniforms=u,
     )
     want = _oracle(u, [100.0, 100.4])
     assert float(s.n) == nb * LANES
@@ -112,7 +112,7 @@ def test_kernel_stats_contract():
     u = rng.uniform(1e-9, 1.0, (1, 4 * W + 1, LANES)).astype(np.float32)
     s = mc_paths_pallas(
         7, LEVELS, PARAMS, num_paths=LANES, num_bars=W, sigma=SIGMA, dt=DT,
-        interpret=pltpu.InterpretParams(), external_uniforms=u,
+        lanes=LANES, interpret=pltpu.InterpretParams(), external_uniforms=u,
     )
     assert float(s.n_tp + s.n_stop + s.n_open) == pytest.approx(float(s.n_entered))
     assert 0.0 <= float(s.hit_rate) <= 1.0
