@@ -63,12 +63,26 @@ def run_resumable(
     dt: float = 1.0 / (390.0 * 252.0),
     block_paths: int = 1 << 14,
     blocks_per_chunk: int = 8,
+    gate=None,                              # GateConfig → gated lifecycle MC
     fail_after_chunks: int | None = None,   # fault injection for tests
 ) -> pathsim.PathStats:
-    """Run (or resume) a chunked MC; checkpoint after every chunk."""
+    """Run (or resume) a chunked MC; checkpoint after every chunk.
+
+    Pass ``gate`` (sim.gatedpath.GateConfig) to run the engine-gated
+    multi-trade lifecycle instead of first-contact replay — same watermark
+    semantics, since both accumulators merge associatively and every block's
+    RNG is keyed by its global index."""
     if num_paths % block_paths != 0:
         raise ValueError("num_paths must be a multiple of block_paths")
     total_blocks = num_paths // block_paths
+
+    if gate is not None:
+        from functools import partial
+
+        from .gatedpath import _one_block_gated
+        one_block = partial(_one_block_gated, gate=gate)
+    else:
+        one_block = pathsim._one_block
 
     resumed = _load(ckpt_dir)
     if resumed is not None:
@@ -81,7 +95,7 @@ def run_resumable(
     @jax.jit
     def chunk(start, carry):
         def body(c, i):
-            st = pathsim._one_block(
+            st = one_block(
                 key, (start + i).astype(jnp.uint32),
                 levels=levels, params=params, block_paths=block_paths,
                 num_bars=num_bars, s0=s0, mu=0.0, sigma=sigma, dt=dt,
@@ -100,7 +114,7 @@ def run_resumable(
             stats = chunk(jnp.uint32(next_block), stats)
         else:  # ragged tail
             for i in range(n):
-                st = pathsim._one_block(
+                st = one_block(
                     key, np.uint32(next_block + i),
                     levels=levels, params=params, block_paths=block_paths,
                     num_bars=num_bars, s0=s0, mu=0.0, sigma=sigma, dt=dt,

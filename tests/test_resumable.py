@@ -62,3 +62,30 @@ def test_ragged_tail(tmp_path):
         blocks_per_chunk=2,
     )
     assert float(st.n) == 5 << 10
+
+
+def test_gated_resume_bitwise_identical(tmp_path):
+    """The gated lifecycle checkpoints/resumes with the same watermark
+    semantics: crash mid-run, resume, get the uninterrupted result bitwise."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import GateConfig
+
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1)
+    kw = dict(num_paths=1 << 12, num_bars=16, sigma=0.3,
+              block_paths=1 << 10, blocks_per_chunk=2, gate=gate)
+    key = jax.random.key(3)
+
+    straight = resumable.run_resumable(
+        key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "a"), **kw)
+    with pytest.raises(RuntimeError):
+        resumable.run_resumable(
+            key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "b"),
+            fail_after_chunks=1, **kw)
+    resumed = resumable.run_resumable(
+        key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "b"), **kw)
+
+    for f in ("n", "n_entered", "n_tp", "n_stop", "sum_r", "sum_trades",
+              "sum_dd", "max_dd", "min_r", "max_r"):
+        assert float(getattr(resumed, f)) == float(getattr(straight, f)), f
+    np.testing.assert_array_equal(np.asarray(resumed.hist),
+                                  np.asarray(straight.hist))
+    assert float(straight.sum_trades) > float(straight.n_entered)
