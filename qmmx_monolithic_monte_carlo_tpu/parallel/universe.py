@@ -47,8 +47,10 @@ def universe_mc(
     num_bars: int = 40,
     dt: float = 1.0 / (390.0 * 252.0),
     block_paths: int = 1 << 14,
+    gate=None,                # GateConfig → per-symbol gated lifecycle MC
 ) -> pathsim.PathStats:
-    """[S]-batched PathStats, one independent MC per symbol.
+    """[S]-batched PathStats, one independent MC per symbol (first-contact
+    replay, or the engine-gated multi-trade lifecycle when ``gate`` is set).
 
     Loop order is scan-over-blocks OUTER, vmap-over-symbols INNER: one scan body
     containing a single [S]-batched block compiles in O(1) of the symbol count
@@ -60,10 +62,16 @@ def universe_mc(
     s0 = jnp.asarray(s0, jnp.float32)
     sigma = jnp.asarray(sigma, jnp.float32)
 
+    if gate is not None:
+        from ..sim.gatedpath import _one_block_gated
+        one_block = partial(_one_block_gated, gate=gate)
+    else:
+        one_block = pathsim._one_block
+
     def one_block_all_symbols(b):
         def per_symbol(si, lv, s0s, sgs):
             skey = prng.key_for(key, prng.STREAM_PATH, si)
-            return pathsim._one_block(
+            return one_block(
                 skey, b, levels=lv, params=params, block_paths=block_paths,
                 num_bars=num_bars, s0=s0s, mu=0.0, sigma=sgs, dt=dt,
                 sampler="gbm", hist_bars=None, antithetic=False,
@@ -91,6 +99,7 @@ def sharded_universe(
     num_bars: int = 40,
     block_paths: int = 1 << 12,
     symbols_axis: str = "symbols",
+    gate=None,
 ) -> pathsim.PathStats:
     """Symbol axis sharded over the mesh; each shard runs its symbols locally."""
     sym_sharding = NamedSharding(mesh, P(symbols_axis))
@@ -102,7 +111,7 @@ def sharded_universe(
     return universe_mc(
         key, levels, params, s0, sigma,
         paths_per_symbol=paths_per_symbol, num_bars=num_bars,
-        block_paths=block_paths,
+        block_paths=block_paths, gate=gate,
     )
 
 

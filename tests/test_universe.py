@@ -83,3 +83,24 @@ def test_universe_policy_refresh_sharded():
     plain = L.fit_batched(xs, ys, max_iter=30)
     np.testing.assert_allclose(np.asarray(models.coef), np.asarray(plain.coef),
                                atol=1e-5)
+
+
+def test_universe_mc_gated_lifecycle():
+    """Per-symbol gated lifecycle on the XLA universe pipeline: trade
+    accounting holds per symbol and multi-trade activity shows up."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import GateConfig
+
+    levels, s0, sigma = _universe(4)
+    stats = U.universe_mc(
+        jax.random.key(0), levels, PARAMS, s0, sigma,
+        paths_per_symbol=1 << 12, num_bars=24, block_paths=1 << 12,
+        gate=GateConfig.default(touch_limit=100, touch_gap_bars=1),
+    )
+    assert stats.n.shape == (4,)
+    np.testing.assert_allclose(
+        np.asarray(stats.n_tp + stats.n_stop + stats.n_open),
+        np.asarray(stats.sum_trades),
+    )
+    assert np.all(np.asarray(stats.sum_trades) >= np.asarray(stats.n_entered))
+    assert np.asarray(stats.sum_trades).sum() > np.asarray(stats.n_entered).sum()
+    assert np.all(np.asarray(stats.max_dd) >= 0)
