@@ -237,7 +237,26 @@ def cmd_paths(args):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
-    if getattr(args, "gated", False):
+    if getattr(args, "ckpt_dir", None):
+        # fault-tolerant long run: chunked with an exactly-once block
+        # watermark; re-running the same command resumes bitwise-identically
+        from ..sim import resumable
+
+        gate = None
+        if getattr(args, "gated", False):
+            from ..sim import gatedpath
+
+            gate = gatedpath.GateConfig.from_params(
+                params, touch_limit=args.touch_limit,
+                cooldown_bars=args.cooldown_bars,
+            )
+        stats = resumable.run_resumable(
+            jax.random.key(args.seed), levels, params,
+            num_paths=args.num_paths, ckpt_dir=args.ckpt_dir,
+            num_bars=args.num_bars, s0=args.s0, sigma=args.sigma,
+            block_paths=min(args.num_paths, 1 << 17), gate=gate,
+        )
+    elif getattr(args, "gated", False):
         # engine-gated multi-trade lifecycle (sim/gatedpath.py); the fused
         # kernel (ops/pallas_mc._gated_kernel) runs the same state machine
         # on-chip at ~7x the XLA scan
@@ -603,6 +622,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "equity+drawdown)")
     pa.add_argument("--touch-limit", type=int, default=4)
     pa.add_argument("--cooldown-bars", type=int, default=0)
+    pa.add_argument("--ckpt-dir", default=None,
+                    help="checkpoint dir for fault-tolerant runs: chunked "
+                         "with a block watermark; re-run to resume "
+                         "bitwise-identically (XLA pipeline)")
     pa.set_defaults(fn=cmd_paths)
 
     wal = sub.add_parser("wal")
