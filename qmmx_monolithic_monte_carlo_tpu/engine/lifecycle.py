@@ -232,10 +232,20 @@ def tick_step(
         jnp.logical_and(near_target, esc.escalate),
     )
     # exit-head gating (opt-in): a confident exit_now score vetoes the
-    # escalation — the trade closes at target instead of rolling it
+    # escalation — the trade closes at target instead of rolling it.
+    # volume_trend comes from the same source the host persists into exit
+    # policy_events (host/app.py: volume_trend_toward_level over the bar ring
+    # at the level reconstructed from the stop) so the retrained exit head
+    # sees the features it was trained on.
+    lvl_exit = jnp.where(
+        is_long, pos.stop + params.stop_padding, pos.stop - params.stop_padding
+    )
+    vt_exit, vt_exit_def = F.volume_trend_toward_level(
+        bar_close, bar_vol, bar_valid, lvl_exit
+    )
     x_exit = F.policy_features(
         proximity_abs=jnp.abs(tick.price - pos.target),
-        volume_trend=0.0,
+        volume_trend=jnp.where(vt_exit_def, vt_exit, 0.0),
         approach=jnp.where(is_long, 1, 0),
         confluence=F.confluence_count(levels, pos.target, 0.6) > 1,
         minutes_since_open=minutes_since_open,

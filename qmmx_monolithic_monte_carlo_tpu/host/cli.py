@@ -375,12 +375,23 @@ def cmd_sweep(args):
     rows, levels, params = _levels_and_params(conn, args)
     grid = PS.grid_params(params, stop_paddings=args.stops, tp_paddings=args.tps)
     block = min(args.num_paths, 1 << 14)
-    fn = PS.sweep_paths_gated if getattr(args, "gated", False) else PS.sweep_paths
-    stats = fn(
-        jax.random.key(args.seed), levels, grid,
-        num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-        sigma=args.sigma, block_paths=block,
-    )
+    if getattr(args, "gated", False):
+        from ..sim.gatedpath import GateConfig
+
+        # honor --qmin: derive the shared gate from the pre-grid scalar params,
+        # mirroring cmd_paths (GateConfig.default() would hardcode 0.60)
+        stats = PS.sweep_paths_gated(
+            jax.random.key(args.seed), levels, grid,
+            gate=GateConfig.from_params(params),
+            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+            sigma=args.sigma, block_paths=block,
+        )
+    else:
+        stats = PS.sweep_paths(
+            jax.random.key(args.seed), levels, grid,
+            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+            sigma=args.sigma, block_paths=block,
+        )
     g = 0
     for sp in args.stops:
         for tp in args.tps:

@@ -12,6 +12,8 @@ one.
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
 import json
 import os
 
@@ -27,27 +29,58 @@ STATE_FILE = "mc_state.json"
 STATS_FILE = "mc_stats.npz"
 
 
+def _fingerprint(key, *, num_paths, num_bars, s0, sigma, dt, block_paths,
+                 gate) -> str:
+    """Run-config hash stored in mc_state.json: resuming with different flags
+    (gated vs first-contact, gate knobs, shapes, seed) is refused instead of
+    silently merging incompatible stats."""
+    gd = None
+    if gate is not None:
+        gd = {k: float(np.asarray(v)) for k, v in sorted(gate.__dict__.items())}
+    blob = json.dumps({
+        "key": np.asarray(jax.random.key_data(key)).tolist(),
+        "num_paths": int(num_paths), "num_bars": int(num_bars),
+        "s0": float(s0), "sigma": float(sigma), "dt": float(dt),
+        "block_paths": int(block_paths), "gate": gd,
+    }, sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
 def _save(ckpt_dir: str, stats: pathsim.PathStats, next_block: int,
-          total_blocks: int) -> None:
+          total_blocks: int, config: str) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
     tmp = os.path.join(ckpt_dir, STATS_FILE + ".tmp.npz")
     np.savez(tmp[:-4], **{k: np.asarray(v) for k, v in stats.__dict__.items()})
     os.replace(tmp, os.path.join(ckpt_dir, STATS_FILE))
     with open(os.path.join(ckpt_dir, STATE_FILE + ".tmp"), "w") as f:
-        json.dump({"next_block": next_block, "total_blocks": total_blocks}, f)
+        json.dump({"next_block": next_block, "total_blocks": total_blocks,
+                   "config": config}, f)
     os.replace(os.path.join(ckpt_dir, STATE_FILE + ".tmp"),
                os.path.join(ckpt_dir, STATE_FILE))
 
 
-def _load(ckpt_dir: str) -> tuple[pathsim.PathStats, int] | None:
+def _load(ckpt_dir: str, config: str) -> tuple[pathsim.PathStats, int] | None:
+    """Load a checkpoint; None when absent or from an incompatible PathStats
+    schema (missing/extra fields start a fresh run instead of crashing);
+    ValueError when the run config differs from the checkpoint's."""
     try:
         with open(os.path.join(ckpt_dir, STATE_FILE)) as f:
             state = json.load(f)
         z = np.load(os.path.join(ckpt_dir, STATS_FILE))
+        expected = {f.name for f in dataclasses.fields(pathsim.PathStats)}
+        if set(z.files) != expected:
+            return None
         stats = pathsim.PathStats(**{k: jnp.asarray(z[k]) for k in z.files})
-        return stats, int(state["next_block"])
-    except (OSError, KeyError, ValueError, json.JSONDecodeError):
+    except (OSError, KeyError, ValueError, TypeError, json.JSONDecodeError):
         return None
+    saved = state.get("config")
+    if saved is not None and saved != config:
+        raise ValueError(
+            f"checkpoint in {ckpt_dir!r} was written by a different run "
+            f"config (saved {saved}, current {config}); refusing to resume — "
+            "use a fresh --ckpt-dir or rerun with the original flags"
+        )
+    return stats, int(state["next_block"])
 
 
 def run_resumable(
@@ -84,7 +117,11 @@ def run_resumable(
     else:
         one_block = pathsim._one_block
 
-    resumed = _load(ckpt_dir)
+    config = _fingerprint(
+        key, num_paths=num_paths, num_bars=num_bars, s0=s0, sigma=sigma,
+        dt=dt, block_paths=block_paths, gate=gate,
+    )
+    resumed = _load(ckpt_dir, config)
     if resumed is not None:
         stats, next_block = resumed
         if next_block > total_blocks:
@@ -123,7 +160,7 @@ def run_resumable(
                 stats = stats.merge(st)
         next_block += n
         jax.block_until_ready(stats.sum_r)
-        _save(ckpt_dir, stats, next_block, total_blocks)
+        _save(ckpt_dir, stats, next_block, total_blocks, config)
         chunks_done += 1
         if fail_after_chunks is not None and chunks_done >= fail_after_chunks \
                 and next_block < total_blocks:
