@@ -94,6 +94,7 @@ def config2_bootstrap_10k():
         high=(c * np.exp(np.abs(rng.normal(0, 2e-4, n)))).astype(np.float32),
         low=(c * np.exp(-np.abs(rng.normal(0, 2e-4, n)))).astype(np.float32),
         close=c.astype(np.float32),
+        volume=(1e6 * np.exp(rng.normal(0, 0.3, n))).astype(np.float32),
     )
     params = EngineParams.default()
     levels = _levels()

@@ -237,6 +237,18 @@ def cmd_paths(args):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    noise = None
+    stds = (getattr(args, "entry_slip_std", 0.0),
+            getattr(args, "level_jitter_std", 0.0),
+            getattr(args, "stop_slip_std", 0.0),
+            getattr(args, "target_slip_std", 0.0))
+    if any(s != 0.0 for s in stds):
+        from ..sim.montecarlo import McNoise
+
+        noise = McNoise.make(*stds)
+        if backend == "pallas" or getattr(args, "ckpt_dir", None):
+            raise SystemExit("execution noise runs on --backend xla "
+                             "(without --ckpt-dir) for now")
     if getattr(args, "ckpt_dir", None):
         # fault-tolerant long run: chunked with an exactly-once block
         # watermark; re-running the same command resumes bitwise-identically
@@ -288,7 +300,7 @@ def cmd_paths(args):
                 jax.random.key(args.seed), levels, params, gate,
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
-                antithetic=args.antithetic,
+                antithetic=args.antithetic, noise=noise,
             )
     elif backend == "pallas":
         from ..ops.pallas_mc import mc_paths_pallas
@@ -307,7 +319,7 @@ def cmd_paths(args):
             jax.random.key(args.seed), levels, params,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
-            antithetic=args.antithetic,
+            antithetic=args.antithetic, noise=noise,
         )
     out = {
         "paths": float(stats.n), "entered": float(stats.n_entered),
@@ -633,6 +645,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "equity+drawdown)")
     pa.add_argument("--touch-limit", type=int, default=4)
     pa.add_argument("--cooldown-bars", type=int, default=0)
+    # execution-noise knobs (reference MC :3453-3461), default off
+    pa.add_argument("--entry-slip-std", type=float, default=0.0)
+    pa.add_argument("--level-jitter-std", type=float, default=0.0)
+    pa.add_argument("--stop-slip-std", type=float, default=0.0)
+    pa.add_argument("--target-slip-std", type=float, default=0.0)
     pa.add_argument("--ckpt-dir", default=None,
                     help="checkpoint dir for fault-tolerant runs: chunked "
                          "with a block watermark; re-run to resume "

@@ -44,7 +44,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EngineParams
-from ..sim.pathsim import HIST_BINS, HIST_HI, HIST_LO, PathStats
+from ..sim.pathsim import (
+    HIST_BINS,
+    HIST_HI,
+    HIST_LO,
+    LIFE_HIST_HI,
+    LIFE_HIST_LO,
+    PathStats,
+)
 from ..types import Levels
 
 LANES = 2048         # paths per block (lane axis, multiple of 128) for the
@@ -624,7 +631,7 @@ def _gated_kernel(
                          level_kind_ref[i, 0]),
         num_bars=num_bars, drift=jnp.float32(drift),
         sig_dt=jnp.float32(sig_dt), log_s0=jnp.float32(np.log(s0)),
-        s0_init=jnp.float32(s0), knobs_ref=knobs_ref, gate_ref=gate_ref,
+        knobs_ref=knobs_ref, gate_ref=gate_ref,
         max_levels=max_levels,
     )
 
@@ -636,7 +643,7 @@ def _gated_kernel(
 
 
 def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
-                          s0_init, knobs_ref, gate_ref, max_levels):
+                          knobs_ref, gate_ref, max_levels):
     """The streaming generate+trade loop shared by the gated kernels.
 
     Each ``fori_loop`` iteration processes TWO bars from one paired
@@ -645,7 +652,7 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     the k-th (8, lanes) uniform block of double-bar step t2 (k: 0/1 normals
     pair, then 2-4 and 5-7 the bridge+tie uniforms of each half);
     ``get_level(i)`` yields (price, valid, kind) scalars for level slot i;
-    drift/sig_dt/log_s0/s0_init may be static floats or traced per-symbol
+    drift/sig_dt/log_s0 may be static floats or traced per-symbol
     scalars.  Returns the final (side, equity, dd, trades, wins, losses)."""
     s, b = GATED_SUB, GATED_LANES
     prox = knobs_ref[0, 0]
@@ -660,7 +667,11 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     zero = jnp.zeros((s, b), jnp.float32)
     init = (
         zero + log_s0,                 # log_s
-        zero + s0_init,                # prev_c
+        # bar 0's prev close must equal open[0] = exp(log_s0) BITWISE (the
+        # XLA pipeline compares close vs paths.open[:, 0]); seeding the raw
+        # s0 instead flips direction for paths whose first close lands in
+        # the ~1-ulp gap between s0 and exp(log(s0))
+        jnp.exp(zero + log_s0),        # prev_c
         zero, zero, zero, zero,       # side / entry / stop / target
         zero,                          # cooldown (bars remaining)
         zero, zero, zero,              # equity / peak / dd
@@ -832,9 +843,11 @@ def _gated_accumulate(acc_ref, pre: tuple, final, *, n_paths: int) -> None:
         svec = svec + jnp.where(col == k, v, 0.0)
     acc_ref[row(ROW_SUM)] += svec
 
+    # lifecycle totals bin over the WIDER multi-trade range (sim/pathsim.py
+    # LIFE_HIST_*): totals of -2R and beyond must keep resolving for VaR/CVaR
     bin_idx = jnp.clip(
-        ((equity - jnp.float32(HIST_LO))
-         * jnp.float32(HIST_BINS / (HIST_HI - HIST_LO))).astype(jnp.int32),
+        ((equity - jnp.float32(LIFE_HIST_LO))
+         * jnp.float32(HIST_BINS / (LIFE_HIST_HI - LIFE_HIST_LO))).astype(jnp.int32),
         0, HIST_BINS - 1,
     )
     hvec = jnp.zeros((1, 128), jnp.float32)
@@ -885,7 +898,7 @@ def _gated_universe_kernel(
         draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
                          level_kind_ref[0, i, 0]),
         num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0),
-        s0_init=s0, knobs_ref=knobs_ref, gate_ref=gate_ref,
+        knobs_ref=knobs_ref, gate_ref=gate_ref,
         max_levels=max_levels,
     )
 
@@ -994,6 +1007,7 @@ def _unpack_acc_gated(acc) -> PathStats:
         sum_trades=tot[..., 7], sum_dd=tot[..., 8],
         max_dd=acc[..., ROW_MAXDD, 0],
         hist=acc[..., ROW_HIST, :HIST_BINS],
+        hist_lo=LIFE_HIST_LO, hist_hi=LIFE_HIST_HI,
     )
 
 

@@ -76,8 +76,10 @@ def sharded_mc_paths(
     if gate is not None:
         from ..sim.gatedpath import _one_block_gated
         one_block = partial(_one_block_gated, gate=gate)
+        zero = pathsim.PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)
     else:
         one_block = pathsim._one_block
+        zero = pathsim.PathStats.zero()
 
     @partial(
         shard_map,
@@ -99,7 +101,7 @@ def sharded_mc_paths(
             return carry.merge(stats), None
 
         local, _ = jax.lax.scan(
-            body, pathsim.PathStats.zero(), jnp.arange(blocks_per_dev, dtype=jnp.uint32)
+            body, zero, jnp.arange(blocks_per_dev, dtype=jnp.uint32)
         )
         # additive leaves psum; extremes pmin/pmax
         merged = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), local)

@@ -130,9 +130,9 @@ def sweep_paths_gated(
         stats = jax.vmap(per_cfg)(grid)
         return carry.merge(stats), None
 
-    zero = jax.vmap(lambda _: pathsim.PathStats.zero())(
-        jnp.arange(jax.tree_util.tree_leaves(grid)[0].shape[0])
-    )
+    zero = jax.vmap(
+        lambda _: pathsim.PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)
+    )(jnp.arange(jax.tree_util.tree_leaves(grid)[0].shape[0]))
     out, _ = jax.lax.scan(body, zero, jnp.arange(n_blocks, dtype=jnp.uint32))
     return out
 

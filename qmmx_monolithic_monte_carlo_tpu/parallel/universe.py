@@ -65,8 +65,10 @@ def universe_mc(
     if gate is not None:
         from ..sim.gatedpath import _one_block_gated
         one_block = partial(_one_block_gated, gate=gate)
+        hist_range = (pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)
     else:
         one_block = pathsim._one_block
+        hist_range = (pathsim.HIST_LO, pathsim.HIST_HI)
 
     def one_block_all_symbols(b):
         def per_symbol(si, lv, s0s, sgs):
@@ -82,7 +84,7 @@ def universe_mc(
     def body(carry, b):
         return carry.merge(one_block_all_symbols(b)), None
 
-    zero = jax.vmap(lambda _: pathsim.PathStats.zero())(sym_idx)
+    zero = jax.vmap(lambda _: pathsim.PathStats.zero(*hist_range))(sym_idx)
     out, _ = jax.lax.scan(body, zero, jnp.arange(n_blocks, dtype=jnp.uint32))
     return out
 

@@ -114,8 +114,16 @@ def gated_path_replay(
     params: EngineParams,
     gate: GateConfig,
     tie_uniform,              # f32[P, W] same-bar tie coins (one per bar)
+    noise=None,               # montecarlo.McNoise — per-ENTRY execution noise
+    noise_normals=None,       # f32[4, P, W] std-normals (lvl_jit/entry/stop/tgt)
 ) -> LifecycleOutcome:
-    """Run the gated trade lifecycle over every path (scan over bars, [P]-wide)."""
+    """Run the gated trade lifecycle over every path (scan over bars, [P]-wide).
+
+    Execution noise (reference MC :3453-3461) applies per ENTRY: the bar's
+    four std-normal draws perturb the scaffold exactly when a trade opens on
+    that bar (level jitter shifts stop+target, entry slip moves the fill,
+    stop/target slips move each barrier).  Gate decisions still see the true
+    levels.  ``noise=None`` leaves the trace bitwise identical."""
     close = jnp.asarray(paths.close, jnp.float32)
     p, w = close.shape
     n_lvl = levels.max_levels
@@ -126,7 +134,10 @@ def gated_path_replay(
     def step(carry, inp):
         (side, entry, stop, target, cooldown, touch, last_tb,
          equity, peak, dd, trades, wins, losses, prev_c) = carry
-        h, l, c, tie, bar = inp
+        if noise is not None:
+            h, l, c, tie, bar, nj, ne, ns, nt = inp
+        else:
+            h, l, c, tie, bar = inp
 
         # ---- 1) position management (:2966-3014, hits :3467-3480) ----
         is_open = side != SIDE_FLAT
@@ -203,17 +214,23 @@ def gated_path_replay(
         # stop/target scaffold = level ∓ paddings (:1643-1675); entry at close
         go_long = new_side == SIDE_LONG
         side = jnp.where(enter, new_side, side)
-        entry = jnp.where(enter, c, entry)
-        stop = jnp.where(
-            enter,
-            jnp.where(go_long, lvlp - params.stop_padding, lvlp + params.stop_padding),
-            stop,
+        if noise is not None:
+            lvl_eff = lvlp + nj * noise.level_jitter_std
+            fill = c + ne * noise.entry_slip_std
+        else:
+            lvl_eff, fill = lvlp, c
+        entry = jnp.where(enter, fill, entry)
+        new_stop = jnp.where(
+            go_long, lvl_eff - params.stop_padding, lvl_eff + params.stop_padding
         )
-        target = jnp.where(
-            enter,
-            jnp.where(go_long, lvlp + params.tp_padding, lvlp - params.tp_padding),
-            target,
+        new_target = jnp.where(
+            go_long, lvl_eff + params.tp_padding, lvl_eff - params.tp_padding
         )
+        if noise is not None:
+            new_stop = new_stop + ns * noise.stop_slip_std
+            new_target = new_target + nt * noise.target_slip_std
+        stop = jnp.where(enter, new_stop, stop)
+        target = jnp.where(enter, new_target, target)
         trades = trades + enter.astype(jnp.int32)
 
         return (side, entry, stop, target, cooldown, touch, last_tb,
@@ -238,6 +255,8 @@ def gated_path_replay(
         jnp.asarray(tie_uniform, jnp.float32).T,
         jnp.arange(w, dtype=jnp.int32),
     )
+    if noise is not None:
+        xs = xs + tuple(jnp.asarray(nn, jnp.float32).T for nn in noise_normals)
     (side, _, _, _, _, _, _, equity, _, dd, trades, wins, losses, _), _ = (
         jax.lax.scan(step, init, xs)
     )
@@ -250,18 +269,23 @@ def gated_path_replay(
 def _one_block_gated(
     key, block_idx, *, levels, params, gate, block_paths, num_bars, s0, mu,
     sigma, dt, sampler, hist_bars, antithetic, block_len=10, heston=None,
+    noise=None, volume_model=None,
 ) -> PathStats:
     bkey = prng.key_for(key, prng.STREAM_PATH, block_idx)
     paths = pathsim.sample_block(
         bkey, block_paths=block_paths, num_bars=num_bars, s0=s0, mu=mu,
         sigma=sigma, dt=dt, sampler=sampler, hist_bars=hist_bars,
         antithetic=antithetic, block_len=block_len, heston=heston,
+        volume_model=volume_model,
     )
     tie = jax.random.uniform(
         prng.key_for(bkey, prng.STREAM_TIE_COIN), (block_paths, num_bars),
         jnp.float32,
     )
-    out = gated_path_replay(paths, levels, params, gate, tie)
+    draws = (pathsim.noise_normals(bkey, (block_paths, num_bars))
+             if noise is not None else None)
+    out = gated_path_replay(paths, levels, params, gate, tie,
+                            noise=noise, noise_normals=draws)
     return PathStats.from_lifecycle(
         equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
         open_at_end=out.open_at_end, max_dd=out.max_dd,
@@ -271,7 +295,7 @@ def _one_block_gated(
 @partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "block_paths", "sampler",
-                     "antithetic", "block_len"),
+                     "antithetic", "block_len", "volume_model"),
 )
 def mc_paths_gated(
     key,
@@ -291,6 +315,8 @@ def mc_paths_gated(
     antithetic: bool = False,
     block_len: int = 10,
     heston=None,
+    noise=None,
+    volume_model=None,
 ) -> PathStats:
     """Streamed generated-path MC with the gated multi-trade lifecycle.
 
@@ -310,8 +336,12 @@ def mc_paths_gated(
             block_paths=block_paths, num_bars=num_bars, s0=s0, mu=mu,
             sigma=sigma, dt=dt, sampler=sampler, hist_bars=hist_bars,
             antithetic=antithetic, block_len=block_len, heston=heston,
+            noise=noise, volume_model=volume_model,
         )
         return carry.merge(stats), None
 
-    out, _ = jax.lax.scan(body, PathStats.zero(), jnp.arange(n_blocks, dtype=jnp.uint32))
+    out, _ = jax.lax.scan(
+        body, PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI),
+        jnp.arange(n_blocks, dtype=jnp.uint32),
+    )
     return out

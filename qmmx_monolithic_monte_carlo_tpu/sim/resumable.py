@@ -70,7 +70,11 @@ def _load(ckpt_dir: str, config: str) -> tuple[pathsim.PathStats, int] | None:
         expected = {f.name for f in dataclasses.fields(pathsim.PathStats)}
         if set(z.files) != expected:
             return None
-        stats = pathsim.PathStats(**{k: jnp.asarray(z[k]) for k in z.files})
+        static = {"hist_lo", "hist_hi"}  # non-pytree metadata: plain floats
+        stats = pathsim.PathStats(
+            **{k: jnp.asarray(z[k]) for k in z.files if k not in static},
+            **{k: float(z[k]) for k in static},
+        )
     except (OSError, KeyError, ValueError, TypeError, json.JSONDecodeError):
         return None
     saved = state.get("config")
@@ -121,13 +125,17 @@ def run_resumable(
         key, num_paths=num_paths, num_bars=num_bars, s0=s0, sigma=sigma,
         dt=dt, block_paths=block_paths, gate=gate,
     )
+    if gate is not None:
+        zero = pathsim.PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)
+    else:
+        zero = pathsim.PathStats.zero()
     resumed = _load(ckpt_dir, config)
     if resumed is not None:
         stats, next_block = resumed
         if next_block > total_blocks:
             raise ValueError("checkpoint belongs to a larger run")
     else:
-        stats, next_block = pathsim.PathStats.zero(), 0
+        stats, next_block = zero, 0
 
     @jax.jit
     def chunk(start, carry):

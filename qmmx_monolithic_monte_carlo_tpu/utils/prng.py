@@ -26,6 +26,7 @@ STREAM_PATH = 5
 STREAM_BOOTSTRAP = 6
 STREAM_BRIDGE_HI = 7
 STREAM_BRIDGE_LO = 8
+STREAM_VOLUME = 9
 
 
 def key_for(base_key: jax.Array, *indices) -> jax.Array:

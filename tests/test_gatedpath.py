@@ -33,7 +33,8 @@ def _random_bars(rng, p, w, s0=100.0, step=0.06):
     h = (np.maximum(o, c) + wick_h).astype(np.float32)
     l = (np.minimum(o, c) - wick_l).astype(np.float32)
     return PathBars(open=jnp.asarray(o), high=jnp.asarray(h),
-                    low=jnp.asarray(l), close=jnp.asarray(c))
+                    low=jnp.asarray(l), close=jnp.asarray(c),
+                    volume=jnp.zeros_like(jnp.asarray(c)))
 
 
 def _run_both(bars, tie, gate, use_confidence=True):
@@ -100,7 +101,8 @@ def test_touch_budget_caps_entries_per_level():
     h = (c + 0.5).astype(np.float32)
     l = (c - 0.5).astype(np.float32)
     bars = PathBars(open=jnp.asarray(o[None]), high=jnp.asarray(h[None]),
-                    low=jnp.asarray(l[None]), close=jnp.asarray(c[None]))
+                    low=jnp.asarray(l[None]), close=jnp.asarray(c[None]),
+                    volume=jnp.zeros((1, w), jnp.float32))
     tie = np.full((1, w), 0.99, np.float32)  # coin always picks the stop
     gate = GateConfig.default(touch_limit=2, touch_gap_bars=1,
                               use_confidence=False)
@@ -199,3 +201,66 @@ def test_sweep_paths_gated_crn_and_monotonicity():
         assert float(a[0]) == float(a[1]), f
     # wider stop, same target: stops get harder to hit on the SAME paths
     assert float(stats.hit_rate[2]) >= float(stats.hit_rate[0])
+
+
+# ---- execution noise in the gated lifecycle (reference MC :3453-3461) ----
+
+def test_gated_noise_zero_matches_none_bitwise():
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+    key = jax.random.key(21)
+    kw = dict(num_paths=1 << 12, block_paths=1 << 12, num_bars=16, sigma=0.3)
+    base = gatedpath.mc_paths_gated(key, LEVELS, PARAMS, **kw)
+    zero = gatedpath.mc_paths_gated(key, LEVELS, PARAMS, **kw,
+                                    noise=McNoise.make(0.0, 0.0, 0.0, 0.0))
+    for f in ("n", "n_tp", "n_stop", "n_open", "n_entered", "sum_r", "sum_r2",
+              "min_r", "max_r", "sum_trades", "sum_dd", "max_dd", "hist"):
+        np.testing.assert_array_equal(np.asarray(getattr(base, f)),
+                                      np.asarray(getattr(zero, f)), err_msg=f)
+
+
+def test_gated_noise_entry_bar_pairing():
+    """Noise draws apply AT THE ENTRY BAR: jitter only the known entry bar's
+    draws and verify the scaffold shifts exactly by them (injected normals)."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+    w = 8
+    # flat path pinned at 100.02 except a dip at bar 5 that hits the shifted
+    # stop; direction known at bar 1 (100.05 -> 100.02 = short signal at lvl 100)
+    c = np.full((1, w), 100.02, np.float32)
+    o = np.concatenate([[100.05], c[0, :-1]]).astype(np.float32)[None]
+    h = c + 0.0
+    l = c + 0.0
+    h = h.copy(); l = l.copy()
+    h[0, 5] = 100.90   # would hit a short stop at 100.35 (no-noise) or shifted
+    bars = PathBars(open=jnp.asarray(o), high=jnp.asarray(h),
+                    low=jnp.asarray(l), close=jnp.asarray(c),
+                    volume=jnp.zeros((1, w), jnp.float32))
+    tie = np.zeros((1, w), np.float32)
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1,
+                              use_confidence=False)
+
+    # no noise: short opens bar 0 (c=100.02 < o=100.05), stop 100.35; bar 5
+    # high 100.90 stops it out -> one loss
+    out0 = gatedpath.gated_path_replay(bars, LEVELS, PARAMS, gate,
+                                       jnp.asarray(tie))
+    assert int(out0.trades[0]) >= 1 and int(out0.losses[0]) == 1
+
+    # stop slip +0.60 AT BAR 0 ONLY lifts the stop to 100.95 -> bar 5 no
+    # longer reaches it; a slip at any other bar must not matter
+    noise = McNoise.make(entry_slip_std=0.0, level_jitter_std=0.0,
+                         stop_slip_std=1.0, target_slip_std=0.0)
+    ns = np.zeros((1, w), np.float32); ns[0, 0] = 0.60
+    zeros = np.zeros((1, w), np.float32)
+    out1 = gatedpath.gated_path_replay(
+        bars, LEVELS, PARAMS, gate, jnp.asarray(tie), noise=noise,
+        noise_normals=(jnp.asarray(zeros), jnp.asarray(zeros),
+                       jnp.asarray(ns), jnp.asarray(zeros)))
+    assert int(out1.losses[0]) == 0
+
+    # same slip moved to a NON-entry bar leaves the no-noise outcome intact
+    ns2 = np.zeros((1, w), np.float32); ns2[0, 3] = 0.60
+    out2 = gatedpath.gated_path_replay(
+        bars, LEVELS, PARAMS, gate, jnp.asarray(tie), noise=noise,
+        noise_normals=(jnp.asarray(zeros), jnp.asarray(zeros),
+                       jnp.asarray(ns2), jnp.asarray(zeros)))
+    assert int(out2.losses[0]) == int(out0.losses[0])

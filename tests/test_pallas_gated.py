@@ -68,7 +68,8 @@ def _bars_from_uniforms(u):
         return jnp.stack(rows, axis=-1).reshape(GATED_BLOCK, W)
 
     bars = PathBars(open=flat(opens), high=flat(highs),
-                    low=flat(lows), close=flat(closes))
+                    low=flat(lows), close=flat(closes),
+                    volume=jnp.zeros((GATED_BLOCK, W), jnp.float32))
     return bars, flat(ties)
 
 
@@ -113,6 +114,62 @@ def test_gated_kernel_matches_xla_pipeline_exact_uniforms(gate_kw):
     np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
     if gate_kw.get("touch_limit") == 100:
         assert float(got.sum_trades) > float(got.n_entered)  # multi-trade proof
+
+
+def test_gated_tail_past_single_trade_range():
+    """Multi-stop paths must resolve below -1.5R (the old single-trade
+    histogram floor): stop-heavy gates produce per-path totals of -2R and
+    beyond, and VaR(5%)/CVaR from the widened lifecycle histogram must report
+    them — with the kernel and the XLA pipeline binning identically."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.pathsim import (
+        LIFE_HIST_HI,
+        LIFE_HIST_LO,
+    )
+
+    rng = np.random.default_rng(3)
+    u = rng.uniform(1e-6, 1.0, (1, 4 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
+    # tight stop, unreachable target → nearly every trade is a -1R stop;
+    # permissive gates → several trades per path
+    params = EngineParams.default(stop_padding=0.02, tp_padding=5.0)
+    gate = GateConfig.default(
+        touch_limit=10_000, touch_gap_bars=1, use_confidence=False
+    )
+
+    got = mc_paths_pallas_gated(
+        0, LEVELS, params, gate, num_paths=GATED_BLOCK, num_bars=W,
+        sigma=SIGMA, dt=DT, interpret=True, external_uniforms=u,
+    )
+    bars, tie = _bars_from_uniforms(u[0])
+    out = gatedpath.gated_path_replay(bars, LEVELS, params, gate, tie)
+    want = PathStats.from_lifecycle(
+        equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
+        open_at_end=out.open_at_end, max_dd=out.max_dd,
+    )
+
+    # the scenario actually produces 2+ stop paths
+    assert float(want.min_r) <= -2.0
+    equity = np.asarray(out.equity)
+    entered = np.asarray(out.trades) > 0
+    assert (equity[entered] <= -2.0).mean() > 0.05
+
+    # kernel and XLA bin identically over the lifecycle range
+    assert got.hist_lo == want.hist_lo == LIFE_HIST_LO
+    assert got.hist_hi == want.hist_hi == LIFE_HIST_HI
+    np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
+
+    # VaR/CVaR resolve past the old -1.5R floor and track the exact quantile
+    var_exact = np.quantile(equity[entered], 0.05)
+    assert var_exact < -1.5
+    var_hist = float(want.quantile(0.05))
+    assert var_hist < -1.5
+    bin_w = (LIFE_HIST_HI - LIFE_HIST_LO) / want.hist.shape[-1]
+    assert abs(var_hist - var_exact) <= 2 * bin_w
+    # exact CVaR = mean of the lowest 5% of mass (NOT "<= quantile": equity
+    # totals tie heavily at integer stop counts, and <= would over-include)
+    tail_n = max(1, int(np.floor(0.05 * entered.sum())))
+    cvar_exact = np.sort(equity[entered])[:tail_n].mean()
+    assert cvar_exact < -1.5
+    assert float(want.cvar(0.05)) == pytest.approx(cvar_exact, abs=3 * bin_w)
 
 
 def test_gated_kernel_rejects_bad_shapes():

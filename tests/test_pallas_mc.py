@@ -164,7 +164,7 @@ def test_universe_kernel_contract_interpret():
     )
     assert st.n.shape == (3,)
     np.testing.assert_array_equal(np.asarray(st.n), LANES)
-    assert st.hist.shape == (3, 64)
+    assert st.hist.shape == (3, 128)
     # accounting holds per symbol
     np.testing.assert_allclose(
         np.asarray(st.n_tp + st.n_stop + st.n_open), np.asarray(st.n_entered)

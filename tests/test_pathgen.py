@@ -12,7 +12,7 @@ def test_gbm_shapes_and_ordering():
     p = PG.gbm_paths(key, num_paths=64, num_bars=40, s0=100.0, sigma=0.2)
     for arr in p:
         assert arr.shape == (64, 40)
-    o, h, l, c = map(np.asarray, p)
+    o, h, l, c, _v = map(np.asarray, p)
     assert np.all(h >= np.maximum(o, c) - 1e-5)
     assert np.all(l <= np.minimum(o, c) + 1e-5)
     assert np.all(l > 0)
@@ -114,7 +114,7 @@ def test_heston_paths_statistics():
     p = PG.heston_paths(key, num_paths=2048, num_bars=64, s0=100.0,
                         v0=0.09, theta=0.09, kappa=2.0, xi=0.5, rho=-0.7,
                         dt=1e-4)
-    o, h, l, c = map(np.asarray, p)
+    o, h, l, c, _v = map(np.asarray, p)
     assert np.all(h >= np.maximum(o, c) - 1e-5)
     assert np.all(l <= np.minimum(o, c) + 1e-5)
     assert np.all(c > 0)
@@ -147,3 +147,85 @@ def test_heston_antithetic():
     with pytest.raises(ValueError):
         PG.heston_paths(jax.random.key(6), num_paths=63, num_bars=16,
                         s0=100.0, antithetic=True)
+
+
+# ---- volume (round 3: generated paths carry per-bar volume) ----
+
+def test_gbm_volume_properties():
+    key = jax.random.key(7)
+    vm = PG.VolumeModel(base=1e6, u_amp=0.6, noise_sigma=0.3, ret_coupling=0.5,
+                        day_minutes=390, open_minute=0)
+    p = PG.gbm_paths(key, num_paths=2048, num_bars=390, s0=100.0, sigma=0.2,
+                     dt=1e-4, volume_model=vm)
+    v = np.asarray(p.volume)
+    assert v.shape == (2048, 390)
+    assert np.all(v > 0)
+    # lognormal(mean 1) x unit-mean U-shape -> overall mean near base
+    assert abs(v.mean() / 1e6 - 1.0) < 0.1
+    # intraday U-shape: session edges print more than midday
+    edges = np.concatenate([v[:, :30], v[:, -30:]], axis=1).mean()
+    mid = v[:, 180:210].mean()
+    assert edges > 1.2 * mid
+    # |return| coupling: big price moves print big volume
+    lr = np.abs(np.diff(np.log(np.asarray(p.close)), axis=1))
+    corr = np.corrcoef(lr.ravel(), v[:, 1:].ravel())[0, 1]
+    assert corr > 0.1
+    # determinism
+    p2 = PG.gbm_paths(key, num_paths=2048, num_bars=390, s0=100.0, sigma=0.2,
+                      dt=1e-4, volume_model=vm)
+    np.testing.assert_array_equal(v, np.asarray(p2.volume))
+
+
+def test_volume_model_never_perturbs_prices():
+    key = jax.random.key(8)
+    base = PG.gbm_paths(key, num_paths=256, num_bars=40, s0=100.0, sigma=0.2)
+    other = PG.gbm_paths(key, num_paths=256, num_bars=40, s0=100.0, sigma=0.2,
+                         volume_model=PG.VolumeModel(base=5e5, noise_sigma=0.9))
+    for f in ("open", "high", "low", "close"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(base, f)), np.asarray(getattr(other, f)))
+    assert not np.array_equal(np.asarray(base.volume), np.asarray(other.volume))
+
+
+def test_bootstrap_volume_carries_real_bars():
+    rng = np.random.default_rng(0)
+    n = 100
+    c = (100 + np.cumsum(rng.normal(0, 0.1, n))).astype(np.float32)
+    vols = (1e6 + 10.0 * np.arange(n)).astype(np.float32)  # unique per bar
+    p = PG.bootstrap_paths(
+        jax.random.key(9),
+        hist_open=np.concatenate([c[:1], c[:-1]]), hist_high=c + 0.05,
+        hist_low=c - 0.05, hist_close=c,
+        num_paths=64, num_bars=20, s0=100.0, hist_volume=vols,
+    )
+    v = np.asarray(p.volume)
+    # every sampled volume is a real historical bar volume...
+    assert np.isin(v, vols).all()
+    # ...and stays paired with that bar's log-return
+    prev = np.concatenate([c[:1], c[:-1]])
+    logc = np.log(c / prev)
+    idx = np.rint((v - 1e6) / 10.0).astype(int)
+    got_lr = np.diff(np.log(np.asarray(p.close)), axis=1)
+    np.testing.assert_allclose(got_lr, logc[idx][:, 1:], rtol=0, atol=1e-4)
+
+
+def test_block_bootstrap_and_heston_volume():
+    rng = np.random.default_rng(1)
+    n = 100
+    c = (100 + np.cumsum(rng.normal(0, 0.1, n))).astype(np.float32)
+    vols = (1e6 + 10.0 * np.arange(n)).astype(np.float32)
+    p = PG.block_bootstrap_paths(
+        jax.random.key(10),
+        hist_open=np.concatenate([c[:1], c[:-1]]), hist_high=c + 0.05,
+        hist_low=c - 0.05, hist_close=c,
+        num_paths=32, num_bars=20, s0=100.0, block_len=5, hist_volume=vols,
+    )
+    v = np.asarray(p.volume)
+    assert np.isin(v, vols).all()
+    # contiguity: within a 5-bar block, volumes step by exactly +10
+    dv = np.diff(v[:, :5], axis=1)
+    assert (np.abs(dv - 10.0) < 1e-3).mean() > 0.9
+
+    h = PG.heston_paths(jax.random.key(11), num_paths=64, num_bars=40, s0=100.0)
+    hv = np.asarray(h.volume)
+    assert hv.shape == (64, 40) and np.all(hv > 0)

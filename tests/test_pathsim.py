@@ -149,6 +149,7 @@ def test_bootstrap_sampler_path():
         high=jnp.asarray(c + 0.05, jnp.float32),
         low=jnp.asarray(c - 0.05, jnp.float32),
         close=jnp.asarray(c, jnp.float32),
+        volume=jnp.asarray(1e6 + 10.0 * np.arange(n), jnp.float32),
     )
     stats = pathsim.mc_paths(
         jax.random.key(5), LEVELS, PARAMS,
@@ -197,6 +198,7 @@ def test_block_bootstrap_and_heston_samplers_in_pipeline():
         high=jnp.asarray(c + 0.05, jnp.float32),
         low=jnp.asarray(c - 0.05, jnp.float32),
         close=jnp.asarray(c, jnp.float32),
+        volume=jnp.asarray(1e6 + 10.0 * np.arange(n), jnp.float32),
     )
     st = pathsim.mc_paths(
         jax.random.key(9), LEVELS, PARAMS,
@@ -213,3 +215,79 @@ def test_block_bootstrap_and_heston_samplers_in_pipeline():
     )
     assert float(st2.n) == 1 << 12
     assert float(st2.n_entered) > 0
+
+
+# ---- execution noise at path scale (reference MC :3453-3461) ----
+
+def test_noise_zero_matches_noise_none_bitwise():
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+    key = jax.random.key(11)
+    base = pathsim.mc_paths(key, LEVELS, PARAMS, num_paths=1 << 12,
+                            block_paths=1 << 12, sigma=0.3)
+    zero = pathsim.mc_paths(key, LEVELS, PARAMS, num_paths=1 << 12,
+                            block_paths=1 << 12, sigma=0.3,
+                            noise=McNoise.make(0.0, 0.0, 0.0, 0.0))
+    for f in ("n", "n_tp", "n_stop", "n_open", "n_entered", "sum_r", "sum_r2",
+              "min_r", "max_r", "sum_trades", "sum_dd", "max_dd", "hist"):
+        np.testing.assert_array_equal(np.asarray(getattr(base, f)),
+                                      np.asarray(getattr(zero, f)), err_msg=f)
+
+
+def test_noise_injected_normals_oracle():
+    """path_replay with injected noise normals: scaffold matches the reference
+    formulas lvl+N(jit), entry+N(slip), (lvl_j ∓ pad)+N(slip) (:3453-3461)."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+    from qmmx_monolithic_monte_carlo_tpu.types import OUTCOME_STOP
+
+    # one path: enters at bar 0 (close 100.01 vs open 100.05 -> short),
+    # bar 1 dips to 99.0 (would hit the default short target 99.75)
+    o = np.array([[100.05, 100.01, 100.01, 100.01]], np.float32)
+    c = np.array([[100.01, 99.50, 100.01, 100.01]], np.float32)
+    h = np.array([[100.05, 100.01, 100.02, 100.02]], np.float32)
+    l = np.array([[100.00, 99.00, 100.00, 100.00]], np.float32)
+    bars = PG.PathBars(open=jnp.asarray(o), high=jnp.asarray(h),
+                       low=jnp.asarray(l), close=jnp.asarray(c),
+                       volume=jnp.zeros_like(jnp.asarray(c)))
+    tie = jnp.zeros((1,), jnp.float32)
+
+    # no noise: short from 100.01, target 99.75 hit at bar 1 -> R = reward/risk
+    r0, out0, ent0 = pathsim.path_replay(bars, LEVELS, PARAMS, tie)
+    assert bool(ent0[0]) and int(out0[0]) == int(OUTCOME_TP)
+    np.testing.assert_allclose(float(r0[0]), (100.01 - 99.75) / (100.35 - 100.01),
+                               rtol=2e-4)
+
+    # level jitter -1.0 moves the short target to 98.75 (not reached) and the
+    # stop to 99.35 — bar 2's recovery to 100.02 no longer reaches it, but the
+    # ORIGINAL stop 100.35 would not have been hit either; check barriers move
+    noise = McNoise.make(entry_slip_std=1.0, level_jitter_std=1.0,
+                         stop_slip_std=1.0, target_slip_std=1.0)
+    nj = jnp.asarray([[-1.0]], jnp.float32)[0]   # level 100 -> 99
+    ne = jnp.asarray([[0.02]], jnp.float32)[0]   # entry 100.01 -> 100.03
+    ns = jnp.asarray([[0.10]], jnp.float32)[0]   # stop 99.35 -> 99.45... short stop = lvl_j + pad = 99.35? lvl_j=99, +0.35 = 99.35, +0.10 = 99.45
+    nt = jnp.asarray([[0.05]], jnp.float32)[0]   # target 98.75 -> 98.80
+    r1, out1, ent1 = pathsim.path_replay(
+        bars, LEVELS, PARAMS, tie, noise=noise, noise_normals=(nj, ne, ns, nt))
+    # short entry 100.03, stop 99.45, target 98.80: bar 1 low 99.0 hits the
+    # STOP barrier? stop for a short is ABOVE entry: 99.45 < entry... risk
+    # degenerates -> the hit scan sees stop at 99.45 hit by low<=? No: short
+    # stop triggers on HIGH >= stop. high bar1 = 100.01 >= 99.45 -> stop hit.
+    assert bool(ent1[0]) and int(out1[0]) == int(OUTCOME_STOP)
+    assert float(r1[0]) == -1.0
+
+
+def test_noise_broadens_outcomes_statistically():
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+    key = jax.random.key(12)
+    base = pathsim.mc_paths(key, LEVELS, PARAMS, num_paths=1 << 14,
+                            block_paths=1 << 14, sigma=0.3)
+    noisy = pathsim.mc_paths(key, LEVELS, PARAMS, num_paths=1 << 14,
+                             block_paths=1 << 14, sigma=0.3,
+                             noise=McNoise.default())
+    # same paths entered (contact detection is noise-free)...
+    assert float(base.n_entered) == float(noisy.n_entered)
+    # ...but outcomes move and R dispersion grows (jitter breaks the
+    # two-point R distribution into a spread; stop R stays exactly -1 by
+    # definition, so the spread shows in std/max and the histogram)
+    assert float(noisy.std_r) > float(base.std_r)
+    assert float(noisy.max_r) != float(base.max_r)
+    assert not np.array_equal(np.asarray(noisy.hist), np.asarray(base.hist))
