@@ -91,15 +91,16 @@ def should_exit(
 
 def next_level_target(levels: Levels, ref_price, side) -> tuple[jnp.ndarray, jnp.ndarray]:
     """``_next_level_target`` (:1038-1049): next valid level strictly beyond
-    ``ref_price`` in the trade direction.  Returns (price, found)."""
+    ``ref_price`` in the trade direction.  Returns (price, found).  Batch-safe
+    over a leading path axis on ``ref_price``/``side``."""
     ref = jnp.asarray(ref_price, jnp.float32)
     is_long = jnp.asarray(side) == SIDE_LONG
     eps = 1e-9
-    higher = jnp.logical_and(levels.valid, levels.price > ref + eps)
-    lower = jnp.logical_and(levels.valid, levels.price < ref - eps)
-    up_px = jnp.min(jnp.where(higher, levels.price, jnp.inf))
-    dn_px = jnp.max(jnp.where(lower, levels.price, -jnp.inf))
-    found = jnp.where(is_long, jnp.any(higher), jnp.any(lower))
+    higher = jnp.logical_and(levels.valid, levels.price > ref[..., None] + eps)
+    lower = jnp.logical_and(levels.valid, levels.price < ref[..., None] - eps)
+    up_px = jnp.min(jnp.where(higher, levels.price, jnp.inf), axis=-1)
+    dn_px = jnp.max(jnp.where(lower, levels.price, -jnp.inf), axis=-1)
+    found = jnp.where(is_long, jnp.any(higher, axis=-1), jnp.any(lower, axis=-1))
     return jnp.where(is_long, up_px, dn_px), found
 
 

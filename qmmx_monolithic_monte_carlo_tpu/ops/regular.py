@@ -1,0 +1,351 @@
+"""Bar-synchronous guard/touch state for regularly spaced 1-minute bars.
+
+``ops/guard.py`` and ``ops/touch.py`` mirror the reference classes for
+ARBITRARY tick/bar timing: ring buffers with write heads, recency ranks via
+argsort, time windows via timestamp filters.  Generated paths
+(sim/enginepath.py, ops/pallas_mc.py) emit exactly one bar per minute, which
+collapses all of that:
+
+* recency rank == ring slot when slot 0 always holds the newest bar (rings
+  SHIFT each bar instead of rotating a head — a static concat in XLA, free
+  register renaming in a Pallas kernel);
+* the guard's 60-minute window == the newest 61 slots;
+* the touch memory's 30-minute fatigue window == the newest 31 slots, and at
+  most one tap per edge per bar means a 32-slot shifted ring holds every
+  in-window tap in age order.
+
+Every function here is exactness-tested against its ops/guard.py //
+ops/touch.py counterpart on regularly-spaced sequences
+(tests/test_regular.py), so the scaled engine pipeline and the fused kernel
+inherit the reference semantics (qmmx_monolithic.py:1241-1356, :1112-1239)
+through this layer.  All state arrays carry a leading batch axis [P, ...];
+timestamps are ``bar_index * 60_000`` ms.
+
+The volume MAs feeding the touch ratio use the ``_on_minute_close`` formula
+(denominator ``max(1, min(k, len))``, ref :1827) — distinct from the guard's
+internal window MAs (defined only at >= k bars, :1279-1283).  Both live here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..types import Levels
+from . import guard as G
+from . import touch as T
+
+BAR_MS = 60_000
+
+# guard window: (t_end - ts) <= 60 min covers ages 0..60 → 61 bars (:1247)
+GUARD_RING = 64
+GUARD_WINDOW_BARS = 61
+
+# fatigue window: ts >= now - 30 min covers ages 0..30 → 31 bars (:1128);
+# ≤1 tap per edge per bar → a 32-slot shifted ring holds all of them
+TAP_RING = 32
+
+
+def ring_push(ring: jnp.ndarray, new: jnp.ndarray) -> jnp.ndarray:
+    """Shift a [..., R] newest-first ring: slot 0 := new, others age by one."""
+    return jnp.concatenate([new[..., None], ring[..., :-1]], axis=-1)
+
+
+def tail_mean_minclose(vol_ring: jnp.ndarray, n_bars, k: int) -> jnp.ndarray:
+    """The ``_on_minute_close`` volume MA (ref :1827): mean of the last
+    ``min(k, n)`` volumes with denominator ``max(1, min(k, n))``.
+    ``vol_ring`` is newest-first [..., R]; ``n_bars`` = bars pushed so far."""
+    r = vol_ring.shape[-1]
+    slot = jnp.arange(r)
+    filled = slot < jnp.minimum(n_bars, r)
+    sel = jnp.logical_and(filled, slot < k)
+    kk = jnp.maximum(1, jnp.minimum(k, n_bars))
+    return jnp.sum(jnp.where(sel, vol_ring, 0.0), axis=-1) / kk.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# guard (AccumulationBreakoutGuard, qmmx_monolithic.py:1241-1356)
+# --------------------------------------------------------------------------
+
+@struct.dataclass
+class RegularGuardState:
+    """Batched [P, ...] guard state; rings newest-first."""
+
+    high: jnp.ndarray      # f32[P, GUARD_RING]
+    low: jnp.ndarray       # f32[P, GUARD_RING]
+    close: jnp.ndarray     # f32[P, GUARD_RING]
+    volume: jnp.ndarray    # f32[P, GUARD_RING]
+    box_low: jnp.ndarray   # f32[P]
+    box_high: jnp.ndarray  # f32[P]
+    box_valid: jnp.ndarray  # bool[P]
+    regime: jnp.ndarray    # i32[P] (G.REGIME_*)
+    inside_count: jnp.ndarray  # i32[P]
+
+    @classmethod
+    def zeros(cls, p: int) -> "RegularGuardState":
+        zf = jnp.zeros((p, GUARD_RING), jnp.float32)
+        return cls(
+            high=zf, low=zf, close=zf, volume=zf,
+            box_low=jnp.zeros((p,), jnp.float32),
+            box_high=jnp.zeros((p,), jnp.float32),
+            box_valid=jnp.zeros((p,), bool),
+            regime=jnp.full((p,), G.REGIME_UNKNOWN, jnp.int32),
+            inside_count=jnp.zeros((p,), jnp.int32),
+        )
+
+
+def guard_push(
+    st: RegularGuardState,
+    params: G.GuardParams,
+    *,
+    bar_index,             # i32 — bars pushed BEFORE this one (0 for the first)
+    high, low, close, volume,  # f32[P]
+) -> RegularGuardState:
+    """push_minute_bar + _update_state (:1268-1339) for 1-min-spaced bars.
+
+    Window/rank logic specializes to slot masks: after this push, bar ages are
+    the slot indices, the 60-min window is ``slot < min(61, n)``, and the
+    vol-MA "last k" sets are ``slot < k``."""
+    h = ring_push(st.high, jnp.asarray(high, jnp.float32))
+    l = ring_push(st.low, jnp.asarray(low, jnp.float32))
+    c = ring_push(st.close, jnp.asarray(close, jnp.float32))
+    v = ring_push(st.volume, jnp.asarray(volume, jnp.float32))
+    n = jnp.asarray(bar_index, jnp.int32) + 1          # bars now held
+
+    slot = jnp.arange(GUARD_RING)
+    in_win = slot[None, :] < jnp.minimum(n, GUARD_WINDOW_BARS)  # [1, R]
+    n_win = jnp.minimum(n, GUARD_WINDOW_BARS)
+
+    price_now = c[..., 0]
+    box_low_w = jnp.min(jnp.where(in_win, l, jnp.inf), axis=-1)
+    box_high_w = jnp.max(jnp.where(in_win, h, -jnp.inf), axis=-1)
+    box_height = box_high_w - box_low_w
+    compress_thresh = price_now * (params.compression_bp / 10000.0)
+
+    def win_tail_mean(k):
+        # guard-internal MA (:1279-1283): defined only when the window holds
+        # >= k bars; mean over exactly k
+        sel = jnp.logical_and(in_win, slot[None, :] < k)
+        s = jnp.sum(jnp.where(sel, v, 0.0), axis=-1)
+        defined = n_win >= k
+        return jnp.where(defined, s / jnp.maximum(k, 1).astype(jnp.float32), 0.0), defined
+
+    vol_ma_s, s_def = win_tail_mean(params.vol_short)
+    vol_ma_l, l_def = win_tail_mean(params.vol_long)
+    mas_ok = jnp.logical_and(
+        jnp.logical_and(s_def, vol_ma_s != 0.0), jnp.logical_and(l_def, vol_ma_l != 0.0)
+    )
+
+    in_breakout = jnp.logical_or(
+        st.regime == G.REGIME_BREAKOUT_UP, st.regime == G.REGIME_BREAKOUT_DOWN
+    )
+    compressed = box_height <= jnp.maximum(1e-6, compress_thresh)
+
+    regime = jnp.where(
+        compressed,
+        jnp.where(in_breakout, st.regime, G.REGIME_ACCUMULATION),
+        jnp.where(in_breakout, st.regime, G.REGIME_UNKNOWN),
+    )
+    box_low = jnp.where(compressed, box_low_w, st.box_low)
+    box_high = jnp.where(compressed, box_high_w, st.box_high)
+    box_valid = jnp.logical_or(compressed, st.box_valid)
+
+    spike = jnp.logical_and(mas_ok, vol_ma_s > params.vol_k * vol_ma_l)
+    can_check = jnp.logical_and(box_valid, mas_ok)
+    up = jnp.logical_and(can_check, jnp.logical_and(price_now > box_high + 1e-6, spike))
+    down = jnp.logical_and(
+        can_check,
+        jnp.logical_and(jnp.logical_not(up), jnp.logical_and(price_now < box_low - 1e-6, spike)),
+    )
+    regime = jnp.where(up, G.REGIME_BREAKOUT_UP,
+                       jnp.where(down, G.REGIME_BREAKOUT_DOWN, regime))
+    inside_count = jnp.where(jnp.logical_or(up, down), 0, st.inside_count)
+
+    in_breakout2 = jnp.logical_or(
+        regime == G.REGIME_BREAKOUT_UP, regime == G.REGIME_BREAKOUT_DOWN
+    )
+    inside = jnp.logical_and(box_low <= price_now, price_now <= box_high)
+    do_track = jnp.logical_and(in_breakout2, box_valid)
+    inside_count = jnp.where(
+        do_track, jnp.where(inside, inside_count + 1, 0), inside_count
+    )
+    cleared = jnp.logical_and(
+        do_track, jnp.logical_and(inside, inside_count >= params.reenter_clear_bars)
+    )
+    regime = jnp.where(cleared, G.REGIME_ACCUMULATION, regime)
+
+    too_few = n_win < params.min_bars
+    regime = jnp.where(too_few, G.REGIME_UNKNOWN, regime)
+    box_valid = jnp.where(too_few, False, box_valid)
+    inside_count = jnp.where(too_few, 0, inside_count)
+
+    return RegularGuardState(
+        high=h, low=l, close=c, volume=v,
+        box_low=box_low, box_high=box_high, box_valid=box_valid,
+        regime=regime, inside_count=inside_count,
+    )
+
+
+def guard_allow_trade(regime, side) -> jnp.ndarray:
+    """allow_trade (:1345-1356) on a batched regime array."""
+    from ..types import SIDE_LONG, SIDE_SHORT
+
+    blocked = jnp.logical_or(
+        jnp.logical_and(regime == G.REGIME_BREAKOUT_UP, jnp.asarray(side) == SIDE_SHORT),
+        jnp.logical_and(regime == G.REGIME_BREAKOUT_DOWN, jnp.asarray(side) == SIDE_LONG),
+    )
+    return jnp.logical_not(blocked)
+
+
+# --------------------------------------------------------------------------
+# touch memory (LevelTouchMemory, qmmx_monolithic.py:1112-1239)
+# --------------------------------------------------------------------------
+
+@struct.dataclass
+class RegularTouchState:
+    """Batched [P, ...] LevelTouchMemory; tap rings newest-first, one shift
+    per bar (a non-tap bar writes an invalid slot 0)."""
+
+    count: jnp.ndarray      # i32[P, L, 2]
+    last_ts: jnp.ndarray    # i32[P, L, 2]
+    last_px: jnp.ndarray    # f32[P, L, 2]
+    has_last: jnp.ndarray   # bool[P, L, 2]
+    tap_ts: jnp.ndarray     # i32[P, 2, TAP_RING]
+    tap_ratio: jnp.ndarray  # f32[P, 2, TAP_RING]
+    tap_valid: jnp.ndarray  # bool[P, 2, TAP_RING]
+
+    @classmethod
+    def zeros(cls, p: int, max_levels: int) -> "RegularTouchState":
+        return cls(
+            count=jnp.zeros((p, max_levels, 2), jnp.int32),
+            last_ts=jnp.zeros((p, max_levels, 2), jnp.int32),
+            last_px=jnp.zeros((p, max_levels, 2), jnp.float32),
+            has_last=jnp.zeros((p, max_levels, 2), bool),
+            tap_ts=jnp.zeros((p, 2, TAP_RING), jnp.int32),
+            tap_ratio=jnp.zeros((p, 2, TAP_RING), jnp.float32),
+            tap_valid=jnp.zeros((p, 2, TAP_RING), bool),
+        )
+
+    def reset_box(self, do_reset) -> "RegularTouchState":
+        """reset_box (:1154-1156) where ``do_reset`` [P] is True."""
+        m = jnp.asarray(do_reset)
+        return RegularTouchState(
+            count=jnp.where(m[:, None, None], 0, self.count),
+            last_ts=jnp.where(m[:, None, None], 0, self.last_ts),
+            last_px=jnp.where(m[:, None, None], 0.0, self.last_px),
+            has_last=jnp.where(m[:, None, None], False, self.has_last),
+            tap_ts=jnp.where(m[:, None, None], 0, self.tap_ts),
+            tap_ratio=jnp.where(m[:, None, None], 0.0, self.tap_ratio),
+            tap_valid=jnp.where(m[:, None, None], False, self.tap_valid),
+        )
+
+
+def touch_register(
+    st: RegularTouchState,
+    params: T.TouchMemoryParams,
+    levels: Levels,
+    *,
+    ts_ms,                  # i32 — this bar's timestamp
+    high, low, close,       # f32[P]
+    box_low, box_high, box_valid,   # [P]
+    vol_ma_s, vol_ma_l,     # f32[P] (minute-close MAs, tail_mean_minclose)
+    enabled,                # bool[P] — register only while accumulating
+) -> RegularTouchState:
+    """register_touch_if_any on one finished bar (:1158-1197), batched.
+
+    The tap rings shift EVERY call (also when ``enabled`` is False or no tap
+    lands — the new slot is just invalid), keeping slot index == bar age."""
+    c = jnp.asarray(close, jnp.float32)[:, None]          # [P, 1]
+    h = jnp.asarray(high, jnp.float32)[:, None]
+    l = jnp.asarray(low, jnp.float32)[:, None]
+    ts = jnp.asarray(ts_ms, jnp.int32)
+    en = jnp.asarray(enabled)
+
+    lr = jnp.round(levels.price * 100.0) / 100.0          # [L]
+    lr = jnp.where(levels.valid, lr, jnp.float32(jnp.inf))
+    pierced = jnp.logical_and(l - 1e-9 <= lr[None, :], lr[None, :] <= h + 1e-9)
+    bps_c = jnp.where(lr[None, :] <= 0, 0.0,
+                      jnp.abs(c - lr[None, :]) / lr[None, :] * 1e4)
+    near = jnp.logical_or(pierced, bps_c <= params.tol_bps)
+    near = jnp.logical_and(near, levels.valid[None, :])
+
+    side_short = c > lr[None, :]                           # [P, L] (:1176)
+    side_onehot = jnp.stack(
+        [jnp.logical_not(side_short), side_short], axis=-1)  # [P, L, 2]
+    hit = jnp.logical_and(jnp.logical_and(near[..., None], side_onehot),
+                          en[:, None, None])
+
+    too_soon = jnp.logical_and(st.has_last, (ts - st.last_ts) < params.min_time_gap_ms)
+    bps_last = jnp.where(st.last_px <= 0, 0.0,
+                         jnp.abs(c[..., None] - st.last_px) / st.last_px * 1e4)
+    too_close = jnp.logical_and(st.has_last, bps_last < params.min_price_gap_bps)
+    counted = jnp.logical_and(hit, jnp.logical_not(jnp.logical_or(too_soon, too_close)))
+
+    count = st.count + counted.astype(jnp.int32)
+    last_ts = jnp.where(counted, ts, st.last_ts)
+    last_px = jnp.where(counted, c[..., None], st.last_px)
+    has_last = jnp.logical_or(st.has_last, counted)
+
+    # edge taps (:1189-1197); ratio from the minute-close MAs
+    at_top = jnp.logical_and(jnp.asarray(box_valid),
+                             h[:, 0] >= jnp.asarray(box_high, jnp.float32) - 1e-9)
+    at_bot = jnp.logical_and(jnp.asarray(box_valid),
+                             l[:, 0] <= jnp.asarray(box_low, jnp.float32) + 1e-9)
+    at_top = jnp.logical_and(at_top, en)
+    at_bot = jnp.logical_and(at_bot, en)
+    s_ma = jnp.asarray(vol_ma_s, jnp.float32)
+    l_ma = jnp.asarray(vol_ma_l, jnp.float32)
+    ratio_ok = jnp.logical_and(jnp.logical_and(s_ma != 0.0, l_ma != 0.0), l_ma > 0)
+    ratio = jnp.where(ratio_ok, s_ma / jnp.maximum(l_ma, 1e-30), 1.0)
+
+    do_edge = jnp.stack([at_top, at_bot], axis=-1)          # [P, 2]
+    tap_ts = ring_push(st.tap_ts, jnp.where(do_edge, ts, 0))
+    tap_ratio = ring_push(st.tap_ratio, jnp.where(do_edge, ratio[:, None], 0.0))
+    tap_valid = ring_push(st.tap_valid, do_edge)
+
+    return RegularTouchState(
+        count=count, last_ts=last_ts, last_px=last_px, has_last=has_last,
+        tap_ts=tap_ts, tap_ratio=tap_ratio, tap_valid=tap_valid,
+    )
+
+
+def edge_fatigued(st: RegularTouchState, params: T.TouchMemoryParams, now_ms) -> jnp.ndarray:
+    """edge_fatigued (:1199-1220) → [P] of T.EDGE_TOP/EDGE_BOT/EDGE_NONE.
+
+    Slot order IS age order, so the last ``fatigue_hits`` in-window taps are
+    the first k valid in-window slots."""
+    now = jnp.asarray(now_ms, jnp.int32)
+    in_win = jnp.logical_and(st.tap_valid,
+                             st.tap_ts >= now - params.fatigue_window_ms)  # [P,2,R]
+    rank = jnp.cumsum(in_win.astype(jnp.int32), axis=-1)   # 1-based among in-win
+    k = params.fatigue_hits
+    lastk = jnp.logical_and(in_win, rank <= k)
+    n_in = jnp.sum(in_win.astype(jnp.int32), axis=-1)      # [P, 2]
+    avg = jnp.sum(jnp.where(lastk, st.tap_ratio, 0.0), axis=-1) / jnp.maximum(
+        jnp.sum(lastk.astype(jnp.int32), axis=-1), 1
+    ).astype(jnp.float32)
+    fatigued = jnp.logical_and(n_in >= k, avg >= params.fatigue_vol_k)  # [P, 2]
+    return jnp.where(fatigued[:, 0], T.EDGE_TOP,
+                     jnp.where(fatigued[:, 1], T.EDGE_BOT, T.EDGE_NONE)).astype(jnp.int32)
+
+
+def touch_allow(
+    st: RegularTouchState,
+    params: T.TouchMemoryParams,
+    level_idx,   # i32[P]
+    side,        # i32[P] (T.TM_LONG / T.TM_SHORT)
+    now_ms,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """allow_trade_at (:1222-1239), batched gather over (level, side)."""
+    p = st.count.shape[0]
+    rows = jnp.arange(p)
+    cnt = st.count[rows, level_idx, side]
+    last_ts = st.last_ts[rows, level_idx, side]
+    has = st.has_last[rows, level_idx, side]
+    budget_blocked = cnt >= params.max_bounces
+    cooldown_blocked = jnp.logical_and(
+        has, (jnp.asarray(now_ms, jnp.int32) - last_ts) < params.min_time_gap_ms
+    )
+    allowed = jnp.logical_not(jnp.logical_or(budget_blocked, cooldown_blocked))
+    mult = jnp.where(allowed, params.decay ** cnt.astype(jnp.float32), 1.0)
+    return allowed, budget_blocked, mult
