@@ -274,7 +274,10 @@ def tick_step(
         jnp.where(is_long, exit_price - pos.entry, pos.entry - exit_price),
         0.0,
     )
-    risk = jnp.maximum(jnp.abs(pos.entry - pos.stop), 1e-9)
+    # R normalizes by the risk AT OPEN (escalation trails the stop toward the
+    # entry, which would otherwise divide by ~0); risk0==0 → legacy fallback
+    risk = jnp.where(pos.risk0 > 0, pos.risk0, jnp.abs(pos.entry - pos.stop))
+    risk = jnp.maximum(risk, 1e-9)
     r_delta = jnp.where(closed, pnl / risk, 0.0)
 
     position = tree_select(closed, Position.flat(), pos)
@@ -315,6 +318,7 @@ def tick_step(
             stop=decision.stop,
             target=decision.target,
             open_ts_ms=tick.now_ms,
+            risk0=jnp.abs(tick.price - decision.stop),
         ),
         position,
     )

@@ -91,19 +91,26 @@ class CurrentBar:
 
 @struct.dataclass
 class Position:
-    """The single open trade (reference holds one at a time, :3246-3278)."""
+    """The single open trade (reference holds one at a time, :3246-3278).
+
+    ``risk0`` is the |entry − stop| distance AT OPEN: escalation trails the
+    stop toward the entry (exits.py:139-144), so R bookkeeping normalizes by
+    the initial risk — dividing by the trailed stop distance would let one
+    escalated winner print R in the thousands.  0 means "unset" (legacy
+    constructors); consumers fall back to the live stop distance."""
 
     side: jnp.ndarray       # i32: SIDE_LONG/SIDE_SHORT/SIDE_FLAT
     entry: jnp.ndarray      # f32
     stop: jnp.ndarray       # f32
     target: jnp.ndarray     # f32
     open_ts_ms: jnp.ndarray  # i32
+    risk0: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
 
     @classmethod
     def flat(cls) -> "Position":
         z = jnp.float32(0.0)
         return cls(side=jnp.int32(SIDE_FLAT), entry=z, stop=z, target=z,
-                   open_ts_ms=jnp.int32(0))
+                   open_ts_ms=jnp.int32(0), risk0=z)
 
     @property
     def is_open(self) -> jnp.ndarray:

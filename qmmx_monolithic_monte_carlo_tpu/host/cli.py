@@ -268,6 +268,32 @@ def cmd_paths(args):
             num_bars=args.num_bars, s0=args.s0, sigma=args.sigma,
             block_paths=min(args.num_paths, 1 << 17), gate=gate,
         )
+    elif getattr(args, "engine", False):
+        # the FULL 12-gate engine over generated paths (sim/enginepath.py):
+        # guard/touch-memory/veto/ML/policy gates + target escalation
+        from ..sim import enginepath as EPATH
+
+        stats, skips, escal = EPATH.mc_paths_engine(
+            jax.random.key(args.seed), levels, params,
+            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+            sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
+            noise=noise,
+        )
+        out = {
+            "paths": float(stats.n), "entered": float(stats.n_entered),
+            "hit_rate": float(stats.hit_rate), "mean_r": float(stats.mean_r),
+            "std_r": float(stats.std_r), "var_05": float(stats.quantile(0.05)),
+            "cvar_05": float(stats.cvar(0.05)),
+            "best_r": float(stats.max_r), "worst_r": float(stats.min_r),
+            "trades": float(stats.sum_trades),
+            "mean_trades": float(stats.mean_trades),
+            "mean_dd": float(stats.mean_dd), "max_dd": float(stats.max_dd),
+            "escalations": int(escal),
+            "skips": {r.name: int(sv) for r, sv in
+                      zip(EPATH.SKIP_REASONS, np.asarray(skips)) if sv},
+        }
+        print(json.dumps(out))
+        return 0
     elif getattr(args, "gated", False):
         # engine-gated multi-trade lifecycle (sim/gatedpath.py); the fused
         # kernel (ops/pallas_mc._gated_kernel) runs the same state machine
@@ -643,6 +669,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run the engine-gated multi-trade lifecycle per path "
                          "(cooldown/touch-budget/confidence gates, per-path "
                          "equity+drawdown)")
+    pa.add_argument("--engine", action="store_true",
+                    help="FULL 12-gate engine lifecycle (guard/veto/ML/policy"
+                         "/escalation over generated paths, volume-aware)")
     pa.add_argument("--touch-limit", type=int, default=4)
     pa.add_argument("--cooldown-bars", type=int, default=0)
     # execution-noise knobs (reference MC :3453-3461), default off

@@ -56,6 +56,7 @@ def sharded_mc_paths(
     antithetic: bool = False,
     axis: str = "paths",
     gate=None,
+    engine: bool = False,
 ) -> pathsim.PathStats:
     """Generated-path MC sharded over the mesh's path axis; psum-merged stats.
 
@@ -73,7 +74,18 @@ def sharded_mc_paths(
 
     from jax import shard_map
 
-    if gate is not None:
+    if engine:
+        # FULL 12-gate engine lifecycle (sim/enginepath.py); stats shard and
+        # psum like the others (skip counts/escalations are per-device
+        # diagnostics — use mc_paths_engine directly when you need them)
+        from ..sim.enginepath import _one_block_engine
+
+        def one_block(key, b, **kw):
+            st, _skips, _esc = _one_block_engine(key, b, **kw)
+            return st
+
+        zero = pathsim.PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)
+    elif gate is not None:
         from ..sim.gatedpath import _one_block_gated
         one_block = partial(_one_block_gated, gate=gate)
         zero = pathsim.PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)

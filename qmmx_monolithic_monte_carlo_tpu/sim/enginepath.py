@@ -153,7 +153,7 @@ def engine_path_replay(
     n_skip = len(SKIP_REASONS)
 
     def step(carry, inp):
-        (side, entry, stop, target, cooldown_until, last_dir, prev_c,
+        (side, entry, stop, target, risk0, cooldown_until, last_dir, prev_c,
          c_counts, c_latch, guard, touch, ring_c, ring_v,
          equity, peak, dd, trades, wins, losses, escal, skips) = carry
         if noise is not None:
@@ -211,7 +211,9 @@ def engine_path_replay(
         pnl = jnp.where(closed,
                         jnp.where(is_long, exit_px - entry, entry - exit_px),
                         0.0)
-        risk = jnp.maximum(jnp.abs(entry - stop), 1e-9)
+        # normalize R by the risk AT OPEN (escalation trails the stop toward
+        # the entry; dividing by the trailed distance explodes R)
+        risk = jnp.maximum(risk0, 1e-9)
         r = jnp.where(closed, pnl / risk, 0.0)
         equity = equity + r
         peak = jnp.maximum(peak, equity)
@@ -388,6 +390,7 @@ def engine_path_replay(
         entry = jnp.where(enter, fill, entry)
         stop = jnp.where(enter, stop_new, stop)
         target = jnp.where(enter, tgt_new, target)
+        risk0 = jnp.where(enter, jnp.abs(fill - stop_new), risk0)
         trades = trades + enter.astype(jnp.int32)
 
         # direction state update (:2952-2955): exact != (no eps)
@@ -417,7 +420,7 @@ def engine_path_replay(
                                   guard.regime == G.REGIME_BREAKOUT_DOWN)
         touch = touch.reset_box(breakout)
 
-        carry = (side, entry, stop, target, cooldown_until, last_dir, c,
+        carry = (side, entry, stop, target, risk0, cooldown_until, last_dir, c,
                  c_counts, c_latch, guard, touch, ring_c, ring_v,
                  equity, peak, dd, trades, wins, losses, escal, skips)
         return carry, None
@@ -427,6 +430,7 @@ def engine_path_replay(
     init = (
         zi,                                    # side (flat)
         zf, zf, zf,                            # entry / stop / target
+        zf,                                    # risk0 (|entry-stop| at open)
         jnp.full((p,), -(1 << 30), jnp.int32),  # cooldown_until_ms (expired)
         jnp.full((p,), DIR_UNKNOWN, jnp.int32),  # last_direction
         jnp.asarray(paths.open, jnp.float32)[:, 0],  # prev close (unused at t=0)
@@ -451,7 +455,7 @@ def engine_path_replay(
     if noise is not None:
         xs = xs + tuple(jnp.asarray(nn, jnp.float32).T for nn in noise_normals)
 
-    (side, _, _, _, _, _, _, _, _, _, _, _, _,
+    (side, _, _, _, _, _, _, _, _, _, _, _, _, _,
      equity, _, dd, trades, wins, losses, escal, skips), _ = jax.lax.scan(
         step, init, xs)
     return EngineLifecycleOutcome(

@@ -70,3 +70,60 @@ def test_dryrun_multichip_inproc_when_env_ready():
     )
     assert r.returncode == 0, f"stderr:\n{r.stderr[-4000:]}"
     assert "dryrun_multichip OK" in r.stdout
+
+
+def test_dryrun_gated_scalars_match_single_device():
+    """The dryrun's gated/engine scalars are REAL values: the 8-device mesh
+    result must equal a single-device run of the same blocks (block RNG is
+    keyed by global block index, so the mesh shape cannot matter; sums agree
+    to reduction-order ulps, trade counts exactly)."""
+    import re
+
+    import jax
+    import numpy as np
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO,
+        env=_clean_env(
+            XLA_FLAGS="--xla_force_host_platform_device_count=8",
+            JAX_PLATFORMS="cpu",
+        ),
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-4000:]}"
+    m = re.search(
+        r"gated_sum_r=(-?[\d.]+) gated_trades=(\d+) "
+        r"engine_sum_r=(-?[\d.]+) engine_trades=(\d+)", r.stdout)
+    assert m, r.stdout
+    gated_sum_r, gated_trades = float(m.group(1)), float(m.group(2))
+    engine_sum_r, engine_trades = float(m.group(3)), float(m.group(4))
+
+    # single-device reference: same key, same (levels, params, shapes, block
+    # layout) as __graft_entry__._dryrun_multichip_impl (4 paths-shards x 256)
+    from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+    from qmmx_monolithic_monte_carlo_tpu.sim import enginepath as EP
+    from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import (
+        GateConfig,
+        mc_paths_gated,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.types import Levels
+
+    levels = Levels.from_rows(
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        max_levels=4)
+    params = EngineParams.default()
+    key = jax.random.key(0)
+    want_g = mc_paths_gated(
+        key, levels, params, GateConfig.from_params(params),
+        num_paths=1024, num_bars=16, sigma=0.3, block_paths=256)
+    assert gated_trades == float(want_g.sum_trades)
+    np.testing.assert_allclose(gated_sum_r, float(want_g.sum_r),
+                               rtol=2e-4, atol=2e-3)
+    want_e, _, _ = EP.mc_paths_engine(
+        key, levels, params, num_paths=1024, num_bars=16, sigma=0.3,
+        block_paths=256)
+    assert engine_trades == float(want_e.sum_trades)
+    np.testing.assert_allclose(engine_sum_r, float(want_e.sum_r),
+                               rtol=2e-4, atol=2e-3)
