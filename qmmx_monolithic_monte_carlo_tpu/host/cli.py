@@ -411,40 +411,58 @@ def cmd_sweep(args):
 
     conn = _connect(args)
     rows, levels, params = _levels_and_params(conn, args)
-    grid = PS.grid_params(params, stop_paddings=args.stops, tp_paddings=args.tps)
     block = min(args.num_paths, 1 << 14)
-    if getattr(args, "gated", False):
+    gated = getattr(args, "gated", False)
+    touch_grid = getattr(args, "touch_limits", None)
+    qmin_grid = getattr(args, "qmins", None)
+    if not gated and (touch_grid or qmin_grid):
+        raise SystemExit("--touch-limits/--qmins require --gated")
+    if gated:
         from ..sim.gatedpath import GateConfig
 
-        # honor --qmin: derive the shared gate from the pre-grid scalar params,
-        # mirroring cmd_paths (GateConfig.default() would hardcode 0.60)
+        # honor --qmin: derive the base gate from the pre-grid scalar params,
+        # mirroring cmd_paths (GateConfig.default() would hardcode 0.60);
+        # --touch-limits/--qmins put gate knobs on the grid axis (CRN)
+        base_gate = GateConfig.from_params(params)
+        grid, gate_g = PS.grid_params_gated(
+            params, base_gate, stop_paddings=args.stops, tp_paddings=args.tps,
+            touch_limits=touch_grid, q_min_probs=qmin_grid,
+        )
         stats = PS.sweep_paths_gated(
-            jax.random.key(args.seed), levels, grid,
-            gate=GateConfig.from_params(params),
+            jax.random.key(args.seed), levels, grid, gate=gate_g,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, block_paths=block,
         )
     else:
+        grid = PS.grid_params(
+            params, stop_paddings=args.stops, tp_paddings=args.tps)
         stats = PS.sweep_paths(
             jax.random.key(args.seed), levels, grid,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, block_paths=block,
         )
+    import itertools
+
+    gate_axes = ((touch_grid or [None]), (qmin_grid or [None])) if gated \
+        else ([None], [None])
     g = 0
-    for sp in args.stops:
-        for tp in args.tps:
-            row = {
-                "stop_padding": sp, "tp_padding": tp,
-                "hit_rate": float(stats.hit_rate[g]),
-                "mean_r": float(stats.mean_r[g]),
-            }
-            if getattr(args, "gated", False):
-                row.update({
-                    "mean_trades": float(stats.mean_trades[g]),
-                    "mean_dd": float(stats.mean_dd[g]),
-                })
-            print(json.dumps(row))
-            g += 1
+    for sp, tp, tl, qm in itertools.product(args.stops, args.tps, *gate_axes):
+        row = {
+            "stop_padding": sp, "tp_padding": tp,
+            "hit_rate": float(stats.hit_rate[g]),
+            "mean_r": float(stats.mean_r[g]),
+        }
+        if tl is not None:
+            row["touch_limit"] = tl
+        if qm is not None:
+            row["q_min_prob"] = qm
+        if gated:
+            row.update({
+                "mean_trades": float(stats.mean_trades[g]),
+                "mean_dd": float(stats.mean_dd[g]),
+            })
+        print(json.dumps(row))
+        g += 1
     return 0
 
 
@@ -703,6 +721,11 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--gated", action="store_true",
                     help="sweep the engine-gated multi-trade lifecycle "
                          "(CRN: every config replays the same paths)")
+    sw.add_argument("--touch-limits", type=int, nargs="+", default=None,
+                    help="gated only: put LEVEL_OVERTOUCHED budgets on the "
+                         "grid axis (cartesian with stops/tps/qmins)")
+    sw.add_argument("--qmins", type=float, nargs="+", default=None,
+                    help="gated only: put Q_MIN_PROB values on the grid axis")
     sw.set_defaults(fn=cmd_sweep)
 
     rt = sub.add_parser("retrain")

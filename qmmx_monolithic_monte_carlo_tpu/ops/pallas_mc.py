@@ -465,41 +465,49 @@ def mc_paths_pallas(
 
 def _universe_kernel(
     seed_ref,          # SMEM (1,1) i32
-    knobs_ref,         # SMEM (1,4) f32: [prox, stop_pad, tp_pad, _]
-    sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row: [s0, sigma, ...]
+    sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row:
+                       #   [s0, sigma, prox, stop_pad, tp_pad, ...]
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
-    acc_ref,           # VMEM (1, 8, 128) — THIS symbol's running accumulator
-    *,
+    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
     num_bars: int,
     dt: float,
     max_levels: int,
+    external_rng: bool = False,
 ):
     """Per-(symbol, block) grid step: the shared fused pipeline with the
-    symbol's s0/sigma read from VMEM and a per-symbol accumulator row."""
+    symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad) read from its
+    VMEM slab row, and a per-symbol accumulator row."""
     w, b = num_bars, LANES
     s0 = sym_ref[0, 0, 0]
     sigma = sym_ref[0, 0, 1]
     sig_dt = sigma * jnp.float32(dt) ** 0.5
     drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
 
-    pltpu.prng_seed(
-        seed_ref[0, 0]
-        + pl.program_id(0) * (pl.num_programs(1) + 1)
-        + pl.program_id(1)
-    )
+    offs = (0, w // 2, w, 2 * w, 3 * w)   # paired Box-Muller layout
+    lens = (w // 2, w // 2, w, w, 1)
+    if external_rng:
+        u_ref, acc_ref = refs
 
-    lens = (w // 2, w // 2, w, w, 1)   # paired Box-Muller layout
+        def draw(k):
+            return u_ref[0, 0, pl.ds(offs[k], lens[k]), :]
+    else:
+        (acc_ref,) = refs
+        pltpu.prng_seed(
+            seed_ref[0, 0]
+            + pl.program_id(0) * (pl.num_programs(1) + 1)
+            + pl.program_id(1)
+        )
 
-    def draw(k):
-        return _uniform((lens[k], b))
+        def draw(k):
+            return _uniform((lens[k], b))
 
     bars = _gbm_block(draw, w=w, b=b, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0))
     ct = _first_contact(
         bars, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0]),
-        max_levels, knobs_ref[0, 0], w=w, b=b,
+        max_levels, sym_ref[0, 0, 2], w=w, b=b,
     )
-    rep = _replay_config(ct, bars, knobs_ref[0, 1], knobs_ref[0, 2], draw(4), w=w)
+    rep = _replay_config(ct, bars, sym_ref[0, 0, 3], sym_ref[0, 0, 4], draw(4), w=w)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -515,7 +523,7 @@ def _universe_kernel(
 def mc_paths_pallas_universe(
     seed,
     levels: Levels,        # batched [S, L<=8]
-    params: EngineParams,
+    params: EngineParams,  # contact_prox/stop_padding/tp_padding: scalar or [S]
     s0,                    # f32[S]
     sigma,                 # f32[S]
     *,
@@ -523,9 +531,12 @@ def mc_paths_pallas_universe(
     num_bars: int = 40,
     dt: float = 1.0 / (390.0 * 252.0),
     interpret=False,
+    external_uniforms=None,   # f32[S, n_blocks, 3*num_bars+1, LANES] (tests)
 ) -> PathStats:
     """Per-symbol fused MC over a (symbol, block) grid; returns [S]-batched
-    PathStats (BASELINE config #4's hot path — ~20x the XLA universe pipeline)."""
+    PathStats (BASELINE config #4's hot path — ~20x the XLA universe pipeline).
+    Engine knobs (prox, stop_pad, tp_pad) ride the per-symbol slab and may be
+    [S] vectors for per-symbol calibration."""
     if paths_per_symbol % LANES != 0:
         raise ValueError(f"paths_per_symbol must be a multiple of {LANES}")
     if num_bars % 2 != 0:
@@ -536,20 +547,13 @@ def mc_paths_pallas_universe(
         raise ValueError("pallas universe kernel supports up to 8 level slots")
     n_blocks = paths_per_symbol // LANES
 
+    external_rng = external_uniforms is not None
     kernel = functools.partial(
         _universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
+        external_rng=external_rng,
     )
-    knobs = jnp.stack([
-        jnp.asarray(params.contact_prox, jnp.float32),
-        jnp.asarray(params.stop_padding, jnp.float32),
-        jnp.asarray(params.tp_padding, jnp.float32),
-        jnp.float32(0.0),
-    ]).reshape(1, 4)
     lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
-    sym = jnp.stack(
-        [jnp.asarray(s0, jnp.float32), jnp.asarray(sigma, jnp.float32)], axis=1
-    )  # [S, 2]
-    sym = jnp.pad(sym, ((0, 0), (0, 126)))[:, None, :]  # [S, 1, 128]
+    sym = _symbol_slab(params, s0, sigma, n_sym)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     acc = pl.pallas_call(
@@ -557,19 +561,23 @@ def mc_paths_pallas_universe(
         grid=(n_sym, n_blocks),
         in_specs=[
             pl.BlockSpec((1, 1), lambda s, b: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda s, b: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 128), lambda s, b: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_lv, 128), lambda s, b: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_lv, 128), lambda s, b: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((1, 1, 3 * num_bars + 1, LANES),
+                         lambda s, b: (s, b, 0, 0), memory_space=pltpu.VMEM)
+        ] if external_rng else []),
         out_specs=pl.BlockSpec((1, 8, 128), lambda s, b: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_sym, 8, 128), jnp.float32),
         interpret=interpret,
-    )(seed_arr, knobs, sym, lp, lvv)
+    )(*((seed_arr, sym, lp, lvv)
+         + ((jnp.asarray(external_uniforms, jnp.float32),)
+            if external_rng else ())))
 
     return _unpack_acc(acc)
 
@@ -579,7 +587,13 @@ def mc_paths_pallas_universe(
 # --------------------------------------------------------------------------
 
 GATED_SUB = 8        # state-tile sublanes: (8, GATED_LANES) rows use full vregs
-GATED_LANES = 1024   # lanes per state tile → one block = 8×1024 = 8192 paths
+GATED_LANES = 1024   # default lanes per state tile (one block = 8×lanes paths);
+                     # per-call ``lanes`` overrides.  Swept on v5e round 3
+                     # (benchmarks/gated_lanes_study.py, 2^27 × 40 bars):
+                     # 512→236M, 1024→248M, 2048→180M, 4096→170M paths/s —
+                     # unlike the stateless first-contact kernel (wider wins),
+                     # the ~30 live (8, lanes) state tiles leave 1024 the
+                     # sweet spot before VMEM pressure kills the pipeline.
 GATED_BLOCK = GATED_SUB * GATED_LANES
 ROW_MAXDD = 4        # worst per-path drawdown — 'max' combine, zero identity
 
@@ -598,6 +612,7 @@ def _gated_kernel(
     drift: float,
     sig_dt: float,
     max_levels: int,
+    lanes: int = GATED_LANES,
     external_rng: bool = False,
 ):
     """The QMMX engine per path, entirely on-chip: bars are generated
@@ -605,13 +620,13 @@ def _gated_kernel(
     log-price accumulates in the carry) and the multi-trade state machine
     (sim/gatedpath.py semantics: cooldown, per-level fresh-touch latch with
     the LEVEL_OVERTOUCHED budget, confidence gate, per-path equity/peak/
-    drawdown) advances over full (8, 1024) vector registers.
+    drawdown) advances over full (8, lanes) vector registers.
 
     All counters are f32 (small integers are exact; keeps every op in one
     vreg type).  Bool algebra is composed with and/or — Mosaic cannot select
     over i1 operands — while f32 selects use jnp.where freely.
     """
-    s, b = GATED_SUB, GATED_LANES
+    s, b = GATED_SUB, lanes
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -631,8 +646,9 @@ def _gated_kernel(
                          level_kind_ref[i, 0]),
         num_bars=num_bars, drift=jnp.float32(drift),
         sig_dt=jnp.float32(sig_dt), log_s0=jnp.float32(np.log(s0)),
-        knobs_ref=knobs_ref, gate_ref=gate_ref,
-        max_levels=max_levels,
+        knobs=(knobs_ref[0, 0], knobs_ref[0, 1], knobs_ref[0, 2]),
+        gates=tuple(gate_ref[0, k] for k in range(5)),
+        max_levels=max_levels, lanes=lanes,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -643,7 +659,7 @@ def _gated_kernel(
 
 
 def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
-                          knobs_ref, gate_ref, max_levels):
+                          knobs, gates, max_levels, lanes=GATED_LANES):
     """The streaming generate+trade loop shared by the gated kernels.
 
     Each ``fori_loop`` iteration processes TWO bars from one paired
@@ -652,17 +668,15 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     the k-th (8, lanes) uniform block of double-bar step t2 (k: 0/1 normals
     pair, then 2-4 and 5-7 the bridge+tie uniforms of each half);
     ``get_level(i)`` yields (price, valid, kind) scalars for level slot i;
-    drift/sig_dt/log_s0 may be static floats or traced per-symbol
-    scalars.  Returns the final (side, equity, dd, trades, wins, losses)."""
-    s, b = GATED_SUB, GATED_LANES
-    prox = knobs_ref[0, 0]
-    stop_pad = knobs_ref[0, 1]
-    tp_pad = knobs_ref[0, 2]
-    qmin = gate_ref[0, 0]
-    touch_limit = gate_ref[0, 1]
-    cooldown_bars = gate_ref[0, 2]
-    touch_gap = gate_ref[0, 3]
-    use_conf = gate_ref[0, 4]
+    drift/sig_dt/log_s0 may be static floats or traced per-symbol scalars.
+    ``knobs`` is the (prox, stop_pad, tp_pad) scalar triple and ``gates``
+    the (qmin, touch_limit, cooldown_bars, touch_gap, use_conf) scalar
+    five-tuple — callers read them from SMEM refs (single config), a grid
+    row (sweep) or the per-symbol slab (universe).  Returns the final
+    (side, equity, dd, trades, wins, losses)."""
+    s, b = GATED_SUB, lanes
+    prox, stop_pad, tp_pad = knobs
+    qmin, touch_limit, cooldown_bars, touch_gap, use_conf = gates
 
     zero = jnp.zeros((s, b), jnp.float32)
     init = (
@@ -865,40 +879,49 @@ def _gated_accumulate(acc_ref, pre: tuple, final, *, n_paths: int) -> None:
 
 def _gated_universe_kernel(
     seed_ref,          # SMEM (1,1) i32
-    knobs_ref,         # SMEM (1,4) f32: [prox, stop_pad, tp_pad, _]
     gate_ref,          # SMEM (1,8) f32 gate knobs
-    sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row: [s0, sigma, ...]
+    sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row:
+                       #   [s0, sigma, prox, stop_pad, tp_pad, ...]
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
     level_kind_ref,    # VMEM (1, L, 128) f32
-    acc_ref,           # VMEM (1, 8, 128) — THIS symbol's accumulator
-    *,
+    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
     num_bars: int,
     dt: float,
     max_levels: int,
+    external_rng: bool = False,
 ):
     """Per-(symbol, block) gated lifecycle: the shared streaming loop with the
-    symbol's s0/sigma read from VMEM and a per-symbol accumulator block."""
+    symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad) read from its
+    VMEM slab row, and a per-symbol accumulator block."""
     s, b = GATED_SUB, GATED_LANES
     s0 = sym_ref[0, 0, 0]
     sigma = sym_ref[0, 0, 1]
     sig_dt = sigma * jnp.float32(dt) ** 0.5
     drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
 
-    pltpu.prng_seed(
-        seed_ref[0, 0]
-        + pl.program_id(0) * (pl.num_programs(1) + 1)
-        + pl.program_id(1)
-    )
+    if external_rng:
+        u_ref, acc_ref = refs
 
-    def draw(t2, k):
-        return _uniform((s, b))
+        def draw(t2, k):
+            return u_ref[0, 0, pl.ds(t2 * 8 + k, 1)].reshape(s, b)
+    else:
+        (acc_ref,) = refs
+        pltpu.prng_seed(
+            seed_ref[0, 0]
+            + pl.program_id(0) * (pl.num_programs(1) + 1)
+            + pl.program_id(1)
+        )
+
+        def draw(t2, k):
+            return _uniform((s, b))
 
     final = _gated_lifecycle_loop(
         draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
                          level_kind_ref[0, i, 0]),
         num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0),
-        knobs_ref=knobs_ref, gate_ref=gate_ref,
+        knobs=(sym_ref[0, 0, 2], sym_ref[0, 0, 3], sym_ref[0, 0, 4]),
+        gates=tuple(gate_ref[0, k] for k in range(5)),
         max_levels=max_levels,
     )
 
@@ -909,6 +932,20 @@ def _gated_universe_kernel(
     _gated_accumulate(acc_ref, (0,), final, n_paths=s * b)
 
 
+def _symbol_slab(params: EngineParams, s0, sigma, n_sym: int):
+    """Pack [s0, sigma, prox, stop_pad, tp_pad] per symbol into the (S, 1, 128)
+    VMEM slab rows the universe kernels read.  Engine knobs may be scalars
+    (shared) or [S] vectors (per-symbol paddings — reference engines are
+    single-symbol so its settings are global, but a universe run wants
+    per-symbol calibration)."""
+    cols = [jnp.asarray(s0, jnp.float32), jnp.asarray(sigma, jnp.float32),
+            jnp.asarray(params.contact_prox, jnp.float32),
+            jnp.asarray(params.stop_padding, jnp.float32),
+            jnp.asarray(params.tp_padding, jnp.float32)]
+    sym = jnp.stack([jnp.broadcast_to(c, (n_sym,)) for c in cols], axis=1)
+    return jnp.pad(sym, ((0, 0), (0, 128 - sym.shape[1])))[:, None, :]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "interpret"),
@@ -916,7 +953,7 @@ def _gated_universe_kernel(
 def mc_paths_pallas_gated_universe(
     seed,
     levels: Levels,        # batched [S, L<=8]
-    params: EngineParams,
+    params: EngineParams,  # contact_prox/stop_padding/tp_padding: scalar or [S]
     s0,                    # f32[S]
     sigma,                 # f32[S]
     gate=None,
@@ -925,9 +962,12 @@ def mc_paths_pallas_gated_universe(
     num_bars: int = 40,
     dt: float = 1.0 / (390.0 * 252.0),
     interpret=False,
+    external_uniforms=None,   # f32[S, n_blocks, 4*num_bars, 8, GATED_LANES]
 ) -> PathStats:
     """Per-symbol fused gated-lifecycle MC over a (symbol, block) grid;
-    returns [S]-batched PathStats with lifecycle semantics."""
+    returns [S]-batched PathStats with lifecycle semantics.  Engine knobs
+    (prox, stop_pad, tp_pad) ride the per-symbol slab, so a universe can mix
+    per-symbol calibrations in one launch."""
     from ..sim.gatedpath import GateConfig
 
     if gate is None:
@@ -942,15 +982,11 @@ def mc_paths_pallas_gated_universe(
         raise ValueError("pallas gated universe kernel supports up to 8 level slots")
     n_blocks = paths_per_symbol // GATED_BLOCK
 
+    external_rng = external_uniforms is not None
     kernel = functools.partial(
         _gated_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
+        external_rng=external_rng,
     )
-    knobs = jnp.stack([
-        jnp.asarray(params.contact_prox, jnp.float32),
-        jnp.asarray(params.stop_padding, jnp.float32),
-        jnp.asarray(params.tp_padding, jnp.float32),
-        jnp.float32(0.0),
-    ]).reshape(1, 4)
     gvec = jnp.stack([
         jnp.asarray(gate.q_min_prob, jnp.float32),
         jnp.asarray(gate.touch_limit, jnp.float32),
@@ -962,10 +998,7 @@ def mc_paths_pallas_gated_universe(
     lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
     lk = jnp.broadcast_to(
         jnp.asarray(levels.kind, jnp.float32)[..., None], (n_sym, n_lv, 128))
-    sym = jnp.stack(
-        [jnp.asarray(s0, jnp.float32), jnp.asarray(sigma, jnp.float32)], axis=1
-    )
-    sym = jnp.pad(sym, ((0, 0), (0, 126)))[:, None, :]  # [S, 1, 128]
+    sym = _symbol_slab(params, s0, sigma, n_sym)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     acc = pl.pallas_call(
@@ -973,7 +1006,6 @@ def mc_paths_pallas_gated_universe(
         grid=(n_sym, n_blocks),
         in_specs=[
             pl.BlockSpec((1, 1), lambda sy, bl: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda sy, bl: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda sy, bl: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 128), lambda sy, bl: (sy, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -983,12 +1015,18 @@ def mc_paths_pallas_gated_universe(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_lv, 128), lambda sy, bl: (sy, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((1, 1, 4 * num_bars, GATED_SUB, GATED_LANES),
+                         lambda sy, bl: (sy, bl, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if external_rng else []),
         out_specs=pl.BlockSpec((1, 8, 128), lambda sy, bl: (sy, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_sym, 8, 128), jnp.float32),
         interpret=interpret,
-    )(seed_arr, knobs, gvec, sym, lp, lvv, lk)
+    )(*((seed_arr, gvec, sym, lp, lvv, lk)
+         + ((jnp.asarray(external_uniforms, jnp.float32),)
+            if external_rng else ())))
 
     return _unpack_acc_gated(acc)
 
@@ -1014,7 +1052,7 @@ def _unpack_acc_gated(acc) -> PathStats:
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "interpret"),
+                     "lanes", "interpret"),
 )
 def mc_paths_pallas_gated(
     seed,
@@ -1028,8 +1066,9 @@ def mc_paths_pallas_gated(
     mu: float = 0.0,
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
+    lanes: int = GATED_LANES,
     interpret=False,
-    external_uniforms=None,   # f32[n_blocks, 4*num_bars, 8, GATED_LANES] (tests)
+    external_uniforms=None,   # f32[n_blocks, 4*num_bars, 8, lanes] (tests)
 ) -> PathStats:
     """Fused-kernel engine-gated MC: the sim/gatedpath.py lifecycle entirely
     on-chip.  Same PathStats lifecycle contract as ``mc_paths_gated``; the
@@ -1039,20 +1078,21 @@ def mc_paths_pallas_gated(
 
     if gate is None:
         gate = GateConfig.from_params(params)
-    if num_paths % GATED_BLOCK != 0:
-        raise ValueError(f"num_paths must be a multiple of {GATED_BLOCK}")
+    block = GATED_SUB * lanes
+    if num_paths % block != 0:
+        raise ValueError(f"num_paths must be a multiple of {block}")
     if num_bars % 2 != 0:
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas gated kernel supports up to 8 level slots")
-    n_blocks = num_paths // GATED_BLOCK
+    n_blocks = num_paths // block
 
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
     external_rng = external_uniforms is not None
     kernel = functools.partial(
         _gated_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
-        max_levels=levels.max_levels, external_rng=external_rng,
+        max_levels=levels.max_levels, lanes=lanes, external_rng=external_rng,
     )
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
@@ -1087,7 +1127,7 @@ def mc_paths_pallas_gated(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 4 * num_bars, GATED_SUB, GATED_LANES),
+            pl.BlockSpec((1, 4 * num_bars, GATED_SUB, lanes),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -1220,3 +1260,169 @@ def mc_paths_pallas_sweep(
     )(seed_arr, knobs, grid, lp, lv)
 
     return _unpack_acc(acc)
+
+
+# --------------------------------------------------------------------------
+# kernel 5: GATE-knob grid sweep over the gated lifecycle (CRN)
+# --------------------------------------------------------------------------
+
+def _gated_sweep_kernel(
+    seed_ref,          # SMEM (1,1) i32
+    knobs_ref,         # SMEM (1,4) f32: [prox, _, _, _]
+    grid_ref,          # SMEM (G, 8) f32 rows: [stop_pad, tp_pad, qmin,
+                       #   touch_limit, cooldown_bars, touch_gap_bars, use_conf, _]
+    level_price_ref,   # VMEM (L, 128) f32
+    level_valid_ref,   # VMEM (L, 128) f32
+    level_kind_ref,    # VMEM (L, 128) f32
+    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    num_bars: int,
+    s0: float,
+    drift: float,
+    sig_dt: float,
+    max_levels: int,
+    n_grid: int,
+    external_rng: bool = False,
+):
+    """One path block replayed through the FULL gated lifecycle for every
+    grid configuration.  Common random numbers come from RESEEDING: the
+    hardware PRNG is re-seeded to the block's seed before each config's
+    lifecycle run, so every configuration consumes the identical uniform
+    stream (bars AND tie coins) — the sweep compares decision surfaces, not
+    sampling noise.  Unlike the first-contact sweep (which generates once and
+    replays barriers), gate knobs change which trades OPEN, so the whole
+    generate+trade loop re-runs per config; generation is ~40% of the loop,
+    an acceptable price for zero cross-config variance."""
+    s, b = GATED_SUB, GATED_LANES
+    if external_rng:
+        u_ref, acc_ref = refs
+
+        def draw(t2, k):
+            return u_ref[0, pl.ds(t2 * 8 + k, 1)].reshape(s, b)
+
+        def reseed():
+            pass
+    else:
+        (acc_ref,) = refs
+
+        def draw(t2, k):
+            return _uniform((s, b))
+
+        def reseed():
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        _init_acc(acc_ref)
+
+    for g in range(n_grid):
+        reseed()
+        final = _gated_lifecycle_loop(
+            draw, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0],
+                             level_kind_ref[i, 0]),
+            num_bars=num_bars, drift=jnp.float32(drift),
+            sig_dt=jnp.float32(sig_dt), log_s0=jnp.float32(np.log(s0)),
+            knobs=(knobs_ref[0, 0], grid_ref[g, 0], grid_ref[g, 1]),
+            gates=tuple(grid_ref[g, 2 + k] for k in range(5)),
+            max_levels=max_levels,
+        )
+        _gated_accumulate(acc_ref, (g,), final, n_paths=s * b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
+                     "interpret"),
+)
+def mc_paths_pallas_gated_sweep(
+    seed,
+    levels: Levels,
+    params: EngineParams,
+    grid_stops,            # f32[G]
+    grid_tps,              # f32[G]
+    grid_gate=None,        # GateConfig with [G] (or scalar) leaves
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    s0: float = 100.0,
+    mu: float = 0.0,
+    sigma: float = 0.15,
+    dt: float = 1.0 / (390.0 * 252.0),
+    interpret=False,
+    external_uniforms=None,   # f32[n_blocks, 4*num_bars, 8, GATED_LANES] (tests)
+) -> PathStats:
+    """Gate-knob grid sweep over the fused gated lifecycle with common random
+    numbers: the grid axis carries (stop_pad, tp_pad, q_min_prob, touch_limit,
+    cooldown_bars, touch_gap_bars, use_confidence) tuples, so the decision
+    surface the reference engine raises (touch budgets, Q_MIN_PROB) sweeps in
+    ONE kernel launch over shared paths.  Returns [G]-batched lifecycle
+    PathStats."""
+    from ..sim.gatedpath import GateConfig
+
+    if grid_gate is None:
+        grid_gate = GateConfig.from_params(params)
+    if num_paths % GATED_BLOCK != 0:
+        raise ValueError(f"num_paths must be a multiple of {GATED_BLOCK}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
+    if levels.max_levels > 8:
+        raise ValueError("pallas gated sweep supports up to 8 level slots")
+    grid_stops = jnp.asarray(grid_stops, jnp.float32).reshape(-1)
+    grid_tps = jnp.asarray(grid_tps, jnp.float32).reshape(-1)
+    g = grid_stops.shape[0]
+    if grid_tps.shape[0] != g:
+        raise ValueError("grid_stops and grid_tps must have equal length")
+    n_blocks = num_paths // GATED_BLOCK
+
+    def gcol(x):
+        return jnp.broadcast_to(jnp.asarray(x, jnp.float32).reshape(-1), (g,))
+
+    grid = jnp.stack([
+        grid_stops, grid_tps,
+        gcol(grid_gate.q_min_prob), gcol(grid_gate.touch_limit),
+        gcol(grid_gate.cooldown_bars), gcol(grid_gate.touch_gap_bars),
+        gcol(grid_gate.use_confidence), jnp.zeros((g,), jnp.float32),
+    ], axis=1)  # (G, 8)
+
+    drift = (mu - 0.5 * sigma * sigma) * dt
+    sig_dt = sigma * float(np.sqrt(dt))
+    external_rng = external_uniforms is not None
+    kernel = functools.partial(
+        _gated_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
+        sig_dt=sig_dt, max_levels=levels.max_levels, n_grid=g,
+        external_rng=external_rng,
+    )
+    knobs = jnp.stack([
+        jnp.asarray(params.contact_prox, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 4)
+    lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
+    lk = jnp.broadcast_to(
+        jnp.asarray(levels.kind, jnp.float32)[:, None], (levels.max_levels, 128))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((1, 4 * num_bars, GATED_SUB, GATED_LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        ] if external_rng else []),
+        out_specs=pl.BlockSpec((g, 8, 128), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(*((seed_arr, knobs, grid, lp, lv, lk)
+         + ((jnp.asarray(external_uniforms, jnp.float32),)
+            if external_rng else ())))
+
+    return _unpack_acc_gated(acc)

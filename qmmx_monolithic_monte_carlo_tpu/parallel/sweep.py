@@ -38,6 +38,51 @@ def grid_params(base: EngineParams, *, stop_paddings, tp_paddings) -> EnginePara
     return batched.replace(stop_padding=sp, tp_padding=tp)
 
 
+def grid_params_gated(
+    base: EngineParams,
+    base_gate,
+    *,
+    stop_paddings=None,
+    tp_paddings=None,
+    touch_limits=None,
+    q_min_probs=None,
+):
+    """Cartesian (stop × tp × touch_limit × q_min_prob) grid → a [G]-batched
+    (EngineParams, GateConfig) pair for the gated decision-surface sweep.
+    Omitted axes stay at their base value (singleton axis)."""
+    from ..sim.gatedpath import GateConfig  # noqa: F401  (type of base_gate)
+
+    axes = [
+        jnp.asarray(stop_paddings if stop_paddings is not None
+                    else [base.stop_padding], jnp.float32).reshape(-1),
+        jnp.asarray(tp_paddings if tp_paddings is not None
+                    else [base.tp_padding], jnp.float32).reshape(-1),
+        jnp.asarray(touch_limits if touch_limits is not None
+                    else [base_gate.touch_limit], jnp.float32).reshape(-1),
+        jnp.asarray(q_min_probs if q_min_probs is not None
+                    else [base_gate.q_min_prob], jnp.float32).reshape(-1),
+    ]
+    sp, tp, tl, qm = (m.reshape(-1) for m in jnp.meshgrid(*axes, indexing="ij"))
+    g = sp.shape[0]
+    tile = lambda x: jnp.broadcast_to(jnp.asarray(x), (g,) + jnp.shape(jnp.asarray(x)))
+    params_g = jax.tree_util.tree_map(tile, base).replace(
+        stop_padding=sp, tp_padding=tp)
+    gate_g = jax.tree_util.tree_map(tile, base_gate).replace(
+        touch_limit=tl.astype(jnp.int32), q_min_prob=qm)
+    return params_g, gate_g
+
+
+def _broadcast_gate(gate, g: int):
+    """GateConfig leaves → leading [G] axis (scalar leaves broadcast)."""
+    def tile(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == g:
+            return x
+        return jnp.broadcast_to(x, (g,) + x.shape)
+
+    return jax.tree_util.tree_map(tile, gate)
+
+
 @partial(jax.jit, static_argnames=("num_paths", "num_bars", "block_paths"))
 def sweep_paths(
     key,
@@ -86,7 +131,7 @@ def sweep_paths_gated(
     key,
     levels: Levels,
     grid: EngineParams,          # [G]-batched params (stop/tp vary)
-    gate=None,                   # one GateConfig shared across the grid
+    gate=None,                   # GateConfig: shared scalars OR [G]-batched
     *,
     num_paths: int,
     num_bars: int = 40,
@@ -97,9 +142,12 @@ def sweep_paths_gated(
     block_paths: int = 1 << 14,
 ) -> pathsim.PathStats:
     """Grid sweep of the engine-gated multi-trade lifecycle: each block's
-    paths and per-bar tie coins are generated ONCE and every (stop, tp)
-    configuration replays the full lifecycle against them (common random
-    numbers), so grid points differ only by their parameters."""
+    paths and per-bar tie coins are generated ONCE and every configuration
+    replays the full lifecycle against them (common random numbers), so grid
+    points differ only by their parameters.  ``gate`` may be [G]-batched to
+    carry gate knobs (touch_limit, q_min_prob, cooldown…) on the grid axis —
+    the engine's decision surface, not just the barrier scaffold
+    (``grid_params_gated`` builds the cartesian pair)."""
     from ..sim import gatedpath
 
     if gate is None:
@@ -109,6 +157,8 @@ def sweep_paths_gated(
             f"num_paths ({num_paths}) must be a positive multiple of "
             f"block_paths ({block_paths})")
     n_blocks = num_paths // block_paths
+    g = jax.tree_util.tree_leaves(grid)[0].shape[0]
+    gate_g = _broadcast_gate(gate, g)
 
     def body(carry, b):
         bkey = prng.key_for(key, prng.STREAM_PATH, b)
@@ -119,15 +169,15 @@ def sweep_paths_gated(
             (block_paths, num_bars), jnp.float32,
         )
 
-        def per_cfg(p):
-            out = gatedpath.gated_path_replay(paths, levels, p, gate, tie)
+        def per_cfg(p, gt):
+            out = gatedpath.gated_path_replay(paths, levels, p, gt, tie)
             return pathsim.PathStats.from_lifecycle(
                 equity=out.equity, trades=out.trades, wins=out.wins,
                 losses=out.losses, open_at_end=out.open_at_end,
                 max_dd=out.max_dd,
             )
 
-        stats = jax.vmap(per_cfg)(grid)
+        stats = jax.vmap(per_cfg)(grid, gate_g)
         return carry.merge(stats), None
 
     zero = jax.vmap(

@@ -203,6 +203,36 @@ def test_sweep_paths_gated_crn_and_monotonicity():
     assert float(stats.hit_rate[2]) >= float(stats.hit_rate[0])
 
 
+def test_sweep_paths_gated_gate_grid_axis():
+    """Gate knobs on the grid axis: a [G]-batched GateConfig sweeps the
+    decision surface (touch budgets, Q_MIN_PROB) with CRN, and each config
+    reproduces a single-config sweep run bitwise."""
+    from qmmx_monolithic_monte_carlo_tpu.parallel import sweep as PS
+
+    grid, gate_g = PS.grid_params_gated(
+        PARAMS, GateConfig.default(touch_gap_bars=1),
+        touch_limits=[2, 100], q_min_probs=[0.40, 0.60],
+    )
+    assert jax.tree_util.tree_leaves(grid)[0].shape[0] == 4
+    kw = dict(num_paths=1 << 13, num_bars=40, sigma=0.3, block_paths=1 << 12)
+    stats = PS.sweep_paths_gated(jax.random.key(0), LEVELS, grid, gate_g, **kw)
+
+    # config 1 = (tl=2, qmin=0.60): reproduce with a single-config grid
+    single_grid = PS.grid_params(PARAMS, stop_paddings=[0.35], tp_paddings=[0.25])
+    single = PS.sweep_paths_gated(
+        jax.random.key(0), LEVELS, single_grid,
+        GateConfig.default(touch_limit=2, q_min_prob=0.60, touch_gap_bars=1),
+        **kw)
+    for f in ("n", "n_entered", "n_tp", "n_stop", "sum_r", "sum_trades",
+              "sum_dd", "max_dd"):
+        assert float(np.asarray(getattr(stats, f))[1]) == \
+            float(np.asarray(getattr(single, f))[0]), f
+    # a looser touch budget can only take more trades on the SAME paths
+    assert float(stats.sum_trades[3]) >= float(stats.sum_trades[1])
+    # a lower confidence floor can only take more trades on the SAME paths
+    assert float(stats.sum_trades[0]) >= float(stats.sum_trades[1])
+
+
 # ---- execution noise in the gated lifecycle (reference MC :3453-3461) ----
 
 def test_gated_noise_zero_matches_none_bitwise():

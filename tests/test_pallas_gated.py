@@ -1,6 +1,7 @@
 """Fused gated-lifecycle kernel: exact parity vs the XLA gatedpath pipeline
 under injected uniforms (TPU-interpret mode on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -32,7 +33,7 @@ SIGMA = 0.3
 DT = 1.0 / (390.0 * 252.0)
 
 
-def _bars_from_uniforms(u):
+def _bars_from_uniforms(u, lanes=GATED_LANES):
     """Regenerate the kernel's streaming GBM bars with the same jnp f32 ops
     (same XLA CPU backend in interpret mode → bitwise-identical bars), and
     collect the per-bar tie coins.  u: (4W, 8, B) f32 — 8 blocks per
@@ -41,7 +42,7 @@ def _bars_from_uniforms(u):
     drift = jnp.float32((0.0 - 0.5 * SIGMA * SIGMA) * DT)
     sig = jnp.float32(SIGMA * np.sqrt(DT))
     sig2dt = sig * sig
-    log_s = jnp.full((GATED_SUB, GATED_LANES), jnp.float32(np.log(100.0)))
+    log_s = jnp.full((GATED_SUB, lanes), jnp.float32(np.log(100.0)))
     opens, closes, highs, lows, ties = [], [], [], [], []
     for t2 in range(W // 2):
         blk = lambda k: jnp.asarray(u[8 * t2 + k], jnp.float32)
@@ -65,7 +66,7 @@ def _bars_from_uniforms(u):
             log_s = log_close
 
     def flat(rows):  # list of W × (8, B) → (P, W)
-        return jnp.stack(rows, axis=-1).reshape(GATED_BLOCK, W)
+        return jnp.stack(rows, axis=-1).reshape(GATED_SUB * lanes, W)
 
     bars = PathBars(open=flat(opens), high=flat(highs),
                     low=flat(lows), close=flat(closes),
@@ -178,13 +179,6 @@ def test_gated_kernel_rejects_bad_shapes():
                               num_bars=W)
 
 
-# NOTE: the gated universe kernel has no injected-uniform mode (hardware PRNG
-# only), plain interpret=True cannot lower prng_seed on CPU, and the
-# TPU-semantics interpreter takes minutes per fori_loop op at these shapes —
-# so, like the first-contact universe kernel, its real-value agreement with
-# the XLA gated pipeline is validated on the physical chip (per-symbol stats
-# vs mc_paths_gated; see benchmarks/RESULTS.md).  The shared lifecycle loop
-# itself is exactness-tested above through the single-config kernel.
 def test_gated_universe_kernel_rejects_bad_shapes():
     from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
         mc_paths_pallas_gated_universe,
@@ -198,3 +192,125 @@ def test_gated_universe_kernel_rejects_bad_shapes():
             0, levels, PARAMS, np.array([100.0]), np.array([0.2]),
             paths_per_symbol=GATED_BLOCK + 1, num_bars=8,
         )
+
+
+def test_gated_kernel_lanes_param_exact():
+    """The per-call ``lanes`` width (swept for throughput on hardware) keeps
+    exactness: a 512-lane block matches the XLA pipeline under injected
+    uniforms just like the default width."""
+    lanes = 512
+    rng = np.random.default_rng(7)
+    u = rng.uniform(1e-6, 1.0, (1, 4 * W, GATED_SUB, lanes)).astype(np.float32)
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1,
+                              use_confidence=False)
+    got = mc_paths_pallas_gated(
+        0, LEVELS, PARAMS, gate, num_paths=GATED_SUB * lanes, num_bars=W,
+        sigma=SIGMA, dt=DT, lanes=lanes, interpret=True, external_uniforms=u,
+    )
+    bars, tie = _bars_from_uniforms(u[0], lanes=lanes)
+    out = gatedpath.gated_path_replay(bars, LEVELS, PARAMS, gate, tie)
+    want = PathStats.from_lifecycle(
+        equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
+        open_at_end=out.open_at_end, max_dd=out.max_dd,
+    )
+    assert float(got.n) == float(want.n) == GATED_SUB * lanes
+    assert float(got.n_entered) == float(want.n_entered)
+    assert float(got.sum_trades) == float(want.sum_trades)
+    assert float(got.sum_r) == pytest.approx(float(want.sum_r), abs=2e-2)
+    np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
+
+
+def test_gated_sweep_kernel_matches_single_configs_exact():
+    """Gate-knob grid sweep (kernel 5): each grid configuration's stats match
+    an independent single-config gated-kernel run under the SAME injected
+    uniforms — the CRN grid changes nothing but the knobs."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_gated_sweep,
+    )
+
+    rng = np.random.default_rng(11)
+    u = rng.uniform(1e-6, 1.0, (1, 4 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
+    stops = [0.35, 0.20, 0.35, 0.35]
+    tps = [0.25, 0.25, 0.40, 0.25]
+    gates = [
+        GateConfig.default(),
+        GateConfig.default(q_min_prob=0.40),
+        GateConfig.default(touch_limit=2, cooldown_bars=3),
+        GateConfig.default(touch_limit=100, touch_gap_bars=1,
+                           use_confidence=False),
+    ]
+    grid_gate = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gates)
+
+    got = mc_paths_pallas_gated_sweep(
+        0, LEVELS, PARAMS, stops, tps, grid_gate,
+        num_paths=GATED_BLOCK, num_bars=W, sigma=SIGMA, dt=DT,
+        interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (4,)
+    for g, (sp, tp, gt) in enumerate(zip(stops, tps, gates)):
+        params_g = EngineParams.default(stop_padding=sp, tp_padding=tp)
+        want = mc_paths_pallas_gated(
+            0, LEVELS, params_g, gt, num_paths=GATED_BLOCK, num_bars=W,
+            sigma=SIGMA, dt=DT, interpret=True, external_uniforms=u,
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+            assert float(getattr(got, f)[g]) == float(getattr(want, f)), (g, f)
+        assert float(got.sum_r[g]) == pytest.approx(float(want.sum_r), abs=1e-4)
+        assert float(got.max_dd[g]) == pytest.approx(float(want.max_dd), abs=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(got.hist[g]), np.asarray(want.hist))
+    # the grid actually varies: permissive config 3 trades more than tight 2
+    assert float(got.sum_trades[3]) > float(got.sum_trades[2])
+
+
+def test_gated_universe_per_symbol_knobs_exact():
+    """Per-symbol engine knobs ride the symbol slab: each symbol of a 2-symbol
+    universe with DISTINCT (prox, stop_pad, tp_pad) matches a single-config
+    gated-kernel run of that symbol under the same injected uniforms."""
+    import jax as _jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_gated_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    rows = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "red", "type": "dashed", "index": 0, "price": 100.3}],
+    ]
+    levels2 = U.stack_levels(rows, max_levels=8)
+    s0 = np.array([100.0, 100.0], np.float32)
+    sigma = np.array([SIGMA, SIGMA], np.float32)
+    prox = np.array([0.05, 0.08], np.float32)
+    sp = np.array([0.35, 0.20], np.float32)
+    tp = np.array([0.25, 0.40], np.float32)
+    params_vec = PARAMS.replace(
+        contact_prox=jnp.asarray(prox), stop_padding=jnp.asarray(sp),
+        tp_padding=jnp.asarray(tp))
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1,
+                              use_confidence=False)
+    rng = np.random.default_rng(13)
+    u = rng.uniform(1e-6, 1.0, (2, 1, 4 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
+
+    got = mc_paths_pallas_gated_universe(
+        0, levels2, params_vec, s0, sigma, gate,
+        paths_per_symbol=GATED_BLOCK, num_bars=W, dt=DT,
+        interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (2,)
+    for s in range(2):
+        params_s = EngineParams.default(
+            contact_prox=float(prox[s]), stop_padding=float(sp[s]),
+            tp_padding=float(tp[s]))
+        levels_s = _jax.tree_util.tree_map(lambda x: x[s], levels2)
+        want = mc_paths_pallas_gated(
+            0, levels_s, params_s, gate, num_paths=GATED_BLOCK, num_bars=W,
+            sigma=SIGMA, dt=DT, interpret=True, external_uniforms=u[s],
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+            assert float(getattr(got, f)[s]) == float(getattr(want, f)), (s, f)
+        np.testing.assert_array_equal(
+            np.asarray(got.hist[s]), np.asarray(want.hist))
+    # the knobs actually differ per symbol
+    assert float(got.n_entered[0]) != float(got.n_entered[1]) or \
+        float(got.sum_r[0]) != float(got.sum_r[1])

@@ -174,6 +174,60 @@ def test_universe_kernel_contract_interpret():
     assert not np.isnan(np.asarray(st.max_r)).any()
 
 
+def test_universe_kernel_per_symbol_knobs_exact():
+    """Per-symbol engine knobs (prox, stop_pad, tp_pad) ride the symbol slab:
+    each symbol of a 3-symbol universe with DISTINCT knobs matches a
+    single-config kernel run of that symbol under the same injected
+    uniforms."""
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    rows = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "red", "type": "dashed", "index": 0, "price": 100.3}],
+        [{"color": "green", "type": "solid", "index": 0, "price": 99.7}],
+    ]
+    levels3 = U.stack_levels(rows, max_levels=8)
+    s0 = np.full(3, 100.0, np.float32)
+    sigma = np.full(3, SIGMA, np.float32)
+    prox = np.array([0.05, 0.08, 0.03], np.float32)
+    sp = np.array([0.35, 0.20, 0.50], np.float32)
+    tp = np.array([0.25, 0.40, 0.10], np.float32)
+    params_vec = PARAMS.replace(
+        contact_prox=prox, stop_padding=sp, tp_padding=tp)
+    rng = np.random.default_rng(5)
+    u = rng.uniform(1e-9, 1.0, (3, 1, 3 * W + 1, LANES)).astype(np.float32)
+
+    got = mc_paths_pallas_universe(
+        0, levels3, params_vec, s0, sigma, paths_per_symbol=LANES, num_bars=W,
+        dt=DT, interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (3,)
+    for s in range(3):
+        params_s = EngineParams.default(
+            contact_prox=float(prox[s]), stop_padding=float(sp[s]),
+            tp_padding=float(tp[s]))
+        levels_s = jax.tree_util.tree_map(lambda x: x[s], levels3)
+        want = mc_paths_pallas(
+            0, levels_s, params_s, num_paths=LANES, num_bars=W, sigma=SIGMA,
+            dt=DT, lanes=LANES, interpret=True, external_uniforms=u[s],
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "n_open"):
+            assert float(getattr(got, f)[s]) == float(getattr(want, f)), (s, f)
+        # drift/sig_dt come from host f64 (single kernel, static config) vs
+        # on-device f32 (universe slab) — bars differ by ~1 ulp, so R sums
+        # agree to ~1e-5 relative while every decision (counts, hist) is equal
+        assert float(got.sum_r[s]) == pytest.approx(float(want.sum_r), rel=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(got.hist[s]), np.asarray(want.hist))
+    # knobs actually differ → per-symbol outcomes differ
+    assert len({float(x) for x in np.asarray(got.n_entered)}) > 1
+
+
 def test_universe_kernel_rejects_bad_shapes():
     from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
         mc_paths_pallas_universe,
