@@ -269,16 +269,35 @@ def cmd_paths(args):
             block_paths=min(args.num_paths, 1 << 17), gate=gate,
         )
     elif getattr(args, "engine", False):
-        # the FULL 12-gate engine over generated paths (sim/enginepath.py):
-        # guard/touch-memory/veto/ML/policy gates + target escalation
+        # the FULL 12-gate engine over generated paths (sim/enginepath.py);
+        # on TPU the fused kernel (ops/pallas_engine.py) runs the identical
+        # ladder entirely on-chip
         from ..sim import enginepath as EPATH
 
-        stats, skips, escal = EPATH.mc_paths_engine(
-            jax.random.key(args.seed), levels, params,
-            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-            sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
-            noise=noise,
-        )
+        use_kernel = (backend == "pallas" and noise is None
+                      and len(rows) <= 8 and args.num_bars % 2 == 0
+                      and args.num_bars <= 61)
+        if use_kernel:
+            from ..ops.pallas_engine import ENGINE_BLOCK, mc_paths_pallas_engine
+            from ..types import Levels
+
+            if args.num_paths % ENGINE_BLOCK:
+                raise SystemExit(
+                    f"--num-paths must be a multiple of {ENGINE_BLOCK} "
+                    "for the pallas engine backend")
+            small = Levels.from_rows(rows[:8], max_levels=8)
+            stats, skips, escal = mc_paths_pallas_engine(
+                args.seed, small, params,
+                num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+                sigma=args.sigma,
+            )
+        else:
+            stats, skips, escal = EPATH.mc_paths_engine(
+                jax.random.key(args.seed), levels, params,
+                num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+                sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
+                noise=noise,
+            )
         out = {
             "paths": float(stats.n), "entered": float(stats.n_entered),
             "hit_rate": float(stats.hit_rate), "mean_r": float(stats.mean_r),

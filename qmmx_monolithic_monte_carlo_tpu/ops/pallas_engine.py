@@ -1,0 +1,1077 @@
+"""The FULL 12-gate QMMX engine, fused on-chip (Pallas/TPU).
+
+``sim/enginepath.py`` runs the complete ``evaluate_entry`` ladder
+(qmmx_monolithic.py:1492-1771) + OnlinePolicy gate (:3076-3093) + target
+escalation (:1950-2012) over generated paths in XLA, streaming OHLCV blocks
+through HBM.  This kernel keeps the whole thing in vector registers: bars AND
+volumes are generated in-loop (paired Box-Muller, two bars per draw — one
+pair for price shocks, one for the volume model's lognormal noise), and every
+piece of engine state advances on (8, lanes) f32 tiles:
+
+  lifecycle   side/entry/stop/target/risk0/cooldown/last_dir + equity block
+  contact     per-level fresh-touch latch + counts (gate 7, :1557-1587)
+  touch mem   per-(level, side) count/last_ts/last_px (:1112-1239) with the
+              bounce budget / per-level cooldown / decay multiplier, plus a
+              3-deep per-edge tap stack for edge fatigue — the reference's
+              30-min tap window only ever consults the newest
+              ``fatigue_hits``(=3) in-window taps, and taps age monotonically,
+              so the newest 3 taps ARE the exact window statistic
+  guard       box = running min/max of bar extremes (the 60-min window covers
+              every bar when ``num_bars <= 61`` — enforced; longer horizons
+              stream through the XLA pipeline), 20-slot volume ring for the
+              5/20-bar MAs, regime/inside_count state machine (:1241-1356)
+  exits       5-slot close ring + the volume ring drive should_escalate_on_
+              target (:897-960): volume-trend-toward-level, approach
+              inference, next-level target, stop trailing
+  skips       16 first-fail counters (the log-analyzer's table, per block)
+
+All counters are f32 (small integers exact); bool algebra composes with
+and/or (Mosaic cannot select over i1); per-lane one-hots gather the per-level
+state.  ``decay ** count`` is an unrolled where-product (exact for counts
+<= 8, and counts >= max_bounces are budget-blocked anyway) because lax.pow
+has no stable Mosaic lowering.
+
+Exactness: with injected uniforms the kernel reproduces
+``sim/enginepath.engine_path_replay`` on bars/volumes regenerated from the
+same draws — counts, per-gate skip table and escalations exactly, sums to
+reduction-order ulps (tests/test_pallas_engine.py).  Hardware mode uses the
+per-core PRNG (statistical agreement).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EngineParams
+from ..engine.state import MlModel
+from ..models import online_policy as OP
+from ..ops import guard as G
+from ..ops import touch as T
+from ..ops.features import POLICY_FEATURE_DIM
+from ..ops.pathgen import VolumeModel
+from ..reasons import Reason
+from ..sim.enginepath import SKIP_REASONS
+from ..sim.pathsim import HIST_BINS, LIFE_HIST_HI, LIFE_HIST_LO, PathStats
+from ..types import Levels
+from .pallas_mc import (
+    ROW_HIST,
+    ROW_MAX,
+    ROW_MAXDD,
+    ROW_MIN,
+    ROW_SUM,
+    _BIG,
+    _TWO_PI,
+    _init_acc,
+    _level_rows,
+    _uniform,
+)
+
+ENGINE_SUB = 8
+ENGINE_LANES = 256   # ~145 (8, lanes) f32 state tiles → 1.2 MB at 256 lanes.
+                     # Swept on v5e round 3 (benchmarks/engine_kernel_bench.py,
+                     # 2^24 × 40 bars): 256→33.1M, 512→31.9M, 1024→30.5M
+                     # paths/s — the engine carries ~5× the gated kernel's
+                     # state, so the narrowest tile wins.
+ENGINE_BLOCK = ENGINE_SUB * ENGINE_LANES
+ROW_SKIP = 5         # skip counters cols 0..15, escalations col 16 ('+')
+
+GUARD_WINDOW_BARS = 61   # ops/regular.py GUARD_WINDOW_BARS (60-min box, :1247)
+VOL_RING = 20            # longest volume window (guard MA-20 / minute-close 20)
+CLOSE_RING = 5           # exits: volume-trend lookback 5, approach needs 2
+TAP_SLOTS = 3            # == TouchMemoryParams.fatigue_hits (static, :1127)
+_NEVER = -1e9   # "no prior touch/tap" timestamp sentinel (plain float: a
+                # jnp constant here would be captured by the kernel closure,
+                # which pallas_call rejects)
+
+# 10 uniform blocks per double-bar step: price-normal pair, volume-normal
+# pair, then (u_high, u_low, tie) per half
+DRAWS_PER_PAIR = 10
+
+
+
+def _decay_pow(decay, cnt, max_steps: int = 8):
+    """decay ** cnt as an exact unrolled where-product (cnt a small-int f32
+    tile).  Counts beyond ``max_steps`` saturate — they are budget-blocked
+    (cnt >= max_bounces) before the multiplier is ever used."""
+    out = jnp.ones_like(cnt)
+    for j in range(max_steps):
+        out = out * jnp.where(cnt > jnp.float32(j), decay, 1.0)
+    return out
+
+
+def _sigmoid_clamped(z):
+    """OnlinePolicy ``_sigmoid`` (:20-26): exactly 0/1 outside +/-50."""
+    return jnp.where(z < -50.0, 0.0, jnp.where(z > 50.0, 1.0, jax.nn.sigmoid(z)))
+
+
+def _engine_lifecycle_loop(
+    draw, get_level, *, num_bars, drift, sig_dt, log_s0,
+    eng, ml, pol_w, tm, gd, max_levels, lanes, vm, escalation: bool,
+):
+    """The streaming generate+full-engine loop.
+
+    ``draw(t2, k)`` yields the k-th (8, lanes) uniform block of double-bar
+    step t2 (layout above); ``get_level(i) -> (price, valid, kind)`` scalars;
+    ``eng``/``ml``/``tm``/``gd`` are scalar tuples (engine knobs, ML model,
+    touch params, guard params); ``pol_w`` is the 3×7 policy entry head as
+    nested scalar tuples; ``vm`` the static VolumeModel floats.  Returns the
+    final lifecycle tiles + skip-counter tiles."""
+    s, b = ENGINE_SUB, lanes
+    (prox, stop_pad, tp_pad, qmin, cooldown_ms, enable_veto, veto_strong,
+     veto_prox, disable_ml, use_blend, w_rules_raw, w_ml_raw, confl_within,
+     overtouch_limit, policy_disabled, bar0_minute, has_levels) = eng
+    ml_c0, ml_c1, ml_c2, ml_c3, ml_b, ml_usable = ml
+    (tol_bps, min_gap_ms, min_px_bps, decay, max_bounces,
+     fat_win_ms, fat_vol_k) = tm
+    (g_min_bars, g_comp_bp, g_vol_k, g_clear_bars) = gd
+    vm_base, vm_uamp, vm_sigma, vm_rc, vm_day, vm_open = vm
+    n_skip = len(SKIP_REASONS)
+
+    # ML/blend weight normalization (engine/gates.py:333-335 mirror)
+    s_w = w_rules_raw + w_ml_raw
+    safe_sw = jnp.where(s_w <= 0, 1.0, s_w)
+    w_rules = jnp.where(s_w <= 0, 1.0, w_rules_raw / safe_sw)
+    w_ml = jnp.where(s_w <= 0, 0.0, w_ml_raw / safe_sw)
+
+    # volume-model constants (ops/pathgen.py VolumeModel.volumes mirror)
+    vm_mean_abs = jnp.float32(np.sqrt(2.0 / np.pi))
+    vm_sd_abs = jnp.float32(np.sqrt(1.0 - 2.0 / np.pi))
+
+    # per-level static scalars
+    lvl = [get_level(i) for i in range(max_levels)]
+    lvl_round = [jnp.round(lp * 100.0) / 100.0 for lp, _, _ in lvl]
+
+    zero = jnp.zeros((s, b), jnp.float32)
+
+    def zs(n):
+        return tuple(zero for _ in range(n))
+
+    # The bar-history rings are SINGLE (slots*8, lanes) carries shifted along
+    # the sublane axis, not tuples of (8, lanes) tiles: a tuple ring is a
+    # pure-copy shift chain (slot j := old slot j-1) whose deep slots Mosaic's
+    # loop layout inference pins to the replicated constant-init layout, then
+    # fails with an invalid tile→replicated relayout once real data reaches
+    # them.  One array carry has one layout and the shift is a concat+slice.
+    def ring_push(ring, new):
+        return jnp.concatenate([new, ring[:-s]], axis=0)
+
+    def ring_slot(ring, j):
+        return ring[s * j:s * (j + 1)]
+
+    init = (
+        zero + log_s0,                 # log_s
+        jnp.exp(zero + log_s0),        # prev_c (== open[0] bitwise)
+        zero,                          # side
+        zero, zero, zero, zero,        # entry / stop / target / risk0
+        zero + _NEVER,                 # cooldown_until_ms (expired)
+        zero,                          # last_dir (DIR_UNKNOWN)
+        zero, zero, zero,              # equity / peak / dd
+        zero, zero, zero, zero,        # trades / wins / losses / escal
+        zs(max_levels),                # contact counts
+        zs(max_levels),                # contact latch (0/1)
+        zs(2 * max_levels),            # touch count   [i*2 + side]
+        tuple(zero + _NEVER for _ in range(2 * max_levels)),  # touch last_ts
+        zs(2 * max_levels),            # touch last_px
+        tuple(zero + _NEVER for _ in range(2 * TAP_SLOTS)),   # tap ts [e*3+k]
+        zs(2 * TAP_SLOTS),             # tap ratio
+        zero + jnp.float32(_BIG),      # guard running min low
+        zero - jnp.float32(_BIG),      # guard running max high
+        zero, zero, zero,              # box_low / box_high / box_valid
+        zero, zero,                    # regime / inside_count
+        jnp.zeros((VOL_RING * s, b), jnp.float32),    # volume ring (newest-first)
+        jnp.zeros((CLOSE_RING * s, b), jnp.float32),  # close ring (newest-first)
+        zs(n_skip),                    # skip counters
+    )
+
+    def body(t2, st):
+        u1 = draw(t2, 0)
+        u2 = draw(t2, 1)
+        radius = jnp.sqrt(-2.0 * jnp.log(u1))
+        angle = _TWO_PI * u2
+        z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+        uv1 = draw(t2, 2)
+        uv2 = draw(t2, 3)
+        vradius = jnp.sqrt(-2.0 * jnp.log(uv1))
+        vangle = _TWO_PI * uv2
+        zv_pair = (vradius * jnp.cos(vangle), vradius * jnp.sin(vangle))
+        for half in range(2):
+            t_i = 2 * t2 + half
+            st = _one_bar(
+                st, t_i, z_pair[half], zv_pair[half],
+                draw(t2, 4 + 3 * half), draw(t2, 5 + 3 * half),
+                draw(t2, 6 + 3 * half),
+            )
+        return st
+
+    def _one_bar(st, t_i, z, zv, u3, u4, tie):
+        (log_s, prev_c, side, entry, stop, target, risk0, cooldown_until,
+         last_dir, equity, peak, dd, trades, wins, losses, escal,
+         c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
+         run_low, run_high, box_low, box_high, box_valid, regime,
+         inside_cnt, ring_v, ring_c, skips) = st
+        t_f = t_i.astype(jnp.float32)
+        now_ms = t_f * 60000.0
+        # bars held by the rings during entry eval: 0..t-1 (stage D pushes t)
+        n_hist = t_f   # == min(t, ring) for every window that matters (<= 20)
+
+        # ---- generate this bar (streaming GBM + bridge extremes + volume) --
+        incr = drift + sig_dt * z
+        log_open = log_s
+        log_close = log_s + incr
+        c = jnp.exp(log_close)
+        sig2dt = sig_dt * sig_dt
+        d2 = (log_close - log_open) ** 2
+        h = jnp.exp(0.5 * (log_open + log_close
+                           + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
+        low = jnp.exp(0.5 * (log_open + log_close
+                             - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
+        # VolumeModel.volumes (ops/pathgen.py:75-94) per bar
+        m_min = jnp.mod(jnp.float32(vm_open) + t_f, jnp.float32(vm_day))
+        x_u = 2.0 * m_min / jnp.float32(max(vm_day - 1, 1)) - 1.0
+        ushape = 1.0 + jnp.float32(vm_uamp) * (x_u * x_u - jnp.float32(1.0 / 3.0))
+        vnoise = jnp.exp(jnp.float32(vm_sigma) * zv
+                         - 0.5 * jnp.float32(vm_sigma) * jnp.float32(vm_sigma))
+        v = jnp.float32(vm_base) * ushape * vnoise
+        if vm_rc != 0.0:
+            v = v * (1.0 + jnp.float32(vm_rc) * ((jnp.abs(z) - vm_mean_abs)
+                                                 / vm_sd_abs))
+        v = jnp.maximum(v, jnp.float32(0.05 * vm_base))
+
+
+        # ---- B) position management (enginepath step, :2966-3014) ----------
+        is_open = side != 0.0
+        is_long = side > 0.0
+        op_long = jnp.logical_and(is_open, is_long)
+        op_short = jnp.logical_and(is_open, jnp.logical_not(is_long))
+        stop_hit = jnp.logical_or(jnp.logical_and(op_long, low <= stop),
+                                  jnp.logical_and(op_short, h >= stop))
+        tgt_hit = jnp.logical_or(jnp.logical_and(op_long, h >= target),
+                                 jnp.logical_and(op_short, low <= target))
+        both = jnp.logical_and(stop_hit, tgt_hit)
+        up_span = jnp.maximum(0.0, h - entry)
+        dn_span = jnp.maximum(0.0, entry - low)
+        p_tp = up_span / (up_span + dn_span + 1e-9)
+        target_first = jnp.logical_or(
+            jnp.logical_and(both, tie < p_tp),
+            jnp.logical_and(tgt_hit, jnp.logical_not(stop_hit)),
+        )
+        hit = jnp.logical_or(stop_hit, tgt_hit)
+
+        if escalation:
+            esc_go, esc_tgt, esc_trail = _escalation(
+                side=side, is_long=is_long, entry=entry, c=c,
+                ring_c=ring_c, ring_v=ring_v, n_hist=n_hist)
+            near_target = jnp.abs(c - target) <= prox
+            escalate = jnp.logical_and(
+                jnp.logical_and(jnp.logical_and(hit, target_first), near_target),
+                esc_go)
+        else:
+            escalate = jnp.zeros((s, b), bool)
+
+        closed = jnp.logical_and(hit, jnp.logical_not(escalate))
+        closed_f = closed.astype(jnp.float32)
+        exit_px = jnp.where(target_first, target, stop)
+        pnl = closed_f * jnp.where(is_long, exit_px - entry, entry - exit_px)
+        r = closed_f * (pnl / jnp.maximum(risk0, 1e-9))
+        equity = equity + r
+        peak = jnp.maximum(peak, equity)
+        dd = jnp.maximum(dd, peak - equity)
+        wins = wins + jnp.logical_and(closed, pnl > 0).astype(jnp.float32)
+        losses = losses + jnp.logical_and(closed, pnl <= 0).astype(jnp.float32)
+        if escalation:
+            stop = jnp.where(escalate, esc_trail, stop)
+            target = jnp.where(escalate, esc_tgt, target)
+            escal = escal + escalate.astype(jnp.float32)
+        side = side * (1.0 - closed_f)
+        cooldown_until = jnp.where(closed, now_ms + cooldown_ms, cooldown_until)
+
+
+        # ---- C) the 12-gate ladder at the close (:1492-1771 + :3046-3112) --
+        was_flat = jnp.logical_not(is_open)
+        reason = zero  # Reason.OK == 0
+
+        def first_fail(reason, fail, code):
+            return jnp.where(
+                jnp.logical_and(reason == 0.0, fail), jnp.float32(int(code)),
+                reason)
+
+        reason = first_fail(reason, jnp.logical_not(was_flat), Reason.IN_POSITION)
+        reason = first_fail(reason, now_ms < cooldown_until, Reason.COOLDOWN)
+        reason = first_fail(reason, has_levels < 0.5, Reason.NOLEVELS)
+        # 5) direction (eps band; flat tick reuses last direction, :1529-1540)
+        eps = jnp.float32(1e-9)
+        up = c > prev_c + eps
+        down = c < prev_c - eps
+        t_pos = t_f > 0.0
+        direction = jnp.where(up, 1.0, jnp.where(down, -1.0, last_dir))
+        direction = direction * t_pos.astype(jnp.float32)  # t=0 → UNKNOWN
+        reason = first_fail(reason, direction == 0.0, Reason.DIR_UNKNOWN)
+        # 6) nearest level (first-min tie-break) / TOO_FAR
+        inf = jnp.float32(_BIG)
+        best_d = jnp.full((s, b), inf, jnp.float32)
+        best_p = zero
+        best_k = zero
+        best_i = zero
+        for i in range(max_levels):
+            lp, lv, lk = lvl[i]
+            d = jnp.where(lv > 0, jnp.abs(c - lp), inf)
+            take = d < best_d
+            best_p = jnp.where(take, lp, best_p)
+            best_k = jnp.where(take, lk, best_k)
+            best_i = jnp.where(take, jnp.float32(i), best_i)
+            best_d = jnp.where(take, d, best_d)
+        reason = first_fail(reason, best_d > prox, Reason.TOO_FAR)
+
+        # 7) contact latch + LEVEL_OVERTOUCHED (:1557-1587); mutates exactly
+        # when gates 2-6 passed
+        reached7 = reason == 0.0
+        tc = zero
+        ohs = []
+        c_counts2, c_latch2 = [], []
+        for i in range(max_levels):
+            lp, lv, _ = lvl[i]
+            oh = (best_i == jnp.float32(i)).astype(jnp.float32)
+            ohs.append(oh)
+            d_i = jnp.where(lv > 0, jnp.abs(lp - c), inf)
+            inside = d_i <= prox
+            is_near = oh > 0.0
+            latch_b = c_latch[i] > 0.0
+            fresh = jnp.logical_and(
+                is_near, jnp.logical_and(inside, jnp.logical_not(latch_b)))
+            cnt_new = c_counts[i] + fresh.astype(jnp.float32)
+            latch_new = jnp.logical_or(
+                jnp.logical_and(is_near, inside),
+                jnp.logical_and(jnp.logical_not(is_near),
+                                jnp.logical_and(latch_b, inside)))
+            latch_new = jnp.logical_and(latch_new, lv > 0)
+            cnt_i = jnp.where(reached7, cnt_new, c_counts[i])
+            lat_i = jnp.where(reached7, latch_new.astype(jnp.float32), c_latch[i])
+            c_counts2.append(cnt_i)
+            c_latch2.append(lat_i)
+            tc = tc + cnt_i * oh
+        c_counts = tuple(c_counts2)
+        c_latch = tuple(c_latch2)
+        reason = first_fail(reason, tc >= overtouch_limit,
+                            Reason.LEVEL_OVERTOUCHED)
+
+        # 7b) accumulation gates (:1589-1621)
+        accumulating = regime == jnp.float32(G.REGIME_ACCUMULATION)
+
+        def edge_fatigued(e):
+            # newest 3 taps == the window statistic (see module docstring)
+            in_w = [tap_ts[e * TAP_SLOTS + k] >= now_ms - fat_win_ms
+                    for k in range(TAP_SLOTS)]
+            n3 = in_w[TAP_SLOTS - 1]  # oldest slot in window → >= 3 in window
+            avg = (tap_ratio[e * TAP_SLOTS + 0] + tap_ratio[e * TAP_SLOTS + 1]
+                   + tap_ratio[e * TAP_SLOTS + 2]) / 3.0
+            return jnp.logical_and(n3, avg >= fat_vol_k)
+
+        fat_top = edge_fatigued(0)
+        fat_bot = edge_fatigued(1)
+        fatigued_edge = jnp.where(fat_top, jnp.float32(T.EDGE_TOP),
+                                  jnp.where(fat_bot, jnp.float32(T.EDGE_BOT),
+                                            jnp.float32(T.EDGE_NONE)))
+        edge_for_this = jnp.where(direction < 0.0, jnp.float32(T.EDGE_TOP),
+                                  jnp.float32(T.EDGE_BOT))
+        reason = first_fail(
+            reason,
+            jnp.logical_and(accumulating, fatigued_edge == edge_for_this),
+            Reason.EDGE_FATIGUE)
+        # touch_allow (:1222-1239): gather (nearest level, trade side)
+        is_short_dir = direction < 0.0   # T.TM_SHORT when approaching down
+        tmc = zero
+        tmts = zero + _NEVER
+        for i in range(max_levels):
+            cnt_side = jnp.where(is_short_dir, tm_cnt[2 * i + 1], tm_cnt[2 * i])
+            ts_side = jnp.where(is_short_dir, tm_ts[2 * i + 1], tm_ts[2 * i])
+            tmc = tmc + cnt_side * ohs[i]
+            tmts = jnp.where(ohs[i] > 0.0, ts_side, tmts)
+        budget_blocked = tmc >= max_bounces
+        has_tm = tmts > jnp.float32(-5e8)
+        cooldown_blocked = jnp.logical_and(has_tm, now_ms - tmts < min_gap_ms)
+        tm_ok = jnp.logical_not(jnp.logical_or(budget_blocked, cooldown_blocked))
+        tm_fail = jnp.logical_and(accumulating, jnp.logical_not(tm_ok))
+        reason = first_fail(reason, jnp.logical_and(tm_fail, budget_blocked),
+                            Reason.TOUCH_BUDGET)
+        reason = first_fail(
+            reason, jnp.logical_and(tm_fail, jnp.logical_not(budget_blocked)),
+            Reason.TOUCH_COOLDOWN)
+        decay_mult = jnp.where(
+            jnp.logical_and(accumulating, tm_ok),
+            jnp.where(tm_ok, _decay_pow(decay, tmc), 1.0), 1.0)
+
+        # 8) confidence × decay (:1626-1641 via :1415-1427)
+        conf = jnp.maximum(0.0, 1.0 - best_d / jnp.maximum(jnp.float32(1e-4), prox))
+        conf = conf + jnp.where(best_k > 0.5, 0.08, 0.02)
+        conf = conf + jnp.where(tc <= 1.0, 0.10,
+                                jnp.where(tc == 2.0, -0.08, -0.16))
+        conf = conf + jnp.where(direction != 0.0, 0.03, 0.0)
+        conf = jnp.clip(conf, 0.0, 1.0) * decay_mult
+        reason = first_fail(reason, conf < qmin, Reason.CONF_LOW)
+
+
+        # 9) side + clean scaffold; 9b) breakout counter-trend (:1652-1666)
+        go_long = direction > 0.0
+        stop_clean = jnp.where(go_long, best_p - stop_pad, best_p + stop_pad)
+        blocked = jnp.logical_or(
+            jnp.logical_and(regime == jnp.float32(G.REGIME_BREAKOUT_UP),
+                            jnp.logical_not(go_long)),
+            jnp.logical_and(regime == jnp.float32(G.REGIME_BREAKOUT_DOWN),
+                            go_long))
+        reason = first_fail(reason, blocked, Reason.ACC_BREAKOUT_GATE)
+
+        # 10) soft volume veto (:1773-1794); slope over the last 6 volumes
+        vslope = _volume_slope6(ring_v, n_hist)
+        confl_veto = _confluence_count(best_p, confl_within) >= 2.0
+        weak = jnp.logical_and(jnp.abs(vslope) < 0.05,
+                               jnp.logical_not(confl_veto))
+        near_v = best_d <= jnp.maximum(veto_prox, prox * 0.12)
+        # approach_from_below == direction DIR_UP (incl. last-dir reuse), NOT
+        # the raw eps-band `up` of this tick (enginepath.py:324); i1 selects
+        # compose with and/or (Mosaic cannot trunci to i1)
+        dir_up = direction > 0.0
+        dir_dn = jnp.logical_not(dir_up)
+        contra_long = jnp.logical_or(
+            jnp.logical_and(dir_up, vslope < -veto_strong),
+            jnp.logical_and(dir_dn, vslope > veto_strong))
+        contra_short = jnp.logical_or(
+            jnp.logical_and(dir_up, vslope > veto_strong),
+            jnp.logical_and(dir_dn, vslope < -veto_strong))
+        veto_long = jnp.logical_and(jnp.logical_and(near_v, go_long), contra_long)
+        veto_short = jnp.logical_and(
+            jnp.logical_and(near_v, jnp.logical_not(go_long)), contra_short)
+        vetoed = jnp.logical_and(jnp.logical_not(weak),
+                                 jnp.logical_or(veto_long, veto_short))
+        veto_fail = jnp.logical_and(enable_veto > 0.5, vetoed)
+        veto_code = jnp.where(veto_long, jnp.float32(int(Reason.CONTRA_VOL_LONG)),
+                              jnp.float32(int(Reason.CONTRA_VOL_SHORT)))
+        reason = jnp.where(jnp.logical_and(reason == 0.0, veto_fail),
+                           veto_code, reason)
+
+        # 11) ML / blended gate (:1707-1756 via :1454-1466)
+        zml = (ml_c0 * best_k + ml_c1 * jnp.abs(best_p - stop_clean)
+               + ml_c2 * tc + ml_c3 * go_long.astype(jnp.float32) + ml_b)
+        ml_proba = jax.nn.sigmoid(zml)
+        usable = ml_usable > 0.5
+        ok_ml = jnp.logical_or(jnp.logical_not(usable), ml_proba >= qmin)
+        ran_ml = disable_ml < 0.5
+        mlp = jnp.where(jnp.logical_and(ran_ml, usable), ml_proba, conf)
+        blended = w_rules * conf + w_ml * mlp
+        reason = first_fail(
+            reason,
+            jnp.logical_and(use_blend > 0.5, blended < qmin),
+            Reason.COMBINED_LOW)
+        reason = first_fail(
+            reason,
+            jnp.logical_and(use_blend < 0.5,
+                            jnp.logical_and(ran_ml, jnp.logical_not(ok_ml))),
+            Reason.ML_CONF_LOW)
+
+        # 12) OnlinePolicy two-head gate (:3046-3112); features :308-331
+        x1 = jnp.minimum(1.0, best_d)
+        confl_pol = (_confluence_count(best_p, jnp.float32(0.6)) > 1.0
+                     ).astype(jnp.float32)
+        x6 = jnp.minimum(1.0, (bar0_minute + t_f) / 390.0)
+        glf = go_long.astype(jnp.float32)
+        feats = (jnp.ones_like(x1), x1, zero, 1.0 - glf, glf, confl_pol, x6)
+
+        def pol_score(a):
+            zp = zero
+            for d_i in range(POLICY_FEATURE_DIM):
+                zp = zp + pol_w[a][d_i] * feats[d_i]
+            return _sigmoid_clamped(zp)
+
+        s_long, s_short, s_skip = pol_score(0), pol_score(1), pol_score(2)
+        chosen = jnp.where(go_long, s_long, s_short)
+        pol_pass = jnp.logical_or(
+            policy_disabled > 0.5,
+            jnp.logical_and(chosen >= 0.60, s_skip < 0.55))
+        reason = first_fail(reason, jnp.logical_not(pol_pass),
+                            Reason.ONLINE_POLICY)
+
+        enter = reason == 0.0
+        skips = tuple(
+            skips[k] + (reason == jnp.float32(int(code))).astype(jnp.float32)
+            for k, code in enumerate(SKIP_REASONS))
+
+        enter_f = enter.astype(jnp.float32)
+        new_side = jnp.where(go_long, 1.0, -1.0)
+        tgt_new = jnp.where(go_long, best_p + tp_pad, best_p - tp_pad)
+        side = jnp.where(enter, new_side, side)
+        entry = jnp.where(enter, c, entry)
+        stop = jnp.where(enter, stop_clean, stop)
+        target = jnp.where(enter, tgt_new, target)
+        risk0 = jnp.where(enter, jnp.abs(c - stop_clean), risk0)
+        trades = trades + enter_f
+
+        # direction state (:2952-2955): exact != (no eps band)
+        moved = jnp.logical_and(t_pos, c != prev_c)
+        last_dir = jnp.where(moved, jnp.where(c > prev_c, 1.0, -1.0), last_dir)
+
+
+        # ---- D) minute close of bar t (:1813-1855) -------------------------
+        ring_v = ring_push(ring_v, v)
+        ring_c = ring_push(ring_c, c)
+        n_after = t_f + 1.0
+        # minute-close MAs (denominator max(1, min(k, n)), :1827)
+        vol_ma_s = _ring_tail_mean(ring_v, n_after, 5)
+        vol_ma_l = _ring_tail_mean(ring_v, n_after, VOL_RING)
+        # guard push (:1268-1339): window == all bars (num_bars <= 61)
+        run_low = jnp.minimum(run_low, low)
+        run_high = jnp.maximum(run_high, h)
+        box_height = run_high - run_low
+        compress_thresh = c * (g_comp_bp / 10000.0)
+        gma_s, s_def = _guard_win_mean(ring_v, n_after, 5)
+        gma_l, l_def = _guard_win_mean(ring_v, n_after, VOL_RING)
+        mas_ok = jnp.logical_and(jnp.logical_and(s_def, gma_s != 0.0),
+                                 jnp.logical_and(l_def, gma_l != 0.0))
+        in_breakout = jnp.logical_or(
+            regime == jnp.float32(G.REGIME_BREAKOUT_UP),
+            regime == jnp.float32(G.REGIME_BREAKOUT_DOWN))
+        compressed = box_height <= jnp.maximum(1e-6, compress_thresh)
+        regime = jnp.where(
+            in_breakout, regime,
+            jnp.where(compressed, jnp.float32(G.REGIME_ACCUMULATION),
+                      jnp.float32(G.REGIME_UNKNOWN)))
+        box_low = jnp.where(compressed, run_low, box_low)
+        box_high = jnp.where(compressed, run_high, box_high)
+        box_valid = jnp.maximum(box_valid, compressed.astype(jnp.float32))
+        spike = jnp.logical_and(mas_ok, gma_s > g_vol_k * gma_l)
+        can_check = jnp.logical_and(box_valid > 0.5, mas_ok)
+        bo_up = jnp.logical_and(
+            can_check, jnp.logical_and(c > box_high + 1e-6, spike))
+        bo_dn = jnp.logical_and(
+            jnp.logical_and(can_check, jnp.logical_not(bo_up)),
+            jnp.logical_and(c < box_low - 1e-6, spike))
+        regime = jnp.where(bo_up, jnp.float32(G.REGIME_BREAKOUT_UP),
+                           jnp.where(bo_dn, jnp.float32(G.REGIME_BREAKOUT_DOWN),
+                                     regime))
+        inside_cnt = jnp.where(jnp.logical_or(bo_up, bo_dn), 0.0, inside_cnt)
+        in_bo2 = jnp.logical_or(
+            regime == jnp.float32(G.REGIME_BREAKOUT_UP),
+            regime == jnp.float32(G.REGIME_BREAKOUT_DOWN))
+        inside = jnp.logical_and(box_low <= c, c <= box_high)
+        do_track = jnp.logical_and(in_bo2, box_valid > 0.5)
+        inside_cnt = jnp.where(
+            do_track, jnp.where(inside, inside_cnt + 1.0, 0.0), inside_cnt)
+        cleared = jnp.logical_and(
+            do_track, jnp.logical_and(inside, inside_cnt >= g_clear_bars))
+        regime = jnp.where(cleared, jnp.float32(G.REGIME_ACCUMULATION), regime)
+        # too-few-bars reset (REGIME_UNKNOWN == 0): scalar-predicate select
+        # as a blend (see _guard_win_mean note)
+        enough = (n_after >= g_min_bars).astype(jnp.float32)
+        regime = regime * enough
+        box_valid = box_valid * enough
+        inside_cnt = inside_cnt * enough
+
+
+        # touch_register on the finished bar (:1158-1197)
+        acc_now = regime == jnp.float32(G.REGIME_ACCUMULATION)
+        tm_cnt2, tm_ts2, tm_px2 = [], [], []
+        for i in range(max_levels):
+            lp, lv, _ = lvl[i]
+            lr = lvl_round[i]
+            valid_i = lv > 0
+            pierced = jnp.logical_and(low - 1e-9 <= lr, lr <= h + 1e-9)
+            bps_c = jnp.where(lr <= 0, 0.0, jnp.abs(c - lr) / lr * 1e4)
+            near_i = jnp.logical_and(
+                jnp.logical_or(pierced, bps_c <= tol_bps), valid_i)
+            hit_i = jnp.logical_and(near_i, acc_now)
+            side_short = c > lr
+            for sd in range(2):
+                j = 2 * i + sd
+                hit_sd = jnp.logical_and(
+                    hit_i, side_short if sd == 1 else jnp.logical_not(side_short))
+                has_j = tm_ts[j] > jnp.float32(-5e8)
+                too_soon = jnp.logical_and(has_j, now_ms - tm_ts[j] < min_gap_ms)
+                bps_last = jnp.where(tm_px[j] <= 0, 0.0,
+                                     jnp.abs(c - tm_px[j]) / tm_px[j] * 1e4)
+                too_close = jnp.logical_and(has_j, bps_last < min_px_bps)
+                counted = jnp.logical_and(
+                    hit_sd,
+                    jnp.logical_not(jnp.logical_or(too_soon, too_close)))
+                tm_cnt2.append(tm_cnt[j] + counted.astype(jnp.float32))
+                tm_ts2.append(jnp.where(counted, now_ms, tm_ts[j]))
+                tm_px2.append(jnp.where(counted, c, tm_px[j]))
+        tm_cnt, tm_ts, tm_px = tuple(tm_cnt2), tuple(tm_ts2), tuple(tm_px2)
+
+        # edge taps (:1189-1197) from the minute-close MAs
+        ratio_ok = jnp.logical_and(vol_ma_s != 0.0, vol_ma_l > 0.0)
+        ratio = jnp.where(ratio_ok, vol_ma_s / jnp.maximum(vol_ma_l, 1e-30), 1.0)
+        at_top = jnp.logical_and(
+            jnp.logical_and(box_valid > 0.5, h >= box_high - 1e-9), acc_now)
+        at_bot = jnp.logical_and(
+            jnp.logical_and(box_valid > 0.5, low <= box_low + 1e-9), acc_now)
+        tap_ts2 = list(tap_ts)
+        tap_ratio2 = list(tap_ratio)
+        for e, do_edge in enumerate((at_top, at_bot)):
+            o = e * TAP_SLOTS
+            for k in range(TAP_SLOTS - 1, 0, -1):
+                tap_ts2[o + k] = jnp.where(do_edge, tap_ts[o + k - 1],
+                                           tap_ts[o + k])
+                tap_ratio2[o + k] = jnp.where(do_edge, tap_ratio[o + k - 1],
+                                              tap_ratio[o + k])
+            tap_ts2[o] = jnp.where(do_edge, now_ms, tap_ts[o])
+            tap_ratio2[o] = jnp.where(do_edge, ratio, tap_ratio[o])
+        # breakout resets the touch box (:1154-1156 via enginepath D)
+        breakout = jnp.logical_or(
+            regime == jnp.float32(G.REGIME_BREAKOUT_UP),
+            regime == jnp.float32(G.REGIME_BREAKOUT_DOWN))
+        bf = breakout.astype(jnp.float32)
+        keep = 1.0 - bf
+        tm_cnt = tuple(x * keep for x in tm_cnt)
+        tm_ts = tuple(jnp.where(breakout, _NEVER, x) for x in tm_ts)
+        tm_px = tuple(x * keep for x in tm_px)
+        tap_ts = tuple(jnp.where(breakout, _NEVER, x) for x in tap_ts2)
+        tap_ratio = tuple(x * keep for x in tap_ratio2)
+
+        return (log_close, c, side, entry, stop, target, risk0, cooldown_until,
+                last_dir, equity, peak, dd, trades, wins, losses, escal,
+                c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
+                run_low, run_high, box_low, box_high, box_valid, regime,
+                inside_cnt, ring_v, ring_c, skips)
+
+    def _confluence_count(anchor, within):
+        cnt = zero
+        for i in range(max_levels):
+            lp, lv, _ = lvl[i]
+            near = jnp.logical_and(jnp.abs(lp - anchor) <= within, lv > 0)
+            cnt = cnt + near.astype(jnp.float32)
+        return cnt
+
+    def _ring_tail_mean(ring, n_bars, k):
+        """_on_minute_close MA (:1827): mean of newest min(k, n) slots with
+        denominator max(1, min(k, n)).  n_bars is a traced scalar."""
+        kk = jnp.minimum(jnp.float32(k), n_bars)
+        ssum = zero
+        for slot in range(k):
+            w = (jnp.float32(slot) < kk).astype(jnp.float32)
+            ssum = ssum + ring_slot(ring, slot) * w
+        return ssum / jnp.maximum(1.0, kk)
+
+    def _guard_win_mean(ring, n_bars, k):
+        """Guard-internal MA (:1279-1283): defined only at >= k bars, mean
+        over exactly the newest k.  The masked select is an arithmetic blend:
+        a scalar-predicate jnp.where over a tile operand makes Mosaic demand
+        an impossible replicated relayout of the tile."""
+        defined = n_bars >= jnp.float32(k)
+        ssum = zero
+        for slot in range(k):
+            ssum = ssum + ring_slot(ring, slot)
+        mean = ssum / jnp.float32(k)
+        return mean * defined.astype(jnp.float32), defined
+
+    def _volume_slope6(ring, n_bars):
+        """_calc_volume_slope (:1796-1811), window 6 over the newest-first
+        volume ring holding bars <= t-1 (n_bars of them)."""
+        n = jnp.minimum(n_bars, jnp.float32(VOL_RING))
+        m = jnp.minimum(jnp.float32(6.0), n)
+        half = jnp.maximum(2.0, jnp.floor(m / 2.0))
+        # newest-first slot j holds window-index (m-1-j), oldest == index 0
+        v1 = zero
+        v2 = zero
+        for j in range(6):
+            jf = jnp.float32(j)
+            in_win = jf < m
+            idx = (m - 1.0) - jf
+            w1 = jnp.logical_and(in_win, idx < half).astype(jnp.float32)
+            w2 = jnp.logical_and(in_win, idx >= m - half).astype(jnp.float32)
+            v1 = v1 + ring_slot(ring, j) * w1
+            v2 = v2 + ring_slot(ring, j) * w2
+        v1 = v1 / half
+        v2 = v2 / half
+        slope = (v2 - v1) / (jnp.abs(v1) + 1e-9)
+        slope = jnp.where(jnp.logical_and(v1 == 0.0, v2 == 0.0), 0.0, slope)
+        # scalar-predicate select as a blend (see _guard_win_mean note)
+        return slope * (n >= 3.0).astype(jnp.float32)
+
+    def _escalation(*, side, is_long, entry, c, ring_c, ring_v, n_hist):
+        """should_escalate_on_target (:897-960) on the pre-push rings."""
+        pw = jnp.float32(0.35)       # PROXIMITY_WINDOW (:704-718)
+        # nearest level to the CURRENT price (should_exit :754-895)
+        inf = jnp.float32(_BIG)
+        bd = jnp.full((s, b), inf, jnp.float32)
+        bp = zero
+        for i in range(max_levels):
+            lp, lv, _ = lvl[i]
+            d = jnp.where(lv > 0, jnp.abs(c - lp), inf)
+            take = d < bd
+            bp = jnp.where(take, lp, bp)
+            bd = jnp.where(take, d, bd)
+        near = bd <= pw
+        # approach: last two ring closes (infer_approach :554-565)
+        p2 = ring_slot(ring_c, 0)
+        p1 = ring_slot(ring_c, 1)
+        toward = jnp.abs(p2 - bp) < jnp.abs(p1 - bp)
+        inferred_ok = jnp.logical_and(n_hist >= 2.0, toward)
+        # from_above when price > level; bool select via and/or (no i1 where)
+        appr_from_below = jnp.logical_or(
+            jnp.logical_and(inferred_ok, p1 <= bp),
+            jnp.logical_and(jnp.logical_not(inferred_ok), c <= bp))
+        # volume trend toward the level over the last 5 bars (:567-601)
+        n5 = jnp.minimum(n_hist, jnp.float32(CLOSE_RING))
+        trend_def = n_hist >= jnp.float32(CLOSE_RING)
+        # oldest→newest order: slot (n5-1) .. 0; toward-kept mask per slot
+        sel = []
+        for j in range(CLOSE_RING):       # j = newest-first slot
+            jf = jnp.float32(j)
+            in_win = jf < n5
+            is_first = jf == n5 - 1.0     # oldest in window
+            d_j = jnp.abs(ring_slot(ring_c, j) - bp)
+            d_prev = jnp.abs(ring_slot(ring_c, min(j + 1, CLOSE_RING - 1)) - bp)
+            keep = jnp.logical_or(is_first, d_j <= d_prev)
+            sel.append(jnp.logical_and(in_win, keep))
+        cnt = zero
+        for j in range(CLOSE_RING):
+            cnt = cnt + sel[j].astype(jnp.float32)
+        use_all = cnt < 3.0               # min_bars_for_trend
+        msel = [jnp.where(use_all, (jnp.float32(j) < n5).astype(jnp.float32),
+                          sel[j].astype(jnp.float32))
+                for j in range(CLOSE_RING)]
+        mcnt = jnp.where(use_all, n5, cnt)
+        # halves averages, k = max(2, cnt//2); order index counts oldest-first
+        k2 = jnp.maximum(2.0, jnp.floor(mcnt / 2.0))
+        first_sum = zero
+        last_sum = zero
+        older = zero  # number of selected slots OLDER than slot j
+        for j in range(CLOSE_RING - 1, -1, -1):   # oldest → newest
+            w = msel[j]
+            in_first = (older < k2).astype(jnp.float32) * w
+            in_last = (older >= mcnt - k2).astype(jnp.float32) * w
+            first_sum = first_sum + ring_slot(ring_v, j) * in_first
+            last_sum = last_sum + ring_slot(ring_v, j) * in_last
+            older = older + w
+        trend = (last_sum - first_sum) / k2
+        # scalar-predicate select as a blend (see _guard_win_mean note)
+        vol_trend = trend * trend_def.astype(jnp.float32)
+        reversal = vol_trend < 0.0
+        # direction the predicted move points (:830-831, :865-866); the
+        # nested bool selects compose with and/or (no i1 where in Mosaic):
+        # reversal bounces DOWN when approaching from below; continuation
+        # punches DOWN when approaching from above — the move is against the
+        # trade when it points down for longs / up for shorts
+        move_down = jnp.logical_or(
+            jnp.logical_and(reversal, appr_from_below),
+            jnp.logical_and(jnp.logical_not(reversal),
+                            jnp.logical_not(appr_from_below)))
+        against = jnp.logical_or(
+            jnp.logical_and(is_long, move_down),
+            jnp.logical_and(jnp.logical_not(is_long),
+                            jnp.logical_not(move_down)))
+        level_valid = jnp.logical_and(has_levels > 0.5, near)
+        can_decide = jnp.logical_and(level_valid, trend_def)
+        do_exit = jnp.logical_and(can_decide, against)
+        continuation = jnp.logical_and(can_decide, jnp.logical_not(reversal))
+        # next level beyond the anchor (:1038-1049)
+        anchor = jnp.where(level_valid, bp, c)
+        eps = jnp.float32(1e-9)
+        up_px = jnp.full((s, b), inf, jnp.float32)
+        dn_px = jnp.full((s, b), -inf, jnp.float32)
+        any_up = jnp.zeros((s, b), bool)
+        any_dn = jnp.zeros((s, b), bool)
+        for i in range(max_levels):
+            lp, lv, _ = lvl[i]
+            hi = jnp.logical_and(lv > 0, lp > anchor + eps)
+            lo = jnp.logical_and(lv > 0, lp < anchor - eps)
+            up_px = jnp.where(hi, jnp.minimum(up_px, lp), up_px)
+            dn_px = jnp.where(lo, jnp.maximum(dn_px, lp), dn_px)
+            any_up = jnp.logical_or(any_up, hi)
+            any_dn = jnp.logical_or(any_dn, lo)
+        nxt = jnp.where(is_long, up_px, dn_px)
+        found = jnp.logical_or(jnp.logical_and(is_long, any_up),
+                               jnp.logical_and(jnp.logical_not(is_long), any_dn))
+        trail = jnp.where(is_long, jnp.maximum(entry, anchor - pw),
+                          jnp.minimum(entry, anchor + pw))
+        trail = jnp.round(trail * 100.0) / 100.0   # cents (:952)
+        go = jnp.logical_and(
+            jnp.logical_and(jnp.logical_not(do_exit), continuation), found)
+        return go, nxt, trail
+
+    final = jax.lax.fori_loop(0, num_bars // 2, body, init)
+    (_, _, side, _, _, _, _, _, _, equity, _, dd, trades, wins, losses, escal,
+     *_rest) = final
+    skips = final[-1]
+    return side, equity, dd, trades, wins, losses, escal, skips
+
+
+def _engine_accumulate(acc_ref, final, *, n_paths: int) -> None:
+    side, equity, dd, trades, wins, losses, escal, skips = final
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    entered = trades > 0.0
+    we = entered.astype(jnp.float32)
+    scalars = (
+        jnp.float32(n_paths), jnp.sum(we), jnp.sum(wins), jnp.sum(losses),
+        jnp.sum((side != 0.0).astype(jnp.float32)),
+        jnp.sum(equity), jnp.sum(equity * equity),
+        jnp.sum(trades), jnp.sum(dd),
+    )
+    svec = jnp.zeros((1, 128), jnp.float32)
+    for k, v in enumerate(scalars):
+        svec = svec + jnp.where(col == k, v, 0.0)
+    acc_ref[ROW_SUM:ROW_SUM + 1, :] += svec
+
+    bin_idx = jnp.clip(
+        ((equity - jnp.float32(LIFE_HIST_LO))
+         * jnp.float32(HIST_BINS / (LIFE_HIST_HI - LIFE_HIST_LO))).astype(jnp.int32),
+        0, HIST_BINS - 1)
+    hvec = jnp.zeros((1, 128), jnp.float32)
+    for k in range(HIST_BINS):
+        cnt = jnp.sum(jnp.where(bin_idx == k, we, 0.0))
+        hvec = hvec + jnp.where(col == k, cnt, 0.0)
+    acc_ref[ROW_HIST:ROW_HIST + 1, :] += hvec
+
+    blk_min = jnp.min(jnp.where(entered, equity, jnp.float32(_BIG)))
+    blk_max = jnp.max(jnp.where(entered, equity, jnp.float32(-_BIG)))
+    acc_ref[ROW_MIN:ROW_MIN + 1, :] = jnp.minimum(
+        acc_ref[ROW_MIN:ROW_MIN + 1, :], blk_min)
+    acc_ref[ROW_MAX:ROW_MAX + 1, :] = jnp.maximum(
+        acc_ref[ROW_MAX:ROW_MAX + 1, :], blk_max)
+    acc_ref[ROW_MAXDD:ROW_MAXDD + 1, :] = jnp.maximum(
+        acc_ref[ROW_MAXDD:ROW_MAXDD + 1, :], jnp.max(dd))
+
+    kvec = jnp.zeros((1, 128), jnp.float32)
+    for k, sk in enumerate(skips):
+        kvec = kvec + jnp.where(col == k, jnp.sum(sk), 0.0)
+    kvec = kvec + jnp.where(col == len(skips), jnp.sum(escal), 0.0)
+    acc_ref[ROW_SKIP:ROW_SKIP + 1, :] += kvec
+
+
+def _engine_kernel(
+    seed_ref,          # SMEM (1,1) i32
+    eng_ref,           # SMEM (1,17) f32 engine knobs (see wrapper)
+    ml_ref,            # SMEM (1,8) f32: [c0..c3, intercept, usable, _, _]
+    pol_ref,           # SMEM (3,8) f32: w_entry rows (7 dims + pad)
+    tm_ref,            # SMEM (1,8) f32 touch params
+    gd_ref,            # SMEM (1,8) f32 guard params
+    level_price_ref,   # VMEM (L, 128) f32
+    level_valid_ref,   # VMEM (L, 128) f32
+    level_kind_ref,    # VMEM (L, 128) f32
+    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    num_bars: int,
+    s0: float,
+    drift: float,
+    sig_dt: float,
+    max_levels: int,
+    lanes: int,
+    vm: tuple,
+    escalation: bool,
+    external_rng: bool = False,
+):
+    s, b = ENGINE_SUB, lanes
+    if external_rng:
+        u_ref, acc_ref = refs
+
+        def draw(t2, k):
+            return u_ref[0, pl.ds(t2 * DRAWS_PER_PAIR + k, 1)].reshape(s, b)
+    else:
+        (acc_ref,) = refs
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+        def draw(t2, k):
+            return _uniform((s, b))
+
+    final = _engine_lifecycle_loop(
+        draw, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0],
+                         level_kind_ref[i, 0]),
+        num_bars=num_bars, drift=jnp.float32(drift),
+        sig_dt=jnp.float32(sig_dt), log_s0=jnp.float32(np.log(s0)),
+        eng=tuple(eng_ref[0, k] for k in range(17)),
+        ml=tuple(ml_ref[0, k] for k in range(6)),
+        pol_w=tuple(tuple(pol_ref[a, d] for d in range(POLICY_FEATURE_DIM))
+                    for a in range(3)),
+        tm=tuple(tm_ref[0, k] for k in range(7)),
+        gd=tuple(gd_ref[0, k] for k in range(4)),
+        max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        _init_acc(acc_ref)
+
+    _engine_accumulate(acc_ref, final, n_paths=s * b)
+
+
+def _unpack_acc_engine(acc, n_skip: int):
+    tot = acc[..., ROW_SUM, :]
+    entered = tot[..., 1]
+    mn = jnp.where(entered > 0, acc[..., ROW_MIN, 0], jnp.inf)
+    mx = jnp.where(entered > 0, acc[..., ROW_MAX, 0], -jnp.inf)
+    stats = PathStats(
+        n=tot[..., 0], n_entered=entered, n_tp=tot[..., 2], n_stop=tot[..., 3],
+        n_open=tot[..., 4], sum_r=tot[..., 5], sum_r2=tot[..., 6],
+        min_r=mn, max_r=mx,
+        sum_trades=tot[..., 7], sum_dd=tot[..., 8],
+        max_dd=acc[..., ROW_MAXDD, 0],
+        hist=acc[..., ROW_HIST, :HIST_BINS],
+        hist_lo=LIFE_HIST_LO, hist_hi=LIFE_HIST_HI,
+    )
+    skips = acc[..., ROW_SKIP, :n_skip]
+    escal = acc[..., ROW_SKIP, n_skip]
+    return stats, skips, escal
+
+
+def mc_paths_pallas_engine(
+    seed,
+    levels: Levels,
+    params: EngineParams,
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    s0: float = 100.0,
+    mu: float = 0.0,
+    sigma: float = 0.15,
+    dt: float = 1.0 / (390.0 * 252.0),
+    lanes: int = ENGINE_LANES,
+    policy=None,
+    ml_model: MlModel | None = None,
+    touch_params: T.TouchMemoryParams | None = None,
+    guard_params: G.GuardParams | None = None,
+    policy_gate_disabled: bool | None = None,
+    escalation: bool = True,
+    bar0_minute: int = 0,
+    volume_model: VolumeModel | None = None,
+    interpret=False,
+    external_uniforms=None,   # f32[n_blocks, 5*num_bars, 8, lanes] (tests)
+):
+    """Fused-kernel FULL-ENGINE MC: ``sim/enginepath.mc_paths_engine``'s
+    lifecycle entirely on-chip.  Returns (PathStats, skip_counts[16],
+    escalations) with the same semantics; hardware mode uses the per-core
+    PRNG (statistical agreement; exact parity under injected uniforms).
+
+    Kernel-specialized constants (validated here, outside jit): the guard's
+    5/20-bar volume MAs and the 3-hit edge-fatigue stack are compiled in, so
+    ``guard_params.vol_short/vol_long`` and ``touch_params.fatigue_hits``
+    must keep their reference defaults."""
+    if touch_params is None:
+        touch_params = T.TouchMemoryParams.default()
+    if guard_params is None:
+        guard_params = G.GuardParams.default()
+    if ml_model is None:
+        ml_model = MlModel.absent()
+    if policy_gate_disabled is None:
+        policy_gate_disabled = policy is None
+    if policy is None:
+        policy = OP.PolicyParams.init()
+    if volume_model is None:
+        volume_model = VolumeModel()
+    block = ENGINE_SUB * lanes
+    if num_paths % block != 0:
+        raise ValueError(f"num_paths must be a multiple of {block}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
+    if num_bars > GUARD_WINDOW_BARS:
+        raise ValueError(
+            f"engine kernel supports num_bars <= {GUARD_WINDOW_BARS} (the "
+            "60-min guard box covers every bar); longer horizons stream "
+            "through sim/enginepath.mc_paths_engine")
+    if levels.max_levels > 8:
+        raise ValueError("pallas engine kernel supports up to 8 level slots")
+    if int(touch_params.fatigue_hits) != TAP_SLOTS:
+        raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
+    if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
+        raise ValueError("engine kernel is built for 5/20-bar guard MAs")
+    return _engine_impl(
+        seed, levels, params, policy, ml_model, touch_params, guard_params,
+        external_uniforms,
+        num_paths=num_paths, num_bars=num_bars, s0=s0, mu=mu, sigma=sigma,
+        dt=dt, lanes=lanes,
+        policy_gate_disabled=bool(policy_gate_disabled),
+        escalation=escalation, bar0_minute=int(bar0_minute),
+        volume_model=volume_model, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
+                     "lanes", "volume_model", "escalation", "bar0_minute",
+                     "policy_gate_disabled", "interpret"),
+)
+def _engine_impl(
+    seed, levels, params, policy, ml_model, touch_params, guard_params,
+    external_uniforms, *, num_paths, num_bars, s0, mu, sigma, dt, lanes,
+    policy_gate_disabled, escalation, bar0_minute, volume_model, interpret,
+):
+    block = ENGINE_SUB * lanes
+    n_blocks = num_paths // block
+    n_skip = len(SKIP_REASONS)
+
+    drift = (mu - 0.5 * sigma * sigma) * dt
+    sig_dt = sigma * float(np.sqrt(dt))
+    external_rng = external_uniforms is not None
+    vm = (float(volume_model.base), float(volume_model.u_amp),
+          float(volume_model.noise_sigma), float(volume_model.ret_coupling),
+          int(volume_model.day_minutes), int(volume_model.open_minute))
+    kernel = functools.partial(
+        _engine_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
+        max_levels=levels.max_levels, lanes=lanes, vm=vm,
+        escalation=escalation, external_rng=external_rng,
+    )
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    eng = jnp.stack([
+        f32(params.contact_prox), f32(params.stop_padding),
+        f32(params.tp_padding), f32(params.q_min_prob),
+        f32(params.cooldown_s) * 1000.0, f32(params.enable_veto),
+        f32(params.veto_vol_strong), f32(params.veto_prox),
+        f32(params.disable_ml_gate), f32(params.use_blend),
+        f32(params.w_rules), f32(params.w_ml), f32(params.confluence_within),
+        f32(params.overtouch_limit), jnp.float32(bool(policy_gate_disabled)),
+        jnp.float32(int(bar0_minute)), f32(levels.count > 0),
+    ]).reshape(1, 17)
+    ml_usable = jnp.logical_and(ml_model.present, ml_model.n_features == 4)
+    mlv = jnp.concatenate([
+        f32(ml_model.coef).reshape(4), f32(ml_model.intercept).reshape(1),
+        f32(ml_usable).reshape(1), jnp.zeros((2,), jnp.float32),
+    ]).reshape(1, 8)
+    polv = jnp.pad(f32(policy.w_entry), ((0, 0), (0, 8 - POLICY_FEATURE_DIM)))
+    tmv = jnp.stack([
+        f32(touch_params.tol_bps), f32(touch_params.min_time_gap_ms),
+        f32(touch_params.min_price_gap_bps), f32(touch_params.decay),
+        f32(touch_params.max_bounces), f32(touch_params.fatigue_window_ms),
+        f32(touch_params.fatigue_vol_k), jnp.float32(0.0),
+    ]).reshape(1, 8)
+    gdv = jnp.stack([
+        f32(guard_params.min_bars), f32(guard_params.compression_bp),
+        f32(guard_params.vol_k), f32(guard_params.reenter_clear_bars),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 8)
+    lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
+    lk = jnp.broadcast_to(
+        jnp.asarray(levels.kind, jnp.float32)[:, None], (levels.max_levels, 128))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 17), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((1, DRAWS_PER_PAIR * (num_bars // 2), ENGINE_SUB, lanes),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        ] if external_rng else []),
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(*((seed_arr, eng, mlv, polv, tmv, gdv, lp, lv, lk)
+         + ((jnp.asarray(external_uniforms, jnp.float32),)
+            if external_rng else ())))
+
+    return _unpack_acc_engine(acc, n_skip)

@@ -1,0 +1,210 @@
+"""Fused FULL-ENGINE kernel: exact parity vs sim/enginepath.py under injected
+uniforms (plain interpret mode on CPU — the external-RNG path uses no TPU
+primitives, so XLA interpret is faithful)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+from qmmx_monolithic_monte_carlo_tpu.engine.state import MlModel
+from qmmx_monolithic_monte_carlo_tpu.models import online_policy as OP
+from qmmx_monolithic_monte_carlo_tpu.ops import guard as G
+from qmmx_monolithic_monte_carlo_tpu.ops import touch as T
+from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+    DRAWS_PER_PAIR,
+    ENGINE_SUB,
+    mc_paths_pallas_engine,
+)
+from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import PathBars, VolumeModel
+from qmmx_monolithic_monte_carlo_tpu.sim import enginepath as EP
+from qmmx_monolithic_monte_carlo_tpu.sim.pathsim import PathStats
+from qmmx_monolithic_monte_carlo_tpu.types import Levels
+
+LEVELS = Levels.from_rows(
+    [
+        {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+        {"color": "orange", "type": "dashed", "index": 0, "price": 100.4},
+        {"color": "teal", "type": "solid", "index": 0, "price": 99.6},
+    ],
+    max_levels=8,
+)
+W = 40
+DT = 1.0 / (390.0 * 252.0)
+LANES = 256
+BLOCK = ENGINE_SUB * LANES
+VM = VolumeModel()
+
+
+def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM):
+    """Regenerate the kernel's streaming bars AND volumes with the same jnp
+    f32 ops from the injected uniform layout (10 blocks per double-bar step:
+    price-normal pair, volume-normal pair, then (u_high, u_low, tie) per
+    half)."""
+    drift = jnp.float32((0.0 - 0.5 * sigma * sigma) * DT)
+    sig = jnp.float32(sigma * np.sqrt(DT))
+    sig2dt = sig * sig
+    mean_abs = jnp.float32(np.sqrt(2.0 / np.pi))
+    sd_abs = jnp.float32(np.sqrt(1.0 - 2.0 / np.pi))
+    log_s = jnp.full((ENGINE_SUB, lanes), jnp.float32(np.log(100.0)))
+    opens, closes, highs, lows, vols, ties = [], [], [], [], [], []
+    for t2 in range(W // 2):
+        blk = lambda k: jnp.asarray(u[DRAWS_PER_PAIR * t2 + k], jnp.float32)
+        radius = jnp.sqrt(-2.0 * jnp.log(blk(0)))
+        angle = 6.283185307179586 * blk(1)
+        z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+        vradius = jnp.sqrt(-2.0 * jnp.log(blk(2)))
+        vangle = 6.283185307179586 * blk(3)
+        zv_pair = (vradius * jnp.cos(vangle), vradius * jnp.sin(vangle))
+        for half in range(2):
+            t = 2 * t2 + half
+            z, zv = z_pair[half], zv_pair[half]
+            u3, u4, tie = blk(4 + 3 * half), blk(5 + 3 * half), blk(6 + 3 * half)
+            incr = drift + sig * z
+            log_open = log_s
+            log_close = log_s + incr
+            d2 = (log_close - log_open) ** 2
+            highs.append(jnp.exp(0.5 * (log_open + log_close
+                                        + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3)))))
+            lows.append(jnp.exp(0.5 * (log_open + log_close
+                                       - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4)))))
+            opens.append(jnp.exp(log_open))
+            closes.append(jnp.exp(log_close))
+            ties.append(tie)
+            # the kernel's in-loop VolumeModel mirror
+            m = jnp.mod(jnp.float32(vm.open_minute) + jnp.float32(t),
+                        jnp.float32(vm.day_minutes))
+            x = 2.0 * m / jnp.float32(max(vm.day_minutes - 1, 1)) - 1.0
+            shape = 1.0 + jnp.float32(vm.u_amp) * (x * x - jnp.float32(1.0 / 3.0))
+            noise = jnp.exp(jnp.float32(vm.noise_sigma) * zv
+                            - 0.5 * jnp.float32(vm.noise_sigma) ** 2)
+            v = jnp.float32(vm.base) * shape * noise
+            v = v * (1.0 + jnp.float32(vm.ret_coupling)
+                     * ((jnp.abs(z) - mean_abs) / sd_abs))
+            vols.append(jnp.maximum(v, jnp.float32(0.05 * vm.base)))
+            log_s = log_close
+
+    def flat(rows):  # list of W × (8, B) → (P, W)
+        return jnp.stack(rows, axis=-1).reshape(ENGINE_SUB * lanes, W)
+
+    bars = PathBars(open=flat(opens), high=flat(highs), low=flat(lows),
+                    close=flat(closes), volume=flat(vols))
+    return bars, flat(ties)
+
+
+def _run_both(seed, sigma, *, params=None, policy=None, ml_model=None,
+              touch_params=None, guard_params=None, escalation=True):
+    if params is None:
+        params = EngineParams.default()
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(
+        1e-6, 1.0, (1, DRAWS_PER_PAIR * (W // 2), ENGINE_SUB, LANES),
+    ).astype(np.float32)
+
+    got, got_skips, got_escal = mc_paths_pallas_engine(
+        0, LEVELS, params, num_paths=BLOCK, num_bars=W, sigma=sigma, dt=DT,
+        lanes=LANES, policy=policy, ml_model=ml_model,
+        touch_params=touch_params, guard_params=guard_params,
+        escalation=escalation, interpret=True, external_uniforms=u,
+    )
+
+    bars, tie = _bars_from_uniforms(u[0], sigma)
+    out = EP.engine_path_replay(
+        bars, LEVELS, params, tie, policy=policy, ml_model=ml_model,
+        touch_params=touch_params, guard_params=guard_params,
+        escalation=escalation,
+    )
+    want = PathStats.from_lifecycle(
+        equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
+        open_at_end=out.open_at_end, max_dd=out.max_dd,
+    )
+    return (got, got_skips, got_escal), (want, out)
+
+
+def _assert_match(got_pack, want_pack):
+    got, got_skips, got_escal = got_pack
+    want, out = want_pack
+    # counts are exact; sums tolerate reduction-order ulps
+    assert float(got.n) == float(want.n) == BLOCK
+    assert float(got.n_entered) == float(want.n_entered)
+    assert float(got.n_tp) == float(want.n_tp)
+    assert float(got.n_stop) == float(want.n_stop)
+    assert float(got.n_open) == float(want.n_open)
+    assert float(got.sum_trades) == float(want.sum_trades)
+    assert float(got_escal) == float(jnp.sum(out.escalations))
+    np.testing.assert_array_equal(np.asarray(got_skips),
+                                  np.asarray(out.skip_counts))
+    assert float(got.sum_r) == pytest.approx(float(want.sum_r), abs=2e-2)
+    assert float(got.sum_dd) == pytest.approx(float(want.sum_dd), abs=2e-2)
+    assert float(got.min_r) == pytest.approx(float(want.min_r), abs=1e-5)
+    assert float(got.max_r) == pytest.approx(float(want.max_r), abs=1e-5)
+    assert float(got.max_dd) == pytest.approx(float(want.max_dd), abs=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
+
+
+def test_engine_kernel_matches_xla_pipeline_defaults():
+    """Engine defaults: the main ladder + veto + escalation run and agree
+    gate-for-gate with the XLA full-engine pipeline."""
+    got_pack, want_pack = _run_both(0, sigma=0.3)
+    _assert_match(got_pack, want_pack)
+    got, got_skips, got_escal = got_pack
+    assert float(got.n_entered) > 0
+    assert float(got.sum_trades) > float(got.n_entered)  # multi-trade proof
+    skips = {r.name: float(s) for r, s in zip(EP.SKIP_REASONS,
+                                              np.asarray(got_skips))}
+    assert skips["TOO_FAR"] > 0
+    assert skips["CONF_LOW"] > 0
+    assert skips["CONTRA_VOL_LONG"] + skips["CONTRA_VOL_SHORT"] > 0
+    assert float(got_escal) > 0  # escalations occur at this scale
+
+
+def test_engine_kernel_matches_with_accumulation_gates_active():
+    """Force the guard into accumulation (tiny vol, generous compression) so
+    the 7b family — edge fatigue, bounce budget, per-level cooldown — and the
+    breakout counter-trend gate actually fire, and still match exactly."""
+    guard = G.GuardParams.default().replace(
+        min_bars=jnp.int32(6), compression_bp=jnp.float32(300.0))
+    touch = T.TouchMemoryParams.default().replace(
+        max_bounces=jnp.int32(1), min_time_gap_ms=jnp.int32(120_000),
+        fatigue_vol_k=jnp.float32(0.0))
+    got_pack, want_pack = _run_both(
+        1, sigma=0.05, guard_params=guard, touch_params=touch)
+    _assert_match(got_pack, want_pack)
+    skips = {r.name: float(s) for r, s in zip(EP.SKIP_REASONS,
+                                              np.asarray(got_pack[1]))}
+    assert skips["EDGE_FATIGUE"] + skips["TOUCH_BUDGET"] + \
+        skips["TOUCH_COOLDOWN"] > 0
+
+
+def test_engine_kernel_matches_with_ml_and_policy_gates():
+    """Armed ML + OnlinePolicy gates (nonzero heads) agree exactly."""
+    rng = np.random.default_rng(7)
+    pol = OP.PolicyParams.init()
+    w_entry = rng.normal(0, 0.8, (3, 7)).astype(np.float32)
+    w_entry[0, 0] += 0.8
+    w_entry[1, 0] += 0.8
+    w_entry[2, 0] -= 0.5
+    pol = pol.replace(w_entry=jnp.asarray(w_entry))
+    ml = MlModel.from_weights(np.array([0.4, -0.8, -0.3, 0.2], np.float32), 0.55)
+    got_pack, want_pack = _run_both(2, sigma=0.3, policy=pol, ml_model=ml)
+    _assert_match(got_pack, want_pack)
+    skips = {r.name: float(s) for r, s in zip(EP.SKIP_REASONS,
+                                              np.asarray(got_pack[1]))}
+    assert skips["ML_CONF_LOW"] > 0
+    assert skips["ONLINE_POLICY"] > 0
+
+
+def test_engine_kernel_rejects_bad_shapes():
+    params = EngineParams.default()
+    with pytest.raises(ValueError):
+        mc_paths_pallas_engine(0, LEVELS, params, num_paths=BLOCK + 1,
+                               num_bars=W, lanes=LANES)
+    with pytest.raises(ValueError):
+        mc_paths_pallas_engine(0, LEVELS, params, num_paths=BLOCK,
+                               num_bars=62, lanes=LANES)
+    with pytest.raises(ValueError):
+        mc_paths_pallas_engine(
+            0, LEVELS, params, num_paths=BLOCK, num_bars=W, lanes=LANES,
+            touch_params=T.TouchMemoryParams.default().replace(
+                fatigue_hits=jnp.int32(4)))
