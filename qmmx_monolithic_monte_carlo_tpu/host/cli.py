@@ -246,9 +246,8 @@ def cmd_paths(args):
         from ..sim.montecarlo import McNoise
 
         noise = McNoise.make(*stds)
-        if backend == "pallas" or getattr(args, "ckpt_dir", None):
-            raise SystemExit("execution noise runs on --backend xla "
-                             "(without --ckpt-dir) for now")
+        if getattr(args, "ckpt_dir", None):
+            raise SystemExit("execution noise does not run under --ckpt-dir")
     if getattr(args, "ckpt_dir", None):
         # fault-tolerant long run: chunked with an exactly-once block
         # watermark; re-running the same command resumes bitwise-identically
@@ -338,7 +337,7 @@ def cmd_paths(args):
             stats = mc_paths_pallas_gated(
                 args.seed, small, params, gate,
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-                sigma=args.sigma,
+                sigma=args.sigma, noise=noise,
             )
         else:
             stats = gatedpath.mc_paths_gated(
@@ -357,7 +356,7 @@ def cmd_paths(args):
         stats = mc_paths_pallas(
             args.seed, small, params,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-            sigma=args.sigma,
+            sigma=args.sigma, noise=noise,
         )
     else:
         stats = pathsim.mc_paths(

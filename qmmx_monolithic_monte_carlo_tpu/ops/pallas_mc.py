@@ -186,12 +186,18 @@ def _first_contact(
 
 
 def _replay_config(
-    ct: _Contact, bars: _Bars, stop_pad, tp_pad, tie_u, *, w: int
+    ct: _Contact, bars: _Bars, stop_pad, tp_pad, tie_u, *, w: int, slips=None
 ) -> _Replay:
     """Stage 5: stop/target first-hit after the entry bar, same-bar tie broken
-    by the distance-weighted coin (qmmx_monolithic.py:3467-3480)."""
+    by the distance-weighted coin (qmmx_monolithic.py:3467-3480).  ``slips``
+    (execution noise, :3458-3461): optional (stop_slip, target_slip) (1, b)
+    offsets applied to the barriers AFTER the level-derived scaffold — the
+    caller pre-jitters ct.lvl/ct.entry (:3453-3455)."""
     stop = jnp.where(ct.is_long, ct.lvl - stop_pad, ct.lvl + stop_pad)
     target = jnp.where(ct.is_long, ct.lvl + tp_pad, ct.lvl - tp_pad)
+    if slips is not None:
+        stop = stop + slips[0]
+        target = target + slips[1]
 
     # NOTE: select over i1 operands lowers to an unsupported i8->i1 trunc in
     # Mosaic; compose hit masks with and/or instead of jnp.where.
@@ -333,7 +339,8 @@ def _level_rows(levels_price, levels_valid, max_levels: int, lanes: int = 128):
 
 def _mc_kernel(
     seed_ref,          # SMEM (1,1) i32
-    knobs_ref,         # SMEM (1,4) f32: [prox, stop_pad, tp_pad, _]
+    knobs_ref,         # SMEM (1,8) f32: [prox, stop_pad, tp_pad, _,
+                       #                  lvl_jit, entry_slip, stop_slip, tgt_slip]
     level_price_ref,   # VMEM (L, 128) f32 (row-broadcast level prices)
     level_valid_ref,   # VMEM (L, 128) f32 (1/0)
     *refs,             # [u_ref (external rng only)], acc_ref
@@ -344,12 +351,16 @@ def _mc_kernel(
     max_levels: int,
     lanes: int = SINGLE_LANES,
     external_rng: bool = False,
+    use_noise: bool = False,
 ):
     w, b = num_bars, lanes
     # uniform layout: u1/u2 are (w//2) rows each (paired Box-Muller), u3/u4
-    # full (w) rows, tie one row → 3w+1 rows total
-    offs = (0, w // 2, w, 2 * w, 3 * w)
-    lens = (w // 2, w // 2, w, w, 1)
+    # full (w) rows, tie one row → 3w+1 rows total; with noise, four more
+    # single rows (two Box-Muller pairs → the four per-path execution-noise
+    # normals) → 3w+5
+    offs = (0, w // 2, w, 2 * w, 3 * w, 3 * w + 1, 3 * w + 2, 3 * w + 3,
+            3 * w + 4)
+    lens = (w // 2, w // 2, w, w, 1, 1, 1, 1, 1)
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -370,7 +381,23 @@ def _mc_kernel(
         bars, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0]),
         max_levels, knobs_ref[0, 0], w=w, b=b,
     )
-    rep = _replay_config(ct, bars, knobs_ref[0, 1], knobs_ref[0, 2], draw(4), w=w)
+    slips = None
+    if use_noise:
+        # execution noise (sim/pathsim.path_replay :3453-3461 mirror): level
+        # jitter + entry slip perturb the contact BEFORE the scaffold, barrier
+        # slips go to _replay_config; contact detection saw the true levels
+        r1 = jnp.sqrt(-2.0 * jnp.log(draw(5)))
+        a1 = _TWO_PI * draw(6)
+        r2 = jnp.sqrt(-2.0 * jnp.log(draw(7)))
+        a2 = _TWO_PI * draw(8)
+        ct = ct._replace(
+            lvl=ct.lvl + r1 * jnp.cos(a1) * knobs_ref[0, 4],
+            entry=ct.entry + r1 * jnp.sin(a1) * knobs_ref[0, 5],
+        )
+        slips = (r2 * jnp.cos(a2) * knobs_ref[0, 6],
+                 r2 * jnp.sin(a2) * knobs_ref[0, 7])
+    rep = _replay_config(ct, bars, knobs_ref[0, 1], knobs_ref[0, 2], draw(4),
+                         w=w, slips=slips)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -396,10 +423,13 @@ def mc_paths_pallas(
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
     lanes: int = SINGLE_LANES,
+    noise=None,               # montecarlo.McNoise — per-path execution noise
     interpret=False,
-    external_uniforms=None,   # f32[n_blocks, 3*num_bars+1, lanes]: test-injection mode
+    external_uniforms=None,   # f32[n_blocks, 3*num_bars+1 (+4 with noise), lanes]
 ) -> PathStats:
-    """Fused-kernel GBM MC.  Same PathStats contract as sim.pathsim.mc_paths.
+    """Fused-kernel GBM MC.  Same PathStats contract as sim.pathsim.mc_paths,
+    including the McNoise execution-noise knobs (level jitter / entry slip /
+    stop+target slip as per-path gaussians, qmmx_monolithic.py:3453-3461).
 
     NOTE: the noise stream differs from the XLA pipeline (per-core hardware PRNG
     vs threefry), so results agree statistically, not bitwise.
@@ -416,6 +446,8 @@ def mc_paths_pallas(
     sig_dt = sigma * float(np.sqrt(dt))
 
     external_rng = external_uniforms is not None
+    use_noise = noise is not None
+    n_rows = 3 * num_bars + 1 + (4 if use_noise else 0)
     kernel = functools.partial(
         _mc_kernel,
         num_bars=num_bars,
@@ -425,13 +457,19 @@ def mc_paths_pallas(
         max_levels=levels.max_levels,
         lanes=lanes,
         external_rng=external_rng,
+        use_noise=use_noise,
     )
+    zero = jnp.float32(0.0)
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
         jnp.asarray(params.stop_padding, jnp.float32),
         jnp.asarray(params.tp_padding, jnp.float32),
-        jnp.float32(0.0),
-    ]).reshape(1, 4)
+        zero,
+        jnp.asarray(noise.level_jitter_std, jnp.float32) if use_noise else zero,
+        jnp.asarray(noise.entry_slip_std, jnp.float32) if use_noise else zero,
+        jnp.asarray(noise.stop_slip_std, jnp.float32) if use_noise else zero,
+        jnp.asarray(noise.target_slip_std, jnp.float32) if use_noise else zero,
+    ]).reshape(1, 8)
 
     lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
@@ -441,13 +479,13 @@ def mc_paths_pallas(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 3 * num_bars + 1, lanes), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n_rows, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -600,7 +638,8 @@ ROW_MAXDD = 4        # worst per-path drawdown — 'max' combine, zero identity
 
 def _gated_kernel(
     seed_ref,          # SMEM (1,1) i32
-    knobs_ref,         # SMEM (1,4) f32: [prox, stop_pad, tp_pad, _]
+    knobs_ref,         # SMEM (1,8) f32: [prox, stop_pad, tp_pad, _,
+                       #                  lvl_jit, entry_slip, stop_slip, tgt_slip]
     gate_ref,          # SMEM (1,8) f32: [qmin, touch_limit, cooldown_bars,
                        #                  touch_gap_bars, use_confidence, ...]
     level_price_ref,   # VMEM (L, 128) f32
@@ -614,6 +653,7 @@ def _gated_kernel(
     max_levels: int,
     lanes: int = GATED_LANES,
     external_rng: bool = False,
+    use_noise: bool = False,
 ):
     """The QMMX engine per path, entirely on-chip: bars are generated
     bar-by-bar inside the loop (no (W,B) residency, no cumsum matmul — the
@@ -627,12 +667,15 @@ def _gated_kernel(
     over i1 operands — while f32 selects use jnp.where freely.
     """
     s, b = GATED_SUB, lanes
+    stride = 16 if use_noise else 8
     if external_rng:
         u_ref, acc_ref = refs
 
-        # 8 uniform blocks per double-bar step (normals pair + 2×(u3,u4,tie))
+        # 8 uniform blocks per double-bar step (normals pair + 2×(u3,u4,tie));
+        # with noise, 8 more (two Box-Muller pairs per half → the four
+        # per-entry execution-noise normals of each bar) at k = 8..15
         def draw(t2, k):
-            blk = u_ref[0, pl.ds(t2 * 8 + k, 1)]       # (1, s, b)
+            blk = u_ref[0, pl.ds(t2 * stride + k, 1)]  # (1, s, b)
             return blk.reshape(s, b)
     else:
         (acc_ref,) = refs
@@ -649,6 +692,8 @@ def _gated_kernel(
         knobs=(knobs_ref[0, 0], knobs_ref[0, 1], knobs_ref[0, 2]),
         gates=tuple(gate_ref[0, k] for k in range(5)),
         max_levels=max_levels, lanes=lanes,
+        noise=(tuple(knobs_ref[0, 4 + k] for k in range(4))
+               if use_noise else None),
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -659,7 +704,8 @@ def _gated_kernel(
 
 
 def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
-                          knobs, gates, max_levels, lanes=GATED_LANES):
+                          knobs, gates, max_levels, lanes=GATED_LANES,
+                          noise=None):
     """The streaming generate+trade loop shared by the gated kernels.
 
     Each ``fori_loop`` iteration processes TWO bars from one paired
@@ -672,7 +718,11 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     ``knobs`` is the (prox, stop_pad, tp_pad) scalar triple and ``gates``
     the (qmin, touch_limit, cooldown_bars, touch_gap, use_conf) scalar
     five-tuple — callers read them from SMEM refs (single config), a grid
-    row (sweep) or the per-symbol slab (universe).  Returns the final
+    row (sweep) or the per-symbol slab (universe).  ``noise``: optional
+    (lvl_jitter, entry_slip, stop_slip, tgt_slip) std scalars — per-ENTRY
+    gaussian execution noise (sim/gatedpath.gated_path_replay semantics,
+    reference MC :3453-3461) drawn as two extra Box-Muller pairs per bar
+    (draw ks 8..15 per double-bar step).  Returns the final
     (side, equity, dd, trades, wins, losses)."""
     s, b = GATED_SUB, lanes
     prox, stop_pad, tp_pad = knobs
@@ -703,14 +753,23 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
         for half in range(2):
             t_f = (2 * t2 + half).astype(jnp.float32)
+            if noise is not None:
+                r1 = jnp.sqrt(-2.0 * jnp.log(draw(t2, 8 + 4 * half)))
+                a1 = _TWO_PI * draw(t2, 9 + 4 * half)
+                r2 = jnp.sqrt(-2.0 * jnp.log(draw(t2, 10 + 4 * half)))
+                a2 = _TWO_PI * draw(t2, 11 + 4 * half)
+                nz = (r1 * jnp.cos(a1), r1 * jnp.sin(a1),
+                      r2 * jnp.cos(a2), r2 * jnp.sin(a2))
+            else:
+                nz = None
             st = _one_bar(
                 st, t_f, z_pair[half],
                 draw(t2, 2 + 3 * half), draw(t2, 3 + 3 * half),
-                draw(t2, 4 + 3 * half),
+                draw(t2, 4 + 3 * half), nz,
             )
         return st
 
-    def _one_bar(st, t_f, z, u3, u4, tie):
+    def _one_bar(st, t_f, z, u3, u4, tie, nz):
         (log_s, prev_c, side, entry, stop, target, cooldown,
          equity, peak, dd, trades, wins, losses, touch, last_tb) = st
 
@@ -819,11 +878,24 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         )
         new_side = jnp.where(go_long, 1.0, -1.0)
         side = jnp.where(enter, new_side, side)
-        entry = jnp.where(enter, c, entry)
-        stop = jnp.where(
-            enter, jnp.where(go_long, best_p - stop_pad, best_p + stop_pad), stop)
-        target = jnp.where(
-            enter, jnp.where(go_long, best_p + tp_pad, best_p - tp_pad), target)
+        if nz is not None:
+            # per-entry execution noise (gated_path_replay :3453-3461): level
+            # jitter shifts the whole scaffold, entry slip moves the fill,
+            # barrier slips move each bound; gates saw the true level
+            lvl_jit, entry_slip, stop_slip, tgt_slip = noise
+            lvl_eff = best_p + nz[0] * lvl_jit
+            fill = c + nz[1] * entry_slip
+            new_stop = (jnp.where(go_long, lvl_eff - stop_pad, lvl_eff + stop_pad)
+                        + nz[2] * stop_slip)
+            new_tgt = (jnp.where(go_long, lvl_eff + tp_pad, lvl_eff - tp_pad)
+                       + nz[3] * tgt_slip)
+        else:
+            fill = c
+            new_stop = jnp.where(go_long, best_p - stop_pad, best_p + stop_pad)
+            new_tgt = jnp.where(go_long, best_p + tp_pad, best_p - tp_pad)
+        entry = jnp.where(enter, fill, entry)
+        stop = jnp.where(enter, new_stop, stop)
+        target = jnp.where(enter, new_tgt, target)
         trades = trades + enter.astype(jnp.float32)
 
         return (log_close, c, side, entry, stop, target, cooldown,
@@ -1067,13 +1139,15 @@ def mc_paths_pallas_gated(
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
     lanes: int = GATED_LANES,
+    noise=None,               # montecarlo.McNoise — per-entry execution noise
     interpret=False,
-    external_uniforms=None,   # f32[n_blocks, 4*num_bars, 8, lanes] (tests)
+    external_uniforms=None,   # f32[n_blocks, 4*num_bars (8* with noise), 8, lanes]
 ) -> PathStats:
     """Fused-kernel engine-gated MC: the sim/gatedpath.py lifecycle entirely
-    on-chip.  Same PathStats lifecycle contract as ``mc_paths_gated``; the
-    noise stream is the per-core hardware PRNG (statistical agreement with
-    the XLA pipeline; exact parity is tested under injected uniforms)."""
+    on-chip, including the McNoise per-entry execution-noise knobs.  Same
+    PathStats lifecycle contract as ``mc_paths_gated``; the noise stream is
+    the per-core hardware PRNG (statistical agreement with the XLA pipeline;
+    exact parity is tested under injected uniforms)."""
     from ..sim.gatedpath import GateConfig
 
     if gate is None:
@@ -1090,16 +1164,24 @@ def mc_paths_pallas_gated(
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
     external_rng = external_uniforms is not None
+    use_noise = noise is not None
+    u_rows = (8 if use_noise else 4) * num_bars
     kernel = functools.partial(
         _gated_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, external_rng=external_rng,
+        use_noise=use_noise,
     )
+    zero = jnp.float32(0.0)
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
         jnp.asarray(params.stop_padding, jnp.float32),
         jnp.asarray(params.tp_padding, jnp.float32),
-        jnp.float32(0.0),
-    ]).reshape(1, 4)
+        zero,
+        jnp.asarray(noise.level_jitter_std, jnp.float32) if use_noise else zero,
+        jnp.asarray(noise.entry_slip_std, jnp.float32) if use_noise else zero,
+        jnp.asarray(noise.stop_slip_std, jnp.float32) if use_noise else zero,
+        jnp.asarray(noise.target_slip_std, jnp.float32) if use_noise else zero,
+    ]).reshape(1, 8)
     gvec = jnp.stack([
         jnp.asarray(gate.q_min_prob, jnp.float32),
         jnp.asarray(gate.touch_limit, jnp.float32),
@@ -1118,7 +1200,7 @@ def mc_paths_pallas_gated(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1127,7 +1209,7 @@ def mc_paths_pallas_gated(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 4 * num_bars, GATED_SUB, lanes),
+            pl.BlockSpec((1, u_rows, GATED_SUB, lanes),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),

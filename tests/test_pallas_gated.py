@@ -33,25 +33,38 @@ SIGMA = 0.3
 DT = 1.0 / (390.0 * 252.0)
 
 
-def _bars_from_uniforms(u, lanes=GATED_LANES):
+def _bars_from_uniforms(u, lanes=GATED_LANES, noise=False):
     """Regenerate the kernel's streaming GBM bars with the same jnp f32 ops
     (same XLA CPU backend in interpret mode → bitwise-identical bars), and
     collect the per-bar tie coins.  u: (4W, 8, B) f32 — 8 blocks per
     double-bar step (paired Box-Muller: one (u1, u2) draw yields the two
-    bars' normals as (r·cos, r·sin))."""
+    bars' normals as (r·cos, r·sin)).  With ``noise``, u is (8W, 8, B) —
+    stride 16 with the per-bar execution-noise normal pairs at ks 8..15 —
+    and a third return carries the (4, P, W) noise normals."""
+    stride = 16 if noise else 8
     drift = jnp.float32((0.0 - 0.5 * SIGMA * SIGMA) * DT)
     sig = jnp.float32(SIGMA * np.sqrt(DT))
     sig2dt = sig * sig
     log_s = jnp.full((GATED_SUB, lanes), jnp.float32(np.log(100.0)))
     opens, closes, highs, lows, ties = [], [], [], [], []
+    nrm = [[], [], [], []]
     for t2 in range(W // 2):
-        blk = lambda k: jnp.asarray(u[8 * t2 + k], jnp.float32)
+        blk = lambda k: jnp.asarray(u[stride * t2 + k], jnp.float32)
         radius = jnp.sqrt(-2.0 * jnp.log(blk(0)))
         angle = 6.283185307179586 * blk(1)
         z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
         for half in range(2):
             z = z_pair[half]
             u3, u4, tie = blk(2 + 3 * half), blk(3 + 3 * half), blk(4 + 3 * half)
+            if noise:
+                r1 = jnp.sqrt(-2.0 * jnp.log(blk(8 + 4 * half)))
+                a1 = 6.283185307179586 * blk(9 + 4 * half)
+                r2 = jnp.sqrt(-2.0 * jnp.log(blk(10 + 4 * half)))
+                a2 = 6.283185307179586 * blk(11 + 4 * half)
+                nrm[0].append(r1 * jnp.cos(a1))
+                nrm[1].append(r1 * jnp.sin(a1))
+                nrm[2].append(r2 * jnp.cos(a2))
+                nrm[3].append(r2 * jnp.sin(a2))
             incr = drift + sig * z
             log_open = log_s
             log_close = log_s + incr
@@ -70,7 +83,9 @@ def _bars_from_uniforms(u, lanes=GATED_LANES):
 
     bars = PathBars(open=flat(opens), high=flat(highs),
                     low=flat(lows), close=flat(closes),
-                    volume=jnp.zeros((GATED_BLOCK, W), jnp.float32))
+                    volume=jnp.zeros((GATED_SUB * lanes, W), jnp.float32))
+    if noise:
+        return bars, flat(ties), tuple(flat(n) for n in nrm)
     return bars, flat(ties)
 
 
@@ -171,6 +186,73 @@ def test_gated_tail_past_single_trade_range():
     cvar_exact = np.sort(equity[entered])[:tail_n].mean()
     assert cvar_exact < -1.5
     assert float(want.cvar(0.05)) == pytest.approx(cvar_exact, abs=3 * bin_w)
+
+
+def test_gated_kernel_noise_matches_xla_pipeline_exact_uniforms():
+    """Per-entry execution noise in the fused gated kernel: with the noise
+    normals reconstructed from the same injected uniforms, the kernel matches
+    gated_path_replay(noise=...) exactly on counts and the histogram."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+    rng = np.random.default_rng(17)
+    u = rng.uniform(1e-6, 1.0, (1, 8 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1,
+                              use_confidence=False)
+    noise = McNoise.make(level_jitter_std=0.02, entry_slip_std=0.01,
+                         stop_slip_std=0.015, target_slip_std=0.015)
+
+    got = mc_paths_pallas_gated(
+        0, LEVELS, PARAMS, gate, num_paths=GATED_BLOCK, num_bars=W,
+        sigma=SIGMA, dt=DT, noise=noise, interpret=True, external_uniforms=u,
+    )
+    bars, tie, nn = _bars_from_uniforms(u[0], noise=True)
+    out = gatedpath.gated_path_replay(bars, LEVELS, PARAMS, gate, tie,
+                                      noise=noise, noise_normals=nn)
+    want = PathStats.from_lifecycle(
+        equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
+        open_at_end=out.open_at_end, max_dd=out.max_dd,
+    )
+    assert float(got.n) == float(want.n) == GATED_BLOCK
+    assert float(got.n_entered) == float(want.n_entered)
+    assert float(got.n_tp) == float(want.n_tp)
+    assert float(got.n_stop) == float(want.n_stop)
+    assert float(got.sum_trades) == float(want.sum_trades)
+    assert float(got.sum_r) == pytest.approx(float(want.sum_r), abs=2e-2)
+    assert float(got.min_r) == pytest.approx(float(want.min_r), abs=1e-5)
+    assert float(got.max_dd) == pytest.approx(float(want.max_dd), abs=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
+    # the noise actually bites: R leaves the discrete zero-noise value set
+    base = gatedpath.gated_path_replay(bars, LEVELS, PARAMS, gate, tie)
+    assert float(jnp.sum(base.equity)) != float(jnp.sum(out.equity))
+
+
+def test_gated_kernel_zero_noise_matches_noise_free_exact():
+    """σ=0 noise mode consumes the extra draw rows but must reproduce the
+    noise-free gated kernel bitwise (same price/tie uniform blocks)."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+    rng = np.random.default_rng(19)
+    u = rng.uniform(1e-6, 1.0, (1, 8 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
+    # the noise-free kernel reads blocks with stride 8 — build its uniform
+    # tensor from the stride-16 tensor's price/tie blocks
+    u8 = u[:, np.ravel([[16 * t + k for k in range(8)]
+                        for t in range(W // 2)])]
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1,
+                              use_confidence=False)
+    zero = McNoise.make(level_jitter_std=0.0, entry_slip_std=0.0,
+                        stop_slip_std=0.0, target_slip_std=0.0)
+    a = mc_paths_pallas_gated(
+        0, LEVELS, PARAMS, gate, num_paths=GATED_BLOCK, num_bars=W,
+        sigma=SIGMA, dt=DT, noise=zero, interpret=True, external_uniforms=u,
+    )
+    b = mc_paths_pallas_gated(
+        0, LEVELS, PARAMS, gate, num_paths=GATED_BLOCK, num_bars=W,
+        sigma=SIGMA, dt=DT, interpret=True, external_uniforms=u8,
+    )
+    for fld in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades",
+                "sum_r", "min_r", "max_r", "max_dd"):
+        assert float(getattr(a, fld)) == float(getattr(b, fld)), fld
+    np.testing.assert_array_equal(np.asarray(a.hist), np.asarray(b.hist))
 
 
 def test_gated_kernel_rejects_bad_shapes():

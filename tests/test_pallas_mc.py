@@ -22,8 +22,11 @@ SIGMA = 0.3
 DT = 1.0 / (390.0 * 252.0)
 
 
-def _oracle(u, lvls, prox=0.05, sp=0.35, tp=0.25, s0=100.0):
-    """f32 numpy re-computation of the kernel semantics from the same uniforms."""
+def _oracle(u, lvls, prox=0.05, sp=0.35, tp=0.25, s0=100.0, noise=None):
+    """f32 numpy re-computation of the kernel semantics from the same uniforms.
+    ``noise``: optional (lvl_jitter, entry_slip, stop_slip, tgt_slip) stds —
+    the uniform tensor then carries four extra rows (two Box-Muller pairs →
+    the per-path noise normals) after the tie row."""
     f = np.float32
     drift = f((0 - 0.5 * SIGMA**2) * DT)
     sig = f(SIGMA * np.sqrt(DT))
@@ -38,6 +41,15 @@ def _oracle(u, lvls, prox=0.05, sp=0.35, tp=0.25, s0=100.0):
         u1, u2 = ub[:h], ub[h:W]
         u3, u4 = ub[W:2 * W], ub[2 * W:3 * W]
         tie = ub[3 * W]
+        if noise is not None:
+            r1 = np.sqrt(f(-2.0) * np.log(ub[3 * W + 1]))
+            a1 = f(2 * np.pi) * ub[3 * W + 2]
+            r2 = np.sqrt(f(-2.0) * np.log(ub[3 * W + 3]))
+            a2 = f(2 * np.pi) * ub[3 * W + 4]
+            njs = r1 * np.cos(a1) * f(noise[0])
+            nes = r1 * np.sin(a1) * f(noise[1])
+            nss = r2 * np.cos(a2) * f(noise[2])
+            nts = r2 * np.sin(a2) * f(noise[3])
         radius = np.sqrt(f(-2.0) * np.log(u1))
         angle = f(2 * np.pi) * u2
         z = np.concatenate([radius * np.cos(angle), radius * np.sin(angle)],
@@ -63,8 +75,14 @@ def _oracle(u, lvls, prox=0.05, sp=0.35, tp=0.25, s0=100.0):
             lvl = la[bi[eb]]
             entry = c[eb]
             long_ = entry > opens[eb, lane]
+            if noise is not None:
+                lvl = lvl + njs[lane]
+                entry = entry + nes[lane]
             stp = lvl - sp if long_ else lvl + sp
             tgt = lvl + tp if long_ else lvl - tp
+            if noise is not None:
+                stp = stp + nss[lane]
+                tgt = tgt + nts[lane]
             risk = max(abs(entry - stp), 1e-9)
             reward = abs(tgt - entry)
             got = "open"
@@ -129,6 +147,57 @@ def test_kernel_stats_contract():
     assert np.isfinite(float(s.min_r)) and np.isfinite(float(s.max_r))
     assert float(s.min_r) <= float(s.max_r)
     assert -1.0 <= float(s.min_r) and float(s.max_r) <= 2.5
+
+
+def test_kernel_noise_matches_numpy_oracle_exact_uniforms():
+    """Execution noise in the fused kernel (McNoise knobs): the per-path
+    gaussian jitters/slips match the numpy oracle from the same uniforms."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+    rng = np.random.default_rng(5)
+    u = rng.uniform(1e-9, 1.0, (2, 3 * W + 5, LANES)).astype(np.float32)
+    stds = (0.02, 0.01, 0.015, 0.015)
+    noise = McNoise.make(level_jitter_std=stds[0], entry_slip_std=stds[1],
+                         stop_slip_std=stds[2], target_slip_std=stds[3])
+    s = mc_paths_pallas(
+        0, LEVELS, PARAMS, num_paths=2 * LANES, num_bars=W, sigma=SIGMA, dt=DT,
+        lanes=LANES, noise=noise, interpret=pltpu.InterpretParams(),
+        external_uniforms=u,
+    )
+    want = _oracle(u, [100.0, 100.4], noise=stds)
+    assert float(s.n_entered) == want["entered"]
+    assert abs(float(s.n_tp) - want["tp"]) <= 2
+    assert abs(float(s.n_stop) - want["stop"]) <= 2
+    assert abs(float(s.n_open) - want["open"]) <= 2
+    assert float(s.sum_r) == pytest.approx(want["sum_r"], abs=3.0)
+    # noise actually perturbs the outcome mix vs the noise-free oracle
+    base = _oracle(u, [100.0, 100.4])
+    assert want["sum_r"] != base["sum_r"]
+
+
+def test_kernel_zero_noise_matches_noise_free_exact():
+    """σ=0 noise mode consumes the extra draws but must reproduce the
+    noise-free kernel bitwise (the price draws are the same blocks)."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+    rng = np.random.default_rng(6)
+    u = rng.uniform(1e-9, 1.0, (1, 3 * W + 5, LANES)).astype(np.float32)
+    zero = McNoise.make(level_jitter_std=0.0, entry_slip_std=0.0,
+                        stop_slip_std=0.0, target_slip_std=0.0)
+    a = mc_paths_pallas(
+        0, LEVELS, PARAMS, num_paths=LANES, num_bars=W, sigma=SIGMA, dt=DT,
+        lanes=LANES, noise=zero, interpret=pltpu.InterpretParams(),
+        external_uniforms=u,
+    )
+    b = mc_paths_pallas(
+        0, LEVELS, PARAMS, num_paths=LANES, num_bars=W, sigma=SIGMA, dt=DT,
+        lanes=LANES, interpret=pltpu.InterpretParams(),
+        external_uniforms=u[:, :3 * W + 1],
+    )
+    for fld in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_r",
+                "min_r", "max_r"):
+        assert float(getattr(a, fld)) == float(getattr(b, fld)), fld
+    np.testing.assert_array_equal(np.asarray(a.hist), np.asarray(b.hist))
 
 
 def test_kernel_rejects_bad_shapes():
