@@ -422,6 +422,62 @@ def cmd_wal(args):
     return 0
 
 
+def _sweep_engine(args, rows, levels, params):
+    """(stop, tp) grid over the FULL 12-gate engine lifecycle with common
+    random numbers.  TPU: one fused-kernel launch with the grid on the
+    accumulator axis (ops/pallas_engine.mc_paths_pallas_engine_sweep); CPU:
+    per-config XLA runs sharing the SAME key (identical paths → exact CRN)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    combos = list(itertools.product(args.stops, args.tps))
+    use_kernel = (jax.devices()[0].platform != "cpu" and len(rows) <= 8
+                  and args.num_bars % 2 == 0 and args.num_bars <= 61)
+    if use_kernel:
+        from ..ops.pallas_engine import ENGINE_BLOCK, mc_paths_pallas_engine_sweep
+        from ..types import Levels
+
+        if args.num_paths % ENGINE_BLOCK:
+            raise SystemExit(f"--num-paths must be a multiple of {ENGINE_BLOCK} "
+                             "for the engine sweep kernel")
+        small = Levels.from_rows(rows[:8], max_levels=8)
+        grid_params = params.replace(
+            stop_padding=jnp.asarray([c[0] for c in combos], jnp.float32),
+            tp_padding=jnp.asarray([c[1] for c in combos], jnp.float32),
+        )
+        stats, _skips, escal = mc_paths_pallas_engine_sweep(
+            args.seed, small, grid_params,
+            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+            sigma=args.sigma,
+        )
+        escal = np.asarray(escal)
+    else:
+        from ..sim import enginepath as EPATH
+
+        key = jax.random.key(args.seed)   # shared key == shared paths (CRN)
+        per = [EPATH.mc_paths_engine(
+            key, levels, params.replace(
+                stop_padding=jnp.float32(sp), tp_padding=jnp.float32(tp)),
+            num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+            sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
+        ) for sp, tp in combos]
+        stats = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[p[0] for p in per])
+        escal = np.asarray([float(p[2]) for p in per])
+    for g, (sp, tp) in enumerate(combos):
+        print(json.dumps({
+            "stop_padding": sp, "tp_padding": tp,
+            "hit_rate": float(stats.hit_rate[g]),
+            "mean_r": float(stats.mean_r[g]),
+            "mean_trades": float(stats.mean_trades[g]),
+            "mean_dd": float(stats.mean_dd[g]),
+            "escalations": int(escal[g]),
+        }))
+    return 0
+
+
 def cmd_sweep(args):
     import jax
 
@@ -431,10 +487,13 @@ def cmd_sweep(args):
     rows, levels, params = _levels_and_params(conn, args)
     block = min(args.num_paths, 1 << 14)
     gated = getattr(args, "gated", False)
+    engine = getattr(args, "engine", False)
     touch_grid = getattr(args, "touch_limits", None)
     qmin_grid = getattr(args, "qmins", None)
     if not gated and (touch_grid or qmin_grid):
         raise SystemExit("--touch-limits/--qmins require --gated")
+    if engine:
+        return _sweep_engine(args, rows, levels, params)
     if gated:
         from ..sim.gatedpath import GateConfig
 
@@ -744,6 +803,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "grid axis (cartesian with stops/tps/qmins)")
     sw.add_argument("--qmins", type=float, nargs="+", default=None,
                     help="gated only: put Q_MIN_PROB values on the grid axis")
+    sw.add_argument("--engine", action="store_true",
+                    help="sweep the FULL 12-gate engine lifecycle (CRN; "
+                         "fused kernel on TPU, per-config XLA runs on CPU)")
     sw.set_defaults(fn=cmd_sweep)
 
     rt = sub.add_parser("retrain")

@@ -800,8 +800,14 @@ def _engine_lifecycle_loop(
     return side, equity, dd, trades, wins, losses, escal, skips
 
 
-def _engine_accumulate(acc_ref, final, *, n_paths: int) -> None:
+def _engine_accumulate(acc_ref, pre: tuple, final, *, n_paths: int) -> None:
+    """Fold one block's final engine state into accumulator rows at prefix
+    ``pre`` (``()`` single-config, ``(g,)`` per-grid-row for the sweep)."""
     side, equity, dd, trades, wins, losses, escal, skips = final
+
+    def row(k):
+        return pre + (slice(k, k + 1), slice(None))
+
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     entered = trades > 0.0
     we = entered.astype(jnp.float32)
@@ -814,7 +820,7 @@ def _engine_accumulate(acc_ref, final, *, n_paths: int) -> None:
     svec = jnp.zeros((1, 128), jnp.float32)
     for k, v in enumerate(scalars):
         svec = svec + jnp.where(col == k, v, 0.0)
-    acc_ref[ROW_SUM:ROW_SUM + 1, :] += svec
+    acc_ref[row(ROW_SUM)] += svec
 
     bin_idx = jnp.clip(
         ((equity - jnp.float32(LIFE_HIST_LO))
@@ -824,22 +830,19 @@ def _engine_accumulate(acc_ref, final, *, n_paths: int) -> None:
     for k in range(HIST_BINS):
         cnt = jnp.sum(jnp.where(bin_idx == k, we, 0.0))
         hvec = hvec + jnp.where(col == k, cnt, 0.0)
-    acc_ref[ROW_HIST:ROW_HIST + 1, :] += hvec
+    acc_ref[row(ROW_HIST)] += hvec
 
     blk_min = jnp.min(jnp.where(entered, equity, jnp.float32(_BIG)))
     blk_max = jnp.max(jnp.where(entered, equity, jnp.float32(-_BIG)))
-    acc_ref[ROW_MIN:ROW_MIN + 1, :] = jnp.minimum(
-        acc_ref[ROW_MIN:ROW_MIN + 1, :], blk_min)
-    acc_ref[ROW_MAX:ROW_MAX + 1, :] = jnp.maximum(
-        acc_ref[ROW_MAX:ROW_MAX + 1, :], blk_max)
-    acc_ref[ROW_MAXDD:ROW_MAXDD + 1, :] = jnp.maximum(
-        acc_ref[ROW_MAXDD:ROW_MAXDD + 1, :], jnp.max(dd))
+    acc_ref[row(ROW_MIN)] = jnp.minimum(acc_ref[row(ROW_MIN)], blk_min)
+    acc_ref[row(ROW_MAX)] = jnp.maximum(acc_ref[row(ROW_MAX)], blk_max)
+    acc_ref[row(ROW_MAXDD)] = jnp.maximum(acc_ref[row(ROW_MAXDD)], jnp.max(dd))
 
     kvec = jnp.zeros((1, 128), jnp.float32)
     for k, sk in enumerate(skips):
         kvec = kvec + jnp.where(col == k, jnp.sum(sk), 0.0)
     kvec = kvec + jnp.where(col == len(skips), jnp.sum(escal), 0.0)
-    acc_ref[ROW_SKIP:ROW_SKIP + 1, :] += kvec
+    acc_ref[row(ROW_SKIP)] += kvec
 
 
 def _engine_kernel(
@@ -894,7 +897,53 @@ def _engine_kernel(
     def _init():
         _init_acc(acc_ref)
 
-    _engine_accumulate(acc_ref, final, n_paths=s * b)
+    _engine_accumulate(acc_ref, (), final, n_paths=s * b)
+
+
+def _pack_eng(params: EngineParams, policy_gate_disabled, bar0_minute,
+              has_levels, g: int | None = None):
+    """Pack the 17-scalar engine-knob row(s) the kernels read from SMEM.
+    With ``g``, EngineParams leaves may be [G] vectors (or scalars, which
+    broadcast) → (G, 17) grid rows; otherwise a (1, 17) single row."""
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    cols = [
+        f32(params.contact_prox), f32(params.stop_padding),
+        f32(params.tp_padding), f32(params.q_min_prob),
+        f32(params.cooldown_s) * 1000.0, f32(params.enable_veto),
+        f32(params.veto_vol_strong), f32(params.veto_prox),
+        f32(params.disable_ml_gate), f32(params.use_blend),
+        f32(params.w_rules), f32(params.w_ml), f32(params.confluence_within),
+        f32(params.overtouch_limit), jnp.float32(bool(policy_gate_disabled)),
+        jnp.float32(int(bar0_minute)), f32(has_levels),
+    ]
+    if g is None:
+        return jnp.stack(cols).reshape(1, 17)
+    return jnp.stack(
+        [jnp.broadcast_to(c.reshape(-1), (g,)) for c in cols], axis=1)
+
+
+def _pack_shared(policy, ml_model, touch_params, guard_params):
+    """The grid-invariant SMEM rows: ML model, policy entry head, touch
+    params, guard params."""
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    ml_usable = jnp.logical_and(ml_model.present, ml_model.n_features == 4)
+    mlv = jnp.concatenate([
+        f32(ml_model.coef).reshape(4), f32(ml_model.intercept).reshape(1),
+        f32(ml_usable).reshape(1), jnp.zeros((2,), jnp.float32),
+    ]).reshape(1, 8)
+    polv = jnp.pad(f32(policy.w_entry), ((0, 0), (0, 8 - POLICY_FEATURE_DIM)))
+    tmv = jnp.stack([
+        f32(touch_params.tol_bps), f32(touch_params.min_time_gap_ms),
+        f32(touch_params.min_price_gap_bps), f32(touch_params.decay),
+        f32(touch_params.max_bounces), f32(touch_params.fatigue_window_ms),
+        f32(touch_params.fatigue_vol_k), jnp.float32(0.0),
+    ]).reshape(1, 8)
+    gdv = jnp.stack([
+        f32(guard_params.min_bars), f32(guard_params.compression_bp),
+        f32(guard_params.vol_k), f32(guard_params.reenter_clear_bars),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 8)
+    return mlv, polv, tmv, gdv
 
 
 def _unpack_acc_engine(acc, n_skip: int):
@@ -1013,34 +1062,10 @@ def _engine_impl(
         max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, external_rng=external_rng,
     )
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
-    eng = jnp.stack([
-        f32(params.contact_prox), f32(params.stop_padding),
-        f32(params.tp_padding), f32(params.q_min_prob),
-        f32(params.cooldown_s) * 1000.0, f32(params.enable_veto),
-        f32(params.veto_vol_strong), f32(params.veto_prox),
-        f32(params.disable_ml_gate), f32(params.use_blend),
-        f32(params.w_rules), f32(params.w_ml), f32(params.confluence_within),
-        f32(params.overtouch_limit), jnp.float32(bool(policy_gate_disabled)),
-        jnp.float32(int(bar0_minute)), f32(levels.count > 0),
-    ]).reshape(1, 17)
-    ml_usable = jnp.logical_and(ml_model.present, ml_model.n_features == 4)
-    mlv = jnp.concatenate([
-        f32(ml_model.coef).reshape(4), f32(ml_model.intercept).reshape(1),
-        f32(ml_usable).reshape(1), jnp.zeros((2,), jnp.float32),
-    ]).reshape(1, 8)
-    polv = jnp.pad(f32(policy.w_entry), ((0, 0), (0, 8 - POLICY_FEATURE_DIM)))
-    tmv = jnp.stack([
-        f32(touch_params.tol_bps), f32(touch_params.min_time_gap_ms),
-        f32(touch_params.min_price_gap_bps), f32(touch_params.decay),
-        f32(touch_params.max_bounces), f32(touch_params.fatigue_window_ms),
-        f32(touch_params.fatigue_vol_k), jnp.float32(0.0),
-    ]).reshape(1, 8)
-    gdv = jnp.stack([
-        f32(guard_params.min_bars), f32(guard_params.compression_bp),
-        f32(guard_params.vol_k), f32(guard_params.reenter_clear_bars),
-        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-    ]).reshape(1, 8)
+    eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
+                    levels.count > 0)
+    mlv, polv, tmv, gdv = _pack_shared(policy, ml_model, touch_params,
+                                       guard_params)
     lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
     lk = jnp.broadcast_to(
         jnp.asarray(levels.kind, jnp.float32)[:, None], (levels.max_levels, 128))
@@ -1071,6 +1096,224 @@ def _engine_impl(
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, eng, mlv, polv, tmv, gdv, lp, lv, lk)
+         + ((jnp.asarray(external_uniforms, jnp.float32),)
+            if external_rng else ())))
+
+    return _unpack_acc_engine(acc, n_skip)
+
+
+# --------------------------------------------------------------------------
+# engine-knob grid sweep with common random numbers
+# --------------------------------------------------------------------------
+
+def _engine_sweep_kernel(
+    seed_ref,          # SMEM (1,1) i32
+    grid_ref,          # SMEM (G, 17) f32 engine-knob rows (_pack_eng layout)
+    ml_ref,            # SMEM (1,8) f32 (shared across the grid)
+    pol_ref,           # SMEM (3,8) f32
+    tm_ref,            # SMEM (1,8) f32
+    gd_ref,            # SMEM (1,8) f32
+    level_price_ref,   # VMEM (L, 128) f32
+    level_valid_ref,   # VMEM (L, 128) f32
+    level_kind_ref,    # VMEM (L, 128) f32
+    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    num_bars: int,
+    s0: float,
+    drift: float,
+    sig_dt: float,
+    max_levels: int,
+    lanes: int,
+    vm: tuple,
+    escalation: bool,
+    n_grid: int,
+    external_rng: bool = False,
+):
+    """One path block run through the FULL engine once per grid row.  The
+    hardware PRNG is re-seeded to the block's seed before each row, so every
+    knob configuration consumes the identical uniform stream (bars, volumes,
+    ties) — pure decision-surface comparison, zero cross-config sampling
+    variance.  Engine knobs change which trades open AND how the touch/guard
+    state evolves, so the whole generate+engine loop re-runs per row."""
+    s, b = ENGINE_SUB, lanes
+    if external_rng:
+        u_ref, acc_ref = refs
+
+        def draw(t2, k):
+            return u_ref[0, pl.ds(t2 * DRAWS_PER_PAIR + k, 1)].reshape(s, b)
+
+        def reseed():
+            pass
+    else:
+        (acc_ref,) = refs
+
+        def draw(t2, k):
+            return _uniform((s, b))
+
+        def reseed():
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        _init_acc(acc_ref)
+
+    for g in range(n_grid):
+        reseed()
+        final = _engine_lifecycle_loop(
+            draw, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0],
+                             level_kind_ref[i, 0]),
+            num_bars=num_bars, drift=jnp.float32(drift),
+            sig_dt=jnp.float32(sig_dt), log_s0=jnp.float32(np.log(s0)),
+            eng=tuple(grid_ref[g, k] for k in range(17)),
+            ml=tuple(ml_ref[0, k] for k in range(6)),
+            pol_w=tuple(tuple(pol_ref[a, d] for d in range(POLICY_FEATURE_DIM))
+                        for a in range(3)),
+            tm=tuple(tm_ref[0, k] for k in range(7)),
+            gd=tuple(gd_ref[0, k] for k in range(4)),
+            max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
+        )
+        _engine_accumulate(acc_ref, (g,), final, n_paths=s * b)
+
+
+def mc_paths_pallas_engine_sweep(
+    seed,
+    levels: Levels,
+    grid_params: EngineParams,   # leaves may be [G] vectors or scalars
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    s0: float = 100.0,
+    mu: float = 0.0,
+    sigma: float = 0.15,
+    dt: float = 1.0 / (390.0 * 252.0),
+    lanes: int = ENGINE_LANES,
+    policy=None,
+    ml_model: MlModel | None = None,
+    touch_params: T.TouchMemoryParams | None = None,
+    guard_params: G.GuardParams | None = None,
+    policy_gate_disabled: bool | None = None,
+    escalation: bool = True,
+    bar0_minute: int = 0,
+    volume_model: VolumeModel | None = None,
+    n_grid: int | None = None,
+    interpret=False,
+    external_uniforms=None,
+):
+    """Engine-knob grid sweep over the fused FULL-ENGINE kernel with common
+    random numbers: the grid axis carries complete 17-knob engine rows
+    (prox, paddings, q_min, cooldown, veto thresholds, blend weights,
+    overtouch limit, ...) built from [G]-leaved EngineParams, so the
+    reference engine's whole decision surface sweeps in ONE kernel launch
+    over shared paths.  Returns [G]-batched (PathStats, skips, escalations).
+
+    Same kernel-specialized constants as ``mc_paths_pallas_engine``."""
+    if touch_params is None:
+        touch_params = T.TouchMemoryParams.default()
+    if guard_params is None:
+        guard_params = G.GuardParams.default()
+    if ml_model is None:
+        ml_model = MlModel.absent()
+    if policy_gate_disabled is None:
+        policy_gate_disabled = policy is None
+    if policy is None:
+        policy = OP.PolicyParams.init()
+    if volume_model is None:
+        volume_model = VolumeModel()
+    if n_grid is None:
+        sizes = {np.asarray(x).shape[0]
+                 for x in jax.tree_util.tree_leaves(grid_params)
+                 if np.asarray(x).ndim == 1}
+        if len(sizes) != 1:
+            raise ValueError(
+                "pass n_grid or give grid_params at least one [G] leaf "
+                f"(found sizes {sorted(sizes)})")
+        (n_grid,) = sizes
+    block = ENGINE_SUB * lanes
+    if num_paths % block != 0:
+        raise ValueError(f"num_paths must be a multiple of {block}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
+    if num_bars > GUARD_WINDOW_BARS:
+        raise ValueError(
+            f"engine sweep supports num_bars <= {GUARD_WINDOW_BARS}")
+    if levels.max_levels > 8:
+        raise ValueError("pallas engine sweep supports up to 8 level slots")
+    if int(touch_params.fatigue_hits) != TAP_SLOTS:
+        raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
+    if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
+        raise ValueError("engine kernel is built for 5/20-bar guard MAs")
+    return _engine_sweep_impl(
+        seed, levels, grid_params, policy, ml_model, touch_params,
+        guard_params, external_uniforms,
+        num_paths=num_paths, num_bars=num_bars, s0=s0, mu=mu, sigma=sigma,
+        dt=dt, lanes=lanes, n_grid=int(n_grid),
+        policy_gate_disabled=bool(policy_gate_disabled),
+        escalation=escalation, bar0_minute=int(bar0_minute),
+        volume_model=volume_model, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
+                     "lanes", "n_grid", "volume_model", "escalation",
+                     "bar0_minute", "policy_gate_disabled", "interpret"),
+)
+def _engine_sweep_impl(
+    seed, levels, grid_params, policy, ml_model, touch_params, guard_params,
+    external_uniforms, *, num_paths, num_bars, s0, mu, sigma, dt, lanes,
+    n_grid, policy_gate_disabled, escalation, bar0_minute, volume_model,
+    interpret,
+):
+    block = ENGINE_SUB * lanes
+    n_blocks = num_paths // block
+    n_skip = len(SKIP_REASONS)
+
+    drift = (mu - 0.5 * sigma * sigma) * dt
+    sig_dt = sigma * float(np.sqrt(dt))
+    external_rng = external_uniforms is not None
+    vm = (float(volume_model.base), float(volume_model.u_amp),
+          float(volume_model.noise_sigma), float(volume_model.ret_coupling),
+          int(volume_model.day_minutes), int(volume_model.open_minute))
+    kernel = functools.partial(
+        _engine_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
+        sig_dt=sig_dt, max_levels=levels.max_levels, lanes=lanes, vm=vm,
+        escalation=escalation, n_grid=n_grid, external_rng=external_rng,
+    )
+    grid = _pack_eng(grid_params, policy_gate_disabled, bar0_minute,
+                     levels.count > 0, g=n_grid)
+    mlv, polv, tmv, gdv = _pack_shared(policy, ml_model, touch_params,
+                                       guard_params)
+    lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
+    lk = jnp.broadcast_to(
+        jnp.asarray(levels.kind, jnp.float32)[:, None], (levels.max_levels, 128))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_grid, 17), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((1, DRAWS_PER_PAIR * (num_bars // 2), ENGINE_SUB, lanes),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        ] if external_rng else []),
+        out_specs=pl.BlockSpec((n_grid, 8, 128), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_grid, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(*((seed_arr, grid, mlv, polv, tmv, gdv, lp, lv, lk)
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 

@@ -195,6 +195,50 @@ def test_engine_kernel_matches_with_ml_and_policy_gates():
     assert skips["ONLINE_POLICY"] > 0
 
 
+def test_engine_sweep_kernel_matches_single_configs_exact():
+    """Engine-knob CRN grid sweep: each grid row's stats (counts, skip table,
+    escalations, histogram) match an independent single-config engine-kernel
+    run under the SAME injected uniforms."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        mc_paths_pallas_engine_sweep,
+    )
+
+    rng = np.random.default_rng(23)
+    u = rng.uniform(
+        1e-6, 1.0, (1, DRAWS_PER_PAIR * (W // 2), ENGINE_SUB, LANES),
+    ).astype(np.float32)
+    cfgs = [
+        EngineParams.default(),
+        EngineParams.default(stop_padding=0.20, tp_padding=0.40),
+        EngineParams.default(q_min_prob=0.40, enable_veto=False),
+        EngineParams.default(overtouch_limit=2, cooldown_s=180.0),
+    ]
+    grid = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cfgs)
+
+    got, got_skips, got_escal = mc_paths_pallas_engine_sweep(
+        0, LEVELS, grid, num_paths=BLOCK, num_bars=W, sigma=0.3, dt=DT,
+        lanes=LANES, interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (len(cfgs),)
+    for g, cfg in enumerate(cfgs):
+        want, wskips, wescal = mc_paths_pallas_engine(
+            0, LEVELS, cfg, num_paths=BLOCK, num_bars=W, sigma=0.3, dt=DT,
+            lanes=LANES, interpret=True, external_uniforms=u,
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+            assert float(getattr(got, f)[g]) == float(getattr(want, f)), (g, f)
+        assert float(got_escal[g]) == float(wescal), g
+        np.testing.assert_array_equal(np.asarray(got_skips[g]),
+                                      np.asarray(wskips))
+        assert float(got.sum_r[g]) == pytest.approx(float(want.sum_r), abs=1e-4)
+        assert float(got.max_dd[g]) == pytest.approx(float(want.max_dd), abs=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.hist[g]),
+                                      np.asarray(want.hist))
+    # the grid actually varies the decision surface
+    assert float(got.n_entered[2]) != float(got.n_entered[3]) or \
+        float(got.sum_r[1]) != float(got.sum_r[0])
+
+
 def test_engine_kernel_rejects_bad_shapes():
     params = EngineParams.default()
     with pytest.raises(ValueError):
