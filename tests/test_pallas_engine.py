@@ -239,6 +239,63 @@ def test_engine_sweep_kernel_matches_single_configs_exact():
         float(got.sum_r[1]) != float(got.sum_r[0])
 
 
+def test_engine_universe_per_symbol_knobs_exact():
+    """Per-symbol FULL-ENGINE universe: each symbol of a 2-symbol universe
+    with DISTINCT engine knobs (paddings, q_min, veto) matches a
+    single-config engine-kernel run of that symbol under the same injected
+    uniforms."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        mc_paths_pallas_engine_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    rows = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+         {"color": "teal", "type": "solid", "index": 0, "price": 99.6}],
+        [{"color": "red", "type": "dashed", "index": 0, "price": 100.3}],
+    ]
+    levels2 = U.stack_levels(rows, max_levels=8)
+    s0 = np.array([100.0, 100.0], np.float32)
+    sigma = np.array([0.3, 0.3], np.float32)
+    sp = np.array([0.35, 0.20], np.float32)
+    tp = np.array([0.25, 0.40], np.float32)
+    qm = np.array([0.60, 0.40], np.float32)
+    params_vec = EngineParams.default().replace(
+        stop_padding=jnp.asarray(sp), tp_padding=jnp.asarray(tp),
+        q_min_prob=jnp.asarray(qm))
+    rng = np.random.default_rng(29)
+    u = rng.uniform(
+        1e-6, 1.0, (2, 1, DRAWS_PER_PAIR * (W // 2), ENGINE_SUB, LANES),
+    ).astype(np.float32)
+
+    got, got_skips, got_escal = mc_paths_pallas_engine_universe(
+        0, levels2, params_vec, s0, sigma,
+        paths_per_symbol=BLOCK, num_bars=W, dt=DT, lanes=LANES,
+        interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (2,)
+    for s in range(2):
+        params_s = EngineParams.default(
+            stop_padding=float(sp[s]), tp_padding=float(tp[s]),
+            q_min_prob=float(qm[s]))
+        levels_s = jax.tree_util.tree_map(lambda x: x[s], levels2)
+        want, wskips, wescal = mc_paths_pallas_engine(
+            0, levels_s, params_s, num_paths=BLOCK, num_bars=W,
+            sigma=float(sigma[s]), dt=DT, lanes=LANES,
+            interpret=True, external_uniforms=u[s],
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+            assert float(getattr(got, f)[s]) == float(getattr(want, f)), (s, f)
+        assert float(got_escal[s]) == float(wescal), s
+        np.testing.assert_array_equal(np.asarray(got_skips[s]),
+                                      np.asarray(wskips))
+        np.testing.assert_array_equal(np.asarray(got.hist[s]),
+                                      np.asarray(want.hist))
+    # the knobs actually differ per symbol
+    assert float(got.n_entered[0]) != float(got.n_entered[1]) or \
+        float(got.sum_r[0]) != float(got.sum_r[1])
+
+
 def test_engine_kernel_rejects_bad_shapes():
     params = EngineParams.default()
     with pytest.raises(ValueError):
