@@ -248,7 +248,7 @@ def cmd_paths(args):
         noise = McNoise.make(*stds)
         if getattr(args, "ckpt_dir", None):
             raise SystemExit("execution noise does not run under --ckpt-dir")
-    if getattr(args, "ckpt_dir", None):
+    if getattr(args, "ckpt_dir", None) and not getattr(args, "engine", False):
         # fault-tolerant long run: chunked with an exactly-once block
         # watermark; re-running the same command resumes bitwise-identically
         from ..sim import resumable
@@ -274,9 +274,19 @@ def cmd_paths(args):
         from ..sim import enginepath as EPATH
 
         use_kernel = (backend == "pallas" and noise is None
+                      and not getattr(args, "ckpt_dir", None)
                       and len(rows) <= 8 and args.num_bars % 2 == 0
                       and args.num_bars <= 61)
-        if use_kernel:
+        if getattr(args, "ckpt_dir", None):
+            from ..sim import resumable
+
+            stats, skips, escal = resumable.run_resumable(
+                jax.random.key(args.seed), levels, params,
+                num_paths=args.num_paths, ckpt_dir=args.ckpt_dir,
+                num_bars=args.num_bars, s0=args.s0, sigma=args.sigma,
+                block_paths=min(args.num_paths, 1 << 13), engine=True,
+            )
+        elif use_kernel:
             from ..ops.pallas_engine import ENGINE_BLOCK, mc_paths_pallas_engine
             from ..types import Levels
 

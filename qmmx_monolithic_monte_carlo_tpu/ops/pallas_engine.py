@@ -75,9 +75,10 @@ from .pallas_mc import (
 ENGINE_SUB = 8
 ENGINE_LANES = 256   # ~145 (8, lanes) f32 state tiles → 1.2 MB at 256 lanes.
                      # Swept on v5e round 3 (benchmarks/engine_kernel_bench.py,
-                     # 2^24 × 40 bars): 256→33.1M, 512→31.9M, 1024→30.5M
-                     # paths/s — the engine carries ~5× the gated kernel's
-                     # state, so the narrowest tile wins.
+                     # 2^24 × 40 bars): 128→24.7M, 256→33.1M, 512→31.9M,
+                     # 1024→30.5M paths/s — the engine carries ~5× the gated
+                     # kernel's state so narrow wins, but 128 under-fills the
+                     # VPU; 256 is the sweet spot.
 ENGINE_BLOCK = ENGINE_SUB * ENGINE_LANES
 ROW_SKIP = 5         # skip counters cols 0..15, escalations col 16 ('+')
 

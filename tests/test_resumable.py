@@ -89,3 +89,50 @@ def test_gated_resume_bitwise_identical(tmp_path):
     np.testing.assert_array_equal(np.asarray(resumed.hist),
                                   np.asarray(straight.hist))
     assert float(straight.sum_trades) > float(straight.n_entered)
+
+
+def test_engine_resume_bitwise_identical(tmp_path):
+    """The FULL 12-gate engine lifecycle checkpoints/resumes with the same
+    watermark semantics, persisting the skip table and escalation count:
+    crash mid-run, resume, get the uninterrupted result bitwise — and match
+    a plain mc_paths_engine run of the same budget."""
+    from qmmx_monolithic_monte_carlo_tpu.sim import enginepath as EP
+
+    kw = dict(num_paths=1 << 12, num_bars=16, sigma=0.3,
+              block_paths=1 << 10, blocks_per_chunk=2, engine=True)
+    key = jax.random.key(5)
+
+    straight, sk_s, esc_s = resumable.run_resumable(
+        key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "a"), **kw)
+    with pytest.raises(RuntimeError):
+        resumable.run_resumable(
+            key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "b"),
+            fail_after_chunks=1, **kw)
+    resumed, sk_r, esc_r = resumable.run_resumable(
+        key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "b"), **kw)
+
+    for f in ("n", "n_entered", "n_tp", "n_stop", "sum_r", "sum_trades",
+              "sum_dd", "max_dd", "min_r", "max_r"):
+        assert float(getattr(resumed, f)) == float(getattr(straight, f)), f
+    np.testing.assert_array_equal(np.asarray(resumed.hist),
+                                  np.asarray(straight.hist))
+    np.testing.assert_array_equal(np.asarray(sk_r), np.asarray(sk_s))
+    assert float(esc_r) == float(esc_s)
+
+    plain, sk_p, esc_p = EP.mc_paths_engine(
+        key, LEVELS, PARAMS, num_paths=kw["num_paths"],
+        num_bars=kw["num_bars"], sigma=kw["sigma"],
+        block_paths=kw["block_paths"])
+    assert float(straight.n_entered) == float(plain.n_entered)
+    assert float(esc_s) == float(esc_p)
+    np.testing.assert_array_equal(np.asarray(sk_s), np.asarray(sk_p))
+    np.testing.assert_array_equal(np.asarray(straight.hist),
+                                  np.asarray(plain.hist))
+
+    # engine vs gated vs first-contact checkpoints refuse to cross-resume
+    with pytest.raises(ValueError):
+        resumable.run_resumable(
+            key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "a"),
+            num_paths=kw["num_paths"], num_bars=kw["num_bars"],
+            sigma=kw["sigma"], block_paths=kw["block_paths"],
+            blocks_per_chunk=2)
