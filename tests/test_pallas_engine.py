@@ -203,9 +203,12 @@ def test_engine_sweep_kernel_matches_single_configs_exact():
         mc_paths_pallas_engine_sweep,
     )
 
+    # kernel-vs-kernel comparison: a shorter horizon than the parity tests
+    # keeps every knob's effect visible at a fraction of the interpret cost
+    w2 = 24
     rng = np.random.default_rng(23)
     u = rng.uniform(
-        1e-6, 1.0, (1, DRAWS_PER_PAIR * (W // 2), ENGINE_SUB, LANES),
+        1e-6, 1.0, (1, DRAWS_PER_PAIR * (w2 // 2), ENGINE_SUB, LANES),
     ).astype(np.float32)
     cfgs = [
         EngineParams.default(),
@@ -216,13 +219,13 @@ def test_engine_sweep_kernel_matches_single_configs_exact():
     grid = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cfgs)
 
     got, got_skips, got_escal = mc_paths_pallas_engine_sweep(
-        0, LEVELS, grid, num_paths=BLOCK, num_bars=W, sigma=0.3, dt=DT,
+        0, LEVELS, grid, num_paths=BLOCK, num_bars=w2, sigma=0.3, dt=DT,
         lanes=LANES, interpret=True, external_uniforms=u,
     )
     assert got.n.shape == (len(cfgs),)
     for g, cfg in enumerate(cfgs):
         want, wskips, wescal = mc_paths_pallas_engine(
-            0, LEVELS, cfg, num_paths=BLOCK, num_bars=W, sigma=0.3, dt=DT,
+            0, LEVELS, cfg, num_paths=BLOCK, num_bars=w2, sigma=0.3, dt=DT,
             lanes=LANES, interpret=True, external_uniforms=u,
         )
         for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
@@ -263,14 +266,15 @@ def test_engine_universe_per_symbol_knobs_exact():
     params_vec = EngineParams.default().replace(
         stop_padding=jnp.asarray(sp), tp_padding=jnp.asarray(tp),
         q_min_prob=jnp.asarray(qm))
+    w2 = 24   # kernel-vs-kernel: shorter horizon, same knob coverage
     rng = np.random.default_rng(29)
     u = rng.uniform(
-        1e-6, 1.0, (2, 1, DRAWS_PER_PAIR * (W // 2), ENGINE_SUB, LANES),
+        1e-6, 1.0, (2, 1, DRAWS_PER_PAIR * (w2 // 2), ENGINE_SUB, LANES),
     ).astype(np.float32)
 
     got, got_skips, got_escal = mc_paths_pallas_engine_universe(
         0, levels2, params_vec, s0, sigma,
-        paths_per_symbol=BLOCK, num_bars=W, dt=DT, lanes=LANES,
+        paths_per_symbol=BLOCK, num_bars=w2, dt=DT, lanes=LANES,
         interpret=True, external_uniforms=u,
     )
     assert got.n.shape == (2,)
@@ -280,7 +284,7 @@ def test_engine_universe_per_symbol_knobs_exact():
             q_min_prob=float(qm[s]))
         levels_s = jax.tree_util.tree_map(lambda x: x[s], levels2)
         want, wskips, wescal = mc_paths_pallas_engine(
-            0, levels_s, params_s, num_paths=BLOCK, num_bars=W,
+            0, levels_s, params_s, num_paths=BLOCK, num_bars=w2,
             sigma=float(sigma[s]), dt=DT, lanes=LANES,
             interpret=True, external_uniforms=u[s],
         )
