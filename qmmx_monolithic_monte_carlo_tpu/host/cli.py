@@ -273,7 +273,7 @@ def cmd_paths(args):
         # ladder entirely on-chip
         from ..sim import enginepath as EPATH
 
-        use_kernel = (backend == "pallas" and noise is None
+        use_kernel = (backend == "pallas"
                       and not getattr(args, "ckpt_dir", None)
                       and len(rows) <= 8 and args.num_bars % 2 == 0
                       and args.num_bars <= 61)
@@ -298,7 +298,7 @@ def cmd_paths(args):
             stats, skips, escal = mc_paths_pallas_engine(
                 args.seed, small, params,
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-                sigma=args.sigma,
+                sigma=args.sigma, noise=noise,
             )
         else:
             stats, skips, escal = EPATH.mc_paths_engine(

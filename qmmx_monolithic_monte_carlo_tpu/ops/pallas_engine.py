@@ -91,8 +91,11 @@ _NEVER = -1e9   # "no prior touch/tap" timestamp sentinel (plain float: a
                 # which pallas_call rejects)
 
 # 10 uniform blocks per double-bar step: price-normal pair, volume-normal
-# pair, then (u_high, u_low, tie) per half
+# pair, then (u_high, u_low, tie) per half; with execution noise, 8 more
+# (two Box-Muller pairs per half → the four per-entry noise normals of each
+# bar) at ks 10..17
 DRAWS_PER_PAIR = 10
+DRAWS_PER_PAIR_NOISE = 18
 
 
 
@@ -114,6 +117,7 @@ def _sigmoid_clamped(z):
 def _engine_lifecycle_loop(
     draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     eng, ml, pol_w, tm, gd, max_levels, lanes, vm, escalation: bool,
+    noise=None,
 ):
     """The streaming generate+full-engine loop.
 
@@ -121,8 +125,12 @@ def _engine_lifecycle_loop(
     step t2 (layout above); ``get_level(i) -> (price, valid, kind)`` scalars;
     ``eng``/``ml``/``tm``/``gd`` are scalar tuples (engine knobs, ML model,
     touch params, guard params); ``pol_w`` is the 3×7 policy entry head as
-    nested scalar tuples; ``vm`` the static VolumeModel floats.  Returns the
-    final lifecycle tiles + skip-counter tiles."""
+    nested scalar tuples; ``vm`` the static VolumeModel floats.  ``noise``:
+    optional (lvl_jitter, entry_slip, stop_slip, tgt_slip) std scalars —
+    per-ENTRY gaussian execution noise (sim/enginepath semantics, reference
+    MC :3453-3461; gates see the un-noised scaffold) drawn as two extra
+    Box-Muller pairs per bar (draw ks 10..17 per double-bar step).  Returns
+    the final lifecycle tiles + skip-counter tiles."""
     s, b = ENGINE_SUB, lanes
     (prox, stop_pad, tp_pad, qmin, cooldown_ms, enable_veto, veto_strong,
      veto_prox, disable_ml, use_blend, w_rules_raw, w_ml_raw, confl_within,
@@ -203,14 +211,23 @@ def _engine_lifecycle_loop(
         zv_pair = (vradius * jnp.cos(vangle), vradius * jnp.sin(vangle))
         for half in range(2):
             t_i = 2 * t2 + half
+            if noise is not None:
+                r1 = jnp.sqrt(-2.0 * jnp.log(draw(t2, 10 + 4 * half)))
+                a1 = _TWO_PI * draw(t2, 11 + 4 * half)
+                r2 = jnp.sqrt(-2.0 * jnp.log(draw(t2, 12 + 4 * half)))
+                a2 = _TWO_PI * draw(t2, 13 + 4 * half)
+                nz = (r1 * jnp.cos(a1), r1 * jnp.sin(a1),
+                      r2 * jnp.cos(a2), r2 * jnp.sin(a2))
+            else:
+                nz = None
             st = _one_bar(
                 st, t_i, z_pair[half], zv_pair[half],
                 draw(t2, 4 + 3 * half), draw(t2, 5 + 3 * half),
-                draw(t2, 6 + 3 * half),
+                draw(t2, 6 + 3 * half), nz,
             )
         return st
 
-    def _one_bar(st, t_i, z, zv, u3, u4, tie):
+    def _one_bar(st, t_i, z, zv, u3, u4, tie, nz):
         (log_s, prev_c, side, entry, stop, target, risk0, cooldown_until,
          last_dir, equity, peak, dd, trades, wins, losses, escal,
          c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
@@ -503,12 +520,26 @@ def _engine_lifecycle_loop(
 
         enter_f = enter.astype(jnp.float32)
         new_side = jnp.where(go_long, 1.0, -1.0)
-        tgt_new = jnp.where(go_long, best_p + tp_pad, best_p - tp_pad)
+        if nz is not None:
+            # noised execution scaffold (enginepath :376-388, ref :3453-3461):
+            # gates saw the UN-noised stop_clean; the opened trade's level/
+            # fill/barriers jitter per entry
+            lvl_jit, entry_slip, stop_slip, tgt_slip = noise
+            lvl_eff = best_p + nz[0] * lvl_jit
+            fill = c + nz[1] * entry_slip
+            stop_new = (jnp.where(go_long, lvl_eff - stop_pad, lvl_eff + stop_pad)
+                        + nz[2] * stop_slip)
+            tgt_new = (jnp.where(go_long, lvl_eff + tp_pad, lvl_eff - tp_pad)
+                       + nz[3] * tgt_slip)
+        else:
+            fill = c
+            stop_new = stop_clean
+            tgt_new = jnp.where(go_long, best_p + tp_pad, best_p - tp_pad)
         side = jnp.where(enter, new_side, side)
-        entry = jnp.where(enter, c, entry)
-        stop = jnp.where(enter, stop_clean, stop)
+        entry = jnp.where(enter, fill, entry)
+        stop = jnp.where(enter, stop_new, stop)
         target = jnp.where(enter, tgt_new, target)
-        risk0 = jnp.where(enter, jnp.abs(c - stop_clean), risk0)
+        risk0 = jnp.where(enter, jnp.abs(fill - stop_new), risk0)
         trades = trades + enter_f
 
         # direction state (:2952-2955): exact != (no eps band)
@@ -848,7 +879,7 @@ def _engine_accumulate(acc_ref, pre: tuple, final, *, n_paths: int) -> None:
 
 def _engine_kernel(
     seed_ref,          # SMEM (1,1) i32
-    eng_ref,           # SMEM (1,17) f32 engine knobs (see wrapper)
+    eng_ref,           # SMEM (1,ENG_COLS) f32 engine knobs + noise stds
     ml_ref,            # SMEM (1,8) f32: [c0..c3, intercept, usable, _, _]
     pol_ref,           # SMEM (3,8) f32: w_entry rows (7 dims + pad)
     tm_ref,            # SMEM (1,8) f32 touch params
@@ -866,13 +897,15 @@ def _engine_kernel(
     vm: tuple,
     escalation: bool,
     external_rng: bool = False,
+    use_noise: bool = False,
 ):
     s, b = ENGINE_SUB, lanes
+    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
     if external_rng:
         u_ref, acc_ref = refs
 
         def draw(t2, k):
-            return u_ref[0, pl.ds(t2 * DRAWS_PER_PAIR + k, 1)].reshape(s, b)
+            return u_ref[0, pl.ds(t2 * stride + k, 1)].reshape(s, b)
     else:
         (acc_ref,) = refs
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
@@ -892,6 +925,8 @@ def _engine_kernel(
         tm=tuple(tm_ref[0, k] for k in range(7)),
         gd=tuple(gd_ref[0, k] for k in range(4)),
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
+        noise=(tuple(eng_ref[0, 17 + k] for k in range(4))
+               if use_noise else None),
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -901,12 +936,18 @@ def _engine_kernel(
     _engine_accumulate(acc_ref, (), final, n_paths=s * b)
 
 
+ENG_COLS = 21   # 17 engine knobs + 4 execution-noise stds (zero when off)
+
+
 def _pack_eng(params: EngineParams, policy_gate_disabled, bar0_minute,
-              has_levels, g: int | None = None):
-    """Pack the 17-scalar engine-knob row(s) the kernels read from SMEM.
-    With ``g``, EngineParams leaves may be [G] vectors (or scalars, which
-    broadcast) → (G, 17) grid rows; otherwise a (1, 17) single row."""
+              has_levels, g: int | None = None, noise=None):
+    """Pack the engine-knob row(s) the kernels read from SMEM: 17 knobs plus
+    the 4 McNoise stds (lvl_jitter, entry_slip, stop_slip, tgt_slip; zeros
+    when noise is off).  With ``g``, EngineParams leaves may be [G] vectors
+    (or scalars, which broadcast) → (G, ENG_COLS) grid rows; otherwise a
+    (1, ENG_COLS) single row."""
     f32 = lambda x: jnp.asarray(x, jnp.float32)
+    zero = jnp.float32(0.0)
     cols = [
         f32(params.contact_prox), f32(params.stop_padding),
         f32(params.tp_padding), f32(params.q_min_prob),
@@ -916,9 +957,13 @@ def _pack_eng(params: EngineParams, policy_gate_disabled, bar0_minute,
         f32(params.w_rules), f32(params.w_ml), f32(params.confluence_within),
         f32(params.overtouch_limit), jnp.float32(bool(policy_gate_disabled)),
         jnp.float32(int(bar0_minute)), f32(has_levels),
+        f32(noise.level_jitter_std) if noise is not None else zero,
+        f32(noise.entry_slip_std) if noise is not None else zero,
+        f32(noise.stop_slip_std) if noise is not None else zero,
+        f32(noise.target_slip_std) if noise is not None else zero,
     ]
     if g is None:
-        return jnp.stack(cols).reshape(1, 17)
+        return jnp.stack(cols).reshape(1, ENG_COLS)
     return jnp.stack(
         [jnp.broadcast_to(c.reshape(-1), (g,)) for c in cols], axis=1)
 
@@ -986,13 +1031,15 @@ def mc_paths_pallas_engine(
     escalation: bool = True,
     bar0_minute: int = 0,
     volume_model: VolumeModel | None = None,
+    noise=None,               # montecarlo.McNoise — per-entry execution noise
     interpret=False,
-    external_uniforms=None,   # f32[n_blocks, 5*num_bars, 8, lanes] (tests)
+    external_uniforms=None,   # f32[n_blocks, 5*num_bars (9* with noise), 8, lanes]
 ):
     """Fused-kernel FULL-ENGINE MC: ``sim/enginepath.mc_paths_engine``'s
-    lifecycle entirely on-chip.  Returns (PathStats, skip_counts[16],
-    escalations) with the same semantics; hardware mode uses the per-core
-    PRNG (statistical agreement; exact parity under injected uniforms).
+    lifecycle entirely on-chip, including the McNoise per-entry execution
+    noise knobs.  Returns (PathStats, skip_counts[16], escalations) with the
+    same semantics; hardware mode uses the per-core PRNG (statistical
+    agreement; exact parity under injected uniforms).
 
     Kernel-specialized constants (validated here, outside jit): the guard's
     5/20-bar volume MAs and the 3-hit edge-fatigue stack are compiled in, so
@@ -1028,7 +1075,7 @@ def mc_paths_pallas_engine(
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
     return _engine_impl(
         seed, levels, params, policy, ml_model, touch_params, guard_params,
-        external_uniforms,
+        noise, external_uniforms,
         num_paths=num_paths, num_bars=num_bars, s0=s0, mu=mu, sigma=sigma,
         dt=dt, lanes=lanes,
         policy_gate_disabled=bool(policy_gate_disabled),
@@ -1045,8 +1092,9 @@ def mc_paths_pallas_engine(
 )
 def _engine_impl(
     seed, levels, params, policy, ml_model, touch_params, guard_params,
-    external_uniforms, *, num_paths, num_bars, s0, mu, sigma, dt, lanes,
-    policy_gate_disabled, escalation, bar0_minute, volume_model, interpret,
+    noise, external_uniforms, *, num_paths, num_bars, s0, mu, sigma, dt,
+    lanes, policy_gate_disabled, escalation, bar0_minute, volume_model,
+    interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1055,16 +1103,18 @@ def _engine_impl(
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
     external_rng = external_uniforms is not None
+    use_noise = noise is not None
+    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
     kernel = functools.partial(
         _engine_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, vm=vm,
-        escalation=escalation, external_rng=external_rng,
+        escalation=escalation, external_rng=external_rng, use_noise=use_noise,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
-                    levels.count > 0)
+                    levels.count > 0, noise=noise)
     mlv, polv, tmv, gdv = _pack_shared(policy, ml_model, touch_params,
                                        guard_params)
     lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
@@ -1077,7 +1127,8 @@ def _engine_impl(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 17), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ENG_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -1089,7 +1140,7 @@ def _engine_impl(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, DRAWS_PER_PAIR * (num_bars // 2), ENGINE_SUB, lanes),
+            pl.BlockSpec((1, stride * (num_bars // 2), ENGINE_SUB, lanes),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -1109,7 +1160,8 @@ def _engine_impl(
 
 def _engine_sweep_kernel(
     seed_ref,          # SMEM (1,1) i32
-    grid_ref,          # SMEM (G, 17) f32 engine-knob rows (_pack_eng layout)
+    grid_ref,          # SMEM (G, ENG_COLS) f32 engine-knob rows (_pack_eng
+                       # layout; the sweep runs noise-free — cols 17..20 unread)
     ml_ref,            # SMEM (1,8) f32 (shared across the grid)
     pol_ref,           # SMEM (3,8) f32
     tm_ref,            # SMEM (1,8) f32
@@ -1294,7 +1346,7 @@ def _engine_sweep_impl(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_grid, 17), lambda i: (0, 0),
+            pl.BlockSpec((n_grid, ENG_COLS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -37,11 +37,14 @@ BLOCK = ENGINE_SUB * LANES
 VM = VolumeModel()
 
 
-def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM):
+def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False):
     """Regenerate the kernel's streaming bars AND volumes with the same jnp
     f32 ops from the injected uniform layout (10 blocks per double-bar step:
     price-normal pair, volume-normal pair, then (u_high, u_low, tie) per
-    half)."""
+    half).  With ``noise``, u has stride 18 (per-bar execution-noise normal
+    pairs at ks 10..17) and a third return carries the (4, P, W) normals."""
+    stride = 18 if with_noise else 10
+    nrm = [[], [], [], []]
     drift = jnp.float32((0.0 - 0.5 * sigma * sigma) * DT)
     sig = jnp.float32(sigma * np.sqrt(DT))
     sig2dt = sig * sig
@@ -50,7 +53,7 @@ def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM):
     log_s = jnp.full((ENGINE_SUB, lanes), jnp.float32(np.log(100.0)))
     opens, closes, highs, lows, vols, ties = [], [], [], [], [], []
     for t2 in range(W // 2):
-        blk = lambda k: jnp.asarray(u[DRAWS_PER_PAIR * t2 + k], jnp.float32)
+        blk = lambda k: jnp.asarray(u[stride * t2 + k], jnp.float32)
         radius = jnp.sqrt(-2.0 * jnp.log(blk(0)))
         angle = 6.283185307179586 * blk(1)
         z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
@@ -61,6 +64,15 @@ def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM):
             t = 2 * t2 + half
             z, zv = z_pair[half], zv_pair[half]
             u3, u4, tie = blk(4 + 3 * half), blk(5 + 3 * half), blk(6 + 3 * half)
+            if with_noise:
+                r1 = jnp.sqrt(-2.0 * jnp.log(blk(10 + 4 * half)))
+                a1 = 6.283185307179586 * blk(11 + 4 * half)
+                r2 = jnp.sqrt(-2.0 * jnp.log(blk(12 + 4 * half)))
+                a2 = 6.283185307179586 * blk(13 + 4 * half)
+                nrm[0].append(r1 * jnp.cos(a1))
+                nrm[1].append(r1 * jnp.sin(a1))
+                nrm[2].append(r2 * jnp.cos(a2))
+                nrm[3].append(r2 * jnp.sin(a2))
             incr = drift + sig * z
             log_open = log_s
             log_close = log_s + incr
@@ -90,6 +102,8 @@ def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM):
 
     bars = PathBars(open=flat(opens), high=flat(highs), low=flat(lows),
                     close=flat(closes), volume=flat(vols))
+    if with_noise:
+        return bars, flat(ties), tuple(flat(n) for n in nrm)
     return bars, flat(ties)
 
 
@@ -193,6 +207,66 @@ def test_engine_kernel_matches_with_ml_and_policy_gates():
                                               np.asarray(got_pack[1]))}
     assert skips["ML_CONF_LOW"] > 0
     assert skips["ONLINE_POLICY"] > 0
+
+
+def test_engine_kernel_noise_matches_xla_pipeline_exact():
+    """Per-entry execution noise in the FULL-ENGINE kernel: with the noise
+    normals reconstructed from the same injected uniforms, the kernel matches
+    engine_path_replay(noise=...) exactly on counts, skip table, escalations
+    and the histogram — and σ=0 noise mode reproduces the noise-free kernel
+    bitwise."""
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+    params = EngineParams.default()
+    rng = np.random.default_rng(31)
+    u = rng.uniform(
+        1e-6, 1.0, (1, 18 * (W // 2), ENGINE_SUB, LANES)).astype(np.float32)
+    noise = McNoise.make(level_jitter_std=0.02, entry_slip_std=0.01,
+                         stop_slip_std=0.015, target_slip_std=0.015)
+
+    got, got_skips, got_escal = mc_paths_pallas_engine(
+        0, LEVELS, params, num_paths=BLOCK, num_bars=W, sigma=0.3, dt=DT,
+        lanes=LANES, noise=noise, interpret=True, external_uniforms=u,
+    )
+    bars, tie, nn = _bars_from_uniforms(u[0], 0.3, with_noise=True)
+    out = EP.engine_path_replay(bars, LEVELS, params, tie,
+                                noise=noise, noise_normals=nn)
+    want = PathStats.from_lifecycle(
+        equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
+        open_at_end=out.open_at_end, max_dd=out.max_dd,
+    )
+    assert float(got.n) == float(want.n) == BLOCK
+    assert float(got.n_entered) == float(want.n_entered)
+    assert float(got.n_tp) == float(want.n_tp)
+    assert float(got.n_stop) == float(want.n_stop)
+    assert float(got.sum_trades) == float(want.sum_trades)
+    assert float(got_escal) == float(jnp.sum(out.escalations))
+    np.testing.assert_array_equal(np.asarray(got_skips),
+                                  np.asarray(out.skip_counts))
+    assert float(got.sum_r) == pytest.approx(float(want.sum_r), abs=2e-2)
+    np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
+    # the noise actually bites
+    base = EP.engine_path_replay(bars, LEVELS, params, tie)
+    assert float(jnp.sum(base.equity)) != float(jnp.sum(out.equity))
+
+    # σ=0 noise mode == noise-free kernel bitwise (stride-8 price/tie blocks)
+    u10 = u[:, np.ravel([[18 * t + k for k in range(10)]
+                         for t in range(W // 2)])]
+    zero = McNoise.make(level_jitter_std=0.0, entry_slip_std=0.0,
+                        stop_slip_std=0.0, target_slip_std=0.0)
+    a = mc_paths_pallas_engine(
+        0, LEVELS, params, num_paths=BLOCK, num_bars=W, sigma=0.3, dt=DT,
+        lanes=LANES, noise=zero, interpret=True, external_uniforms=u,
+    )
+    b = mc_paths_pallas_engine(
+        0, LEVELS, params, num_paths=BLOCK, num_bars=W, sigma=0.3, dt=DT,
+        lanes=LANES, interpret=True, external_uniforms=u10,
+    )
+    for fld in ("n", "n_entered", "n_tp", "n_stop", "sum_trades", "sum_r",
+                "min_r", "max_r", "max_dd"):
+        assert float(getattr(a[0], fld)) == float(getattr(b[0], fld)), fld
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert float(a[2]) == float(b[2])
 
 
 def test_engine_sweep_kernel_matches_single_configs_exact():
