@@ -133,3 +133,106 @@ def replicate(mesh: Mesh, tree):
     """Place a pytree fully-replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def sharded_mc_paths_pallas(
+    mesh: Mesh,
+    seed,
+    levels: Levels,
+    params: EngineParams,
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    s0: float = 100.0,
+    mu: float = 0.0,
+    sigma: float = 0.15,
+    dt: float = 1.0 / (390.0 * 252.0),
+    lanes: int | None = None,
+    gate=None,
+    engine: bool = False,
+    noise=None,
+    axis: str = "paths",
+    interpret=False,
+    external_uniforms=None,   # f32[total_blocks, ...] (interpret tests)
+):
+    """FUSED-KERNEL path MC sharded over the mesh: every device runs the
+    Pallas kernel (first-contact / ``gate`` → gated lifecycle / ``engine`` →
+    FULL 12-gate engine) on its shard of the path budget and the associative
+    accumulators psum/pmin/pmax-merge over ICI.
+
+    Per-device PRNG seeding preserves the kernels' per-block scheme
+    (``seed + global_block_index``): device d's base seed is offset by its
+    global starting block, so the union of block seeds — and therefore counts
+    and histograms — is bitwise independent of the mesh shape (sums differ
+    only by psum reduction order).  Engine runs return (PathStats, skips,
+    escalations) with the diagnostics psum-merged; others return PathStats."""
+    from ..ops import pallas_mc as PK
+
+    if engine and gate is not None:
+        raise ValueError("pass either gate= or engine=True")
+    if engine:
+        from ..ops import guard as G
+        from ..ops import touch as T
+        from ..ops.pallas_engine import ENGINE_LANES, mc_paths_pallas_engine
+        lanes = ENGINE_LANES if lanes is None else lanes
+        # resolve the defaults OUTSIDE shard_map: inside the trace the
+        # wrapper's int()-validation of freshly-built params would see
+        # tracers; closured concrete params stay concrete
+        kern = partial(mc_paths_pallas_engine, noise=noise,
+                       touch_params=T.TouchMemoryParams.default(),
+                       guard_params=G.GuardParams.default())
+    elif gate is not None:
+        lanes = PK.GATED_LANES if lanes is None else lanes
+        kern = partial(PK.mc_paths_pallas_gated, gate=gate, noise=noise)
+    else:
+        lanes = PK.SINGLE_LANES if lanes is None else lanes
+        kern = partial(PK.mc_paths_pallas, noise=noise)
+    block = (8 * lanes) if (engine or gate is not None) else lanes
+
+    n_dev = mesh.shape[axis]
+    if num_paths % (n_dev * block) != 0:
+        raise ValueError(
+            f"num_paths ({num_paths}) must divide evenly into "
+            f"{n_dev} devices × the kernel block ({block})")
+    per_dev = num_paths // n_dev
+    blocks_per_dev = per_dev // block
+
+    from jax import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=((P(axis),) if external_uniforms is None
+                  else (P(axis), P(axis))),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(dev_seed, *maybe_u):
+        out = kern(
+            dev_seed[0], levels, params, num_paths=per_dev,
+            num_bars=num_bars, s0=s0, mu=mu, sigma=sigma, dt=dt, lanes=lanes,
+            interpret=interpret,
+            **({"external_uniforms": maybe_u[0]} if maybe_u else {}),
+        )
+        def merge(stats):
+            m = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), stats)
+            return m.replace(
+                min_r=jax.lax.pmin(stats.min_r, axis),
+                max_r=jax.lax.pmax(stats.max_r, axis),
+                max_dd=jax.lax.pmax(stats.max_dd, axis),
+            )
+        if engine:
+            stats, skips, escal = out
+            return (merge(stats), jax.lax.psum(skips, axis),
+                    jax.lax.psum(escal, axis))
+        return merge(out)
+
+    seeds = (jnp.asarray(seed, jnp.int32)
+             + jnp.arange(n_dev, dtype=jnp.int32) * jnp.int32(blocks_per_dev))
+    seeds = jax.device_put(seeds, NamedSharding(mesh, P(axis)))
+    args = (seeds,)
+    if external_uniforms is not None:
+        args = args + (jax.device_put(
+            jnp.asarray(external_uniforms, jnp.float32),
+            NamedSharding(mesh, P(axis))),)
+    return run(*args)

@@ -291,3 +291,41 @@ def test_noise_broadens_outcomes_statistically():
     assert float(noisy.std_r) > float(base.std_r)
     assert float(noisy.max_r) != float(base.max_r)
     assert not np.array_equal(np.asarray(noisy.hist), np.asarray(base.hist))
+
+
+def test_sharded_pallas_gated_kernel_matches_single_device():
+    """The FUSED gated kernel rides the mesh (shard_map + psum): per-device
+    base seeds offset by the global block start keep the kernels' per-block
+    seeding scheme, so a 2-device mesh run equals the single-device kernel
+    exactly on counts and the histogram (injected uniforms, interpret)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        GATED_SUB,
+        mc_paths_pallas_gated,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import GateConfig
+
+    lanes, w = 512, 16
+    block = GATED_SUB * lanes
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1,
+                              use_confidence=False)
+    rng = np.random.default_rng(41)
+    u = rng.uniform(1e-6, 1.0, (2, 4 * w, GATED_SUB, lanes)).astype(np.float32)
+
+    mesh = PM.make_mesh(2)
+    sharded = PM.sharded_mc_paths_pallas(
+        mesh, 0, LEVELS, PARAMS, num_paths=2 * block, num_bars=w,
+        sigma=0.3, lanes=lanes, gate=gate, interpret=True,
+        external_uniforms=u,
+    )
+    single = mc_paths_pallas_gated(
+        0, LEVELS, PARAMS, gate, num_paths=2 * block, num_bars=w,
+        sigma=0.3, lanes=lanes, interpret=True, external_uniforms=u,
+    )
+    for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+        assert float(getattr(sharded, f)) == float(getattr(single, f)), f
+    np.testing.assert_array_equal(np.asarray(sharded.hist),
+                                  np.asarray(single.hist))
+    assert float(sharded.min_r) == float(single.min_r)
+    assert float(sharded.max_dd) == float(single.max_dd)
+    np.testing.assert_allclose(float(sharded.sum_r), float(single.sum_r),
+                               rtol=1e-5)
