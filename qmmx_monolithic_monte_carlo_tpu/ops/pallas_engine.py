@@ -1161,7 +1161,7 @@ def _engine_impl(
 def _engine_sweep_kernel(
     seed_ref,          # SMEM (1,1) i32
     grid_ref,          # SMEM (G, ENG_COLS) f32 engine-knob rows (_pack_eng
-                       # layout; the sweep runs noise-free — cols 17..20 unread)
+                       # layout incl. per-row noise stds at cols 17..20)
     ml_ref,            # SMEM (1,8) f32 (shared across the grid)
     pol_ref,           # SMEM (3,8) f32
     tm_ref,            # SMEM (1,8) f32
@@ -1180,19 +1180,23 @@ def _engine_sweep_kernel(
     escalation: bool,
     n_grid: int,
     external_rng: bool = False,
+    use_noise: bool = False,
 ):
     """One path block run through the FULL engine once per grid row.  The
     hardware PRNG is re-seeded to the block's seed before each row, so every
     knob configuration consumes the identical uniform stream (bars, volumes,
-    ties) — pure decision-surface comparison, zero cross-config sampling
-    variance.  Engine knobs change which trades open AND how the touch/guard
-    state evolves, so the whole generate+engine loop re-runs per row."""
+    ties — and with noise, the SAME noise normals scaled by each row's stds:
+    a slippage-sensitivity sweep) — pure decision-surface comparison, zero
+    cross-config sampling variance.  Engine knobs change which trades open
+    AND how the touch/guard state evolves, so the whole generate+engine loop
+    re-runs per row."""
     s, b = ENGINE_SUB, lanes
+    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
     if external_rng:
         u_ref, acc_ref = refs
 
         def draw(t2, k):
-            return u_ref[0, pl.ds(t2 * DRAWS_PER_PAIR + k, 1)].reshape(s, b)
+            return u_ref[0, pl.ds(t2 * stride + k, 1)].reshape(s, b)
 
         def reseed():
             pass
@@ -1223,6 +1227,8 @@ def _engine_sweep_kernel(
             tm=tuple(tm_ref[0, k] for k in range(7)),
             gd=tuple(gd_ref[0, k] for k in range(4)),
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
+            noise=(tuple(grid_ref[g, 17 + k] for k in range(4))
+                   if use_noise else None),
         )
         _engine_accumulate(acc_ref, (g,), final, n_paths=s * b)
 
@@ -1247,6 +1253,7 @@ def mc_paths_pallas_engine_sweep(
     escalation: bool = True,
     bar0_minute: int = 0,
     volume_model: VolumeModel | None = None,
+    noise=None,               # McNoise; leaves may be [G] for std sweeps
     n_grid: int | None = None,
     interpret=False,
     external_uniforms=None,
@@ -1256,7 +1263,10 @@ def mc_paths_pallas_engine_sweep(
     (prox, paddings, q_min, cooldown, veto thresholds, blend weights,
     overtouch limit, ...) built from [G]-leaved EngineParams, so the
     reference engine's whole decision surface sweeps in ONE kernel launch
-    over shared paths.  Returns [G]-batched (PathStats, skips, escalations).
+    over shared paths.  ``noise`` (McNoise; scalar or [G] leaves) adds
+    per-entry execution noise — every row sees the SAME noise normals scaled
+    by its own stds, so [G]-leaved stds sweep slippage sensitivity under CRN.
+    Returns [G]-batched (PathStats, skips, escalations).
 
     Same kernel-specialized constants as ``mc_paths_pallas_engine``."""
     if touch_params is None:
@@ -1296,7 +1306,7 @@ def mc_paths_pallas_engine_sweep(
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
     return _engine_sweep_impl(
         seed, levels, grid_params, policy, ml_model, touch_params,
-        guard_params, external_uniforms,
+        guard_params, noise, external_uniforms,
         num_paths=num_paths, num_bars=num_bars, s0=s0, mu=mu, sigma=sigma,
         dt=dt, lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
@@ -1313,9 +1323,9 @@ def mc_paths_pallas_engine_sweep(
 )
 def _engine_sweep_impl(
     seed, levels, grid_params, policy, ml_model, touch_params, guard_params,
-    external_uniforms, *, num_paths, num_bars, s0, mu, sigma, dt, lanes,
-    n_grid, policy_gate_disabled, escalation, bar0_minute, volume_model,
-    interpret,
+    noise, external_uniforms, *, num_paths, num_bars, s0, mu, sigma, dt,
+    lanes, n_grid, policy_gate_disabled, escalation, bar0_minute,
+    volume_model, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1324,6 +1334,8 @@ def _engine_sweep_impl(
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
     external_rng = external_uniforms is not None
+    use_noise = noise is not None
+    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
@@ -1331,9 +1343,10 @@ def _engine_sweep_impl(
         _engine_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
         sig_dt=sig_dt, max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, n_grid=n_grid, external_rng=external_rng,
+        use_noise=use_noise,
     )
     grid = _pack_eng(grid_params, policy_gate_disabled, bar0_minute,
-                     levels.count > 0, g=n_grid)
+                     levels.count > 0, g=n_grid, noise=noise)
     mlv, polv, tmv, gdv = _pack_shared(policy, ml_model, touch_params,
                                        guard_params)
     lp, lv = _level_rows(levels.price, levels.valid, levels.max_levels)
@@ -1359,7 +1372,7 @@ def _engine_sweep_impl(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, DRAWS_PER_PAIR * (num_bars // 2), ENGINE_SUB, lanes),
+            pl.BlockSpec((1, stride * (num_bars // 2), ENGINE_SUB, lanes),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((n_grid, 8, 128), lambda i: (0, 0, 0),
@@ -1384,7 +1397,8 @@ def _engine_universe_kernel(
     tm_ref,            # SMEM (1,8) f32
     gd_ref,            # SMEM (1,8) f32
     sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row:
-                       #   [s0, sigma, eng[0..16] (_pack_eng layout), ...]
+                       #   [s0, sigma, eng[0..ENG_COLS-1] (_pack_eng layout,
+                       #    incl. per-symbol noise stds at eng cols 17..20)]
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
     level_kind_ref,    # VMEM (1, L, 128) f32
@@ -1396,11 +1410,13 @@ def _engine_universe_kernel(
     vm: tuple,
     escalation: bool,
     external_rng: bool = False,
+    use_noise: bool = False,
 ):
     """Per-(symbol, block) FULL-ENGINE lifecycle: the shared streaming loop
-    with the symbol's s0/sigma AND all 17 engine knobs read from its VMEM
-    slab row, and a per-symbol accumulator block."""
+    with the symbol's s0/sigma AND all 17 engine knobs (plus its own noise
+    stds) read from its VMEM slab row, and a per-symbol accumulator block."""
     s, b = ENGINE_SUB, lanes
+    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
     s0 = sym_ref[0, 0, 0]
     sigma = sym_ref[0, 0, 1]
     sig_dt = sigma * jnp.float32(dt) ** 0.5
@@ -1410,7 +1426,7 @@ def _engine_universe_kernel(
         u_ref, acc_ref = refs
 
         def draw(t2, k):
-            return u_ref[0, 0, pl.ds(t2 * DRAWS_PER_PAIR + k, 1)].reshape(s, b)
+            return u_ref[0, 0, pl.ds(t2 * stride + k, 1)].reshape(s, b)
     else:
         (acc_ref,) = refs
         pltpu.prng_seed(
@@ -1433,6 +1449,8 @@ def _engine_universe_kernel(
         tm=tuple(tm_ref[0, k] for k in range(7)),
         gd=tuple(gd_ref[0, k] for k in range(4)),
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
+        noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
+               if use_noise else None),
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -1461,15 +1479,16 @@ def mc_paths_pallas_engine_universe(
     escalation: bool = True,
     bar0_minute: int = 0,
     volume_model: VolumeModel | None = None,
+    noise=None,               # McNoise; leaves may be [S] for per-symbol stds
     interpret=False,
-    external_uniforms=None,   # f32[S, n_blocks, 5*num_bars, 8, lanes] (tests)
+    external_uniforms=None,   # f32[S, n_blocks, 5*num_bars (9* w/ noise), 8, lanes]
 ):
     """Per-symbol fused FULL-ENGINE MC over a (symbol, block) grid: every
     symbol runs the complete 12-gate lifecycle with its own s0/sigma/levels
     AND its own engine knobs ([S]-leaved EngineParams — per-symbol paddings,
-    thresholds, veto settings).  Returns [S]-batched (PathStats, skips,
-    escalations).  Same kernel-specialized constants as
-    ``mc_paths_pallas_engine``."""
+    thresholds, veto settings; ``noise`` likewise scalar or [S]-leaved).
+    Returns [S]-batched (PathStats, skips, escalations).  Same
+    kernel-specialized constants as ``mc_paths_pallas_engine``."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
@@ -1503,7 +1522,7 @@ def mc_paths_pallas_engine_universe(
     return _engine_universe_impl(
         seed, levels, params, jnp.asarray(s0, jnp.float32),
         jnp.asarray(sigma, jnp.float32), policy, ml_model, touch_params,
-        guard_params, external_uniforms,
+        guard_params, noise, external_uniforms,
         paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
@@ -1519,8 +1538,9 @@ def mc_paths_pallas_engine_universe(
 )
 def _engine_universe_impl(
     seed, levels, params, s0, sigma, policy, ml_model, touch_params,
-    guard_params, external_uniforms, *, paths_per_symbol, num_bars, dt, lanes,
-    policy_gate_disabled, escalation, bar0_minute, volume_model, interpret,
+    guard_params, noise, external_uniforms, *, paths_per_symbol, num_bars,
+    dt, lanes, policy_gate_disabled, escalation, bar0_minute, volume_model,
+    interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -1528,15 +1548,18 @@ def _engine_universe_impl(
     n_sym, n_lv = jnp.asarray(levels.price).shape
 
     external_rng = external_uniforms is not None
+    use_noise = noise is not None
+    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
     kernel = functools.partial(
         _engine_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         lanes=lanes, vm=vm, escalation=escalation, external_rng=external_rng,
+        use_noise=use_noise,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
-                    levels.count > 0, g=n_sym)          # (S, 17)
+                    levels.count > 0, g=n_sym, noise=noise)   # (S, ENG_COLS)
     sym = jnp.concatenate([
         jnp.broadcast_to(s0.reshape(-1), (n_sym,))[:, None],
         jnp.broadcast_to(sigma.reshape(-1), (n_sym,))[:, None],
@@ -1573,7 +1596,7 @@ def _engine_universe_impl(
             pl.BlockSpec((1, n_lv, 128), lambda si, bi: (si, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 1, DRAWS_PER_PAIR * (num_bars // 2), ENGINE_SUB,
+            pl.BlockSpec((1, 1, stride * (num_bars // 2), ENGINE_SUB,
                           lanes),
                          lambda si, bi: (si, bi, 0, 0, 0),
                          memory_space=pltpu.VMEM)

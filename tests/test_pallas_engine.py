@@ -387,3 +387,54 @@ def test_engine_kernel_rejects_bad_shapes():
             0, LEVELS, params, num_paths=BLOCK, num_bars=W, lanes=LANES,
             touch_params=T.TouchMemoryParams.default().replace(
                 fatigue_hits=jnp.int32(4)))
+
+
+def test_engine_sweep_noise_std_rows_match_single_configs():
+    """[G]-leaved McNoise stds sweep slippage sensitivity under CRN: each
+    grid row equals a single-config engine run with that row's scalar stds
+    under the same injected uniforms (row 0: all-zero stds == the noise-free
+    decision trace)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        mc_paths_pallas_engine_sweep,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+    w2 = 16
+    rng = np.random.default_rng(37)
+    u = rng.uniform(
+        1e-6, 1.0, (1, 18 * (w2 // 2), ENGINE_SUB, LANES)).astype(np.float32)
+    params = EngineParams.default()
+    grid_params = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), params, params)   # 2 identical knob rows
+    stds = [(0.0, 0.0, 0.0, 0.0), (0.02, 0.01, 0.015, 0.015)]
+    noise_grid = McNoise(
+        level_jitter_std=jnp.asarray([s[0] for s in stds], jnp.float32),
+        entry_slip_std=jnp.asarray([s[1] for s in stds], jnp.float32),
+        stop_slip_std=jnp.asarray([s[2] for s in stds], jnp.float32),
+        target_slip_std=jnp.asarray([s[3] for s in stds], jnp.float32),
+    )
+
+    got, got_skips, got_escal = mc_paths_pallas_engine_sweep(
+        0, LEVELS, grid_params, num_paths=BLOCK, num_bars=w2, sigma=0.3,
+        dt=DT, lanes=LANES, noise=noise_grid, interpret=True,
+        external_uniforms=u,
+    )
+    assert got.n.shape == (2,)
+    for g, s in enumerate(stds):
+        single = McNoise.make(level_jitter_std=s[0], entry_slip_std=s[1],
+                              stop_slip_std=s[2], target_slip_std=s[3])
+        want, wskips, wescal = mc_paths_pallas_engine(
+            0, LEVELS, params, num_paths=BLOCK, num_bars=w2, sigma=0.3,
+            dt=DT, lanes=LANES, noise=single, interpret=True,
+            external_uniforms=u,
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "sum_trades"):
+            assert float(getattr(got, f)[g]) == float(getattr(want, f)), (g, f)
+        assert float(got_escal[g]) == float(wescal), g
+        np.testing.assert_array_equal(np.asarray(got_skips[g]),
+                                      np.asarray(wskips))
+        np.testing.assert_array_equal(np.asarray(got.hist[g]),
+                                      np.asarray(want.hist))
+        assert float(got.sum_r[g]) == pytest.approx(float(want.sum_r), abs=1e-4)
+    # the stds actually bite: the noised row's equity differs
+    assert float(got.sum_r[0]) != float(got.sum_r[1])
