@@ -433,18 +433,38 @@ def cmd_wal(args):
 
 
 def _sweep_engine(args, rows, levels, params):
-    """(stop, tp) grid over the FULL 12-gate engine lifecycle with common
-    random numbers.  TPU: one fused-kernel launch with the grid on the
-    accumulator axis (ops/pallas_engine.mc_paths_pallas_engine_sweep); CPU:
-    per-config XLA runs sharing the SAME key (identical paths → exact CRN)."""
+    """(stop, tp[, level-jitter std]) grid over the FULL 12-gate engine
+    lifecycle with common random numbers.  TPU: one fused-kernel launch with
+    the grid on the accumulator axis
+    (ops/pallas_engine.mc_paths_pallas_engine_sweep); CPU: per-config XLA
+    runs sharing the SAME key (identical paths → exact CRN).  With
+    ``--jitter-stds``, every row replays the SAME per-entry noise normals
+    scaled by its row's level-jitter std — a slippage-robustness surface."""
     import itertools
 
     import jax
     import jax.numpy as jnp
 
-    combos = list(itertools.product(args.stops, args.tps))
+    jitters = getattr(args, "jitter_stds", None)
+    combos = list(itertools.product(args.stops, args.tps, jitters or [None]))
     use_kernel = (jax.devices()[0].platform != "cpu" and len(rows) <= 8
                   and args.num_bars % 2 == 0 and args.num_bars <= 61)
+
+    def mk_noise(jit_stds):
+        if jitters is None:
+            return None
+        from ..sim.montecarlo import McNoise
+
+        return McNoise(
+            level_jitter_std=jnp.asarray(jit_stds, jnp.float32),
+            entry_slip_std=jnp.asarray(
+                jnp.broadcast_to(jnp.float32(args.entry_slip_std), jnp.shape(jit_stds))),
+            stop_slip_std=jnp.asarray(
+                jnp.broadcast_to(jnp.float32(args.stop_slip_std), jnp.shape(jit_stds))),
+            target_slip_std=jnp.asarray(
+                jnp.broadcast_to(jnp.float32(args.target_slip_std), jnp.shape(jit_stds))),
+        )
+
     if use_kernel:
         from ..ops.pallas_engine import ENGINE_BLOCK, mc_paths_pallas_engine_sweep
         from ..types import Levels
@@ -461,6 +481,8 @@ def _sweep_engine(args, rows, levels, params):
             args.seed, small, grid_params,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma,
+            noise=mk_noise(jnp.asarray([c[2] for c in combos], jnp.float32)
+                           if jitters else None),
         )
         escal = np.asarray(escal)
     else:
@@ -472,19 +494,23 @@ def _sweep_engine(args, rows, levels, params):
                 stop_padding=jnp.float32(sp), tp_padding=jnp.float32(tp)),
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
-        ) for sp, tp in combos]
+            noise=mk_noise(jnp.float32(jit)) if jit is not None else None,
+        ) for sp, tp, jit in combos]
         stats = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[p[0] for p in per])
         escal = np.asarray([float(p[2]) for p in per])
-    for g, (sp, tp) in enumerate(combos):
-        print(json.dumps({
+    for g, (sp, tp, jit) in enumerate(combos):
+        row = {
             "stop_padding": sp, "tp_padding": tp,
             "hit_rate": float(stats.hit_rate[g]),
             "mean_r": float(stats.mean_r[g]),
             "mean_trades": float(stats.mean_trades[g]),
             "mean_dd": float(stats.mean_dd[g]),
             "escalations": int(escal[g]),
-        }))
+        }
+        if jit is not None:
+            row["level_jitter_std"] = jit
+        print(json.dumps(row))
     return 0
 
 
@@ -816,6 +842,14 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--engine", action="store_true",
                     help="sweep the FULL 12-gate engine lifecycle (CRN; "
                          "fused kernel on TPU, per-config XLA runs on CPU)")
+    sw.add_argument("--jitter-stds", type=float, nargs="+", default=None,
+                    help="engine only: put level-jitter stds on the grid axis "
+                         "(cartesian with stops/tps) — every row replays the "
+                         "same noise normals scaled by its std (slippage-"
+                         "robustness surface)")
+    sw.add_argument("--entry-slip-std", type=float, default=0.0)
+    sw.add_argument("--stop-slip-std", type=float, default=0.0)
+    sw.add_argument("--target-slip-std", type=float, default=0.0)
     sw.set_defaults(fn=cmd_sweep)
 
     rt = sub.add_parser("retrain")
