@@ -1530,6 +1530,248 @@ def mc_paths_pallas_engine_universe(
     )
 
 
+def _engine_universe_sweep_kernel(
+    seed_ref,          # SMEM (1,1) i32
+    grid_ref,          # SMEM (G, ENG_COLS) f32 knob rows (_pack_eng layout;
+                       #   has_levels col 16 is overridden per symbol)
+    ml_ref,            # SMEM (1,8) f32 (shared)
+    pol_ref,           # SMEM (3,8) f32
+    tm_ref,            # SMEM (1,8) f32
+    gd_ref,            # SMEM (1,8) f32
+    sym_ref,           # VMEM (1, 1, 128) f32: [s0, sigma, has_levels, ...]
+    level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
+    level_valid_ref,   # VMEM (1, L, 128) f32
+    level_kind_ref,    # VMEM (1, L, 128) f32
+    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    num_bars: int,
+    dt: float,
+    max_levels: int,
+    lanes: int,
+    vm: tuple,
+    escalation: bool,
+    n_grid: int,
+    external_rng: bool = False,
+    use_noise: bool = False,
+):
+    """Sweep-of-universes: per (symbol, block) grid step, every knob-grid row
+    replays the symbol's identical uniform stream (PRNG re-seeded per row) —
+    an (S × G) decision surface from ONE launch, CRN within each symbol."""
+    s, b = ENGINE_SUB, lanes
+    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    s0 = sym_ref[0, 0, 0]
+    sigma = sym_ref[0, 0, 1]
+    sig_dt = sigma * jnp.float32(dt) ** 0.5
+    drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
+
+    if external_rng:
+        u_ref, acc_ref = refs
+
+        def draw(t2, k):
+            return u_ref[0, 0, pl.ds(t2 * stride + k, 1)].reshape(s, b)
+
+        def reseed():
+            pass
+    else:
+        (acc_ref,) = refs
+
+        def reseed():
+            pltpu.prng_seed(
+                seed_ref[0, 0]
+                + pl.program_id(0) * (pl.num_programs(1) + 1)
+                + pl.program_id(1)
+            )
+
+        def draw(t2, k):
+            return _uniform((s, b))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        _init_acc(acc_ref)
+
+    for g in range(n_grid):
+        reseed()
+        final = _engine_lifecycle_loop(
+            draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
+                             level_kind_ref[0, i, 0]),
+            num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0),
+            eng=tuple(grid_ref[g, k] for k in range(16)) + (sym_ref[0, 0, 2],),
+            ml=tuple(ml_ref[0, k] for k in range(6)),
+            pol_w=tuple(tuple(pol_ref[a, d] for d in range(POLICY_FEATURE_DIM))
+                        for a in range(3)),
+            tm=tuple(tm_ref[0, k] for k in range(7)),
+            gd=tuple(gd_ref[0, k] for k in range(4)),
+            max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
+            noise=(tuple(grid_ref[g, 17 + k] for k in range(4))
+                   if use_noise else None),
+        )
+        _engine_accumulate(acc_ref, (0, g), final, n_paths=s * b)
+
+
+def mc_paths_pallas_engine_universe_sweep(
+    seed,
+    levels: Levels,        # batched [S, L<=8]
+    grid_params: EngineParams,   # leaves may be [G] vectors or scalars
+    s0,                    # f32[S]
+    sigma,                 # f32[S]
+    *,
+    paths_per_symbol: int,
+    num_bars: int = 40,
+    dt: float = 1.0 / (390.0 * 252.0),
+    lanes: int = ENGINE_LANES,
+    policy=None,
+    ml_model: MlModel | None = None,
+    touch_params: T.TouchMemoryParams | None = None,
+    guard_params: G.GuardParams | None = None,
+    policy_gate_disabled: bool | None = None,
+    escalation: bool = True,
+    bar0_minute: int = 0,
+    volume_model: VolumeModel | None = None,
+    noise=None,            # McNoise; leaves may be [G]
+    n_grid: int | None = None,
+    interpret=False,
+    external_uniforms=None,
+):
+    """(symbol × engine-knob-grid) FULL-ENGINE sweep in ONE kernel launch:
+    every symbol runs with its own s0/sigma/levels, and every knob-grid row
+    replays that symbol's identical uniform stream (CRN within each symbol).
+    Returns [S, G]-batched (PathStats, skips, escalations).  Per-symbol
+    engine knobs and the grid axis are mutually exclusive here — the grid
+    rows are shared across symbols (use ``mc_paths_pallas_engine_universe``
+    for per-symbol calibration)."""
+    if touch_params is None:
+        touch_params = T.TouchMemoryParams.default()
+    if guard_params is None:
+        guard_params = G.GuardParams.default()
+    if ml_model is None:
+        ml_model = MlModel.absent()
+    if policy_gate_disabled is None:
+        policy_gate_disabled = policy is None
+    if policy is None:
+        policy = OP.PolicyParams.init()
+    if volume_model is None:
+        volume_model = VolumeModel()
+    if n_grid is None:
+        sizes = {np.asarray(x).shape[0]
+                 for x in jax.tree_util.tree_leaves(grid_params)
+                 if np.asarray(x).ndim == 1}
+        if len(sizes) != 1:
+            raise ValueError(
+                "pass n_grid or give grid_params at least one [G] leaf "
+                f"(found sizes {sorted(sizes)})")
+        (n_grid,) = sizes
+    block = ENGINE_SUB * lanes
+    if paths_per_symbol % block != 0:
+        raise ValueError(f"paths_per_symbol must be a multiple of {block}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
+    if num_bars > GUARD_WINDOW_BARS:
+        raise ValueError(
+            f"engine universe sweep supports num_bars <= {GUARD_WINDOW_BARS}")
+    lv_price = jnp.asarray(levels.price)
+    if lv_price.ndim != 2:
+        raise ValueError("levels must be [S, L]-batched")
+    if lv_price.shape[1] > 8:
+        raise ValueError("supports up to 8 level slots")
+    if int(touch_params.fatigue_hits) != TAP_SLOTS:
+        raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
+    if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
+        raise ValueError("engine kernel is built for 5/20-bar guard MAs")
+    return _engine_universe_sweep_impl(
+        seed, levels, grid_params, jnp.asarray(s0, jnp.float32),
+        jnp.asarray(sigma, jnp.float32), policy, ml_model, touch_params,
+        guard_params, noise, external_uniforms,
+        paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
+        lanes=lanes, n_grid=int(n_grid),
+        policy_gate_disabled=bool(policy_gate_disabled),
+        escalation=escalation, bar0_minute=int(bar0_minute),
+        volume_model=volume_model, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes", "n_grid",
+                     "volume_model", "escalation", "bar0_minute",
+                     "policy_gate_disabled", "interpret"),
+)
+def _engine_universe_sweep_impl(
+    seed, levels, grid_params, s0, sigma, policy, ml_model, touch_params,
+    guard_params, noise, external_uniforms, *, paths_per_symbol, num_bars,
+    dt, lanes, n_grid, policy_gate_disabled, escalation, bar0_minute,
+    volume_model, interpret,
+):
+    block = ENGINE_SUB * lanes
+    n_blocks = paths_per_symbol // block
+    n_skip = len(SKIP_REASONS)
+    n_sym, n_lv = jnp.asarray(levels.price).shape
+
+    external_rng = external_uniforms is not None
+    use_noise = noise is not None
+    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    vm = (float(volume_model.base), float(volume_model.u_amp),
+          float(volume_model.noise_sigma), float(volume_model.ret_coupling),
+          int(volume_model.day_minutes), int(volume_model.open_minute))
+    kernel = functools.partial(
+        _engine_universe_sweep_kernel, num_bars=num_bars, dt=dt,
+        max_levels=n_lv, lanes=lanes, vm=vm, escalation=escalation,
+        n_grid=n_grid, external_rng=external_rng, use_noise=use_noise,
+    )
+    grid = _pack_eng(grid_params, policy_gate_disabled, bar0_minute,
+                     jnp.float32(1.0), g=n_grid, noise=noise)
+    sym = jnp.stack([
+        jnp.broadcast_to(s0.reshape(-1), (n_sym,)),
+        jnp.broadcast_to(sigma.reshape(-1), (n_sym,)),
+        (levels.count > 0).astype(jnp.float32),
+    ], axis=1)
+    sym = jnp.pad(sym, ((0, 0), (0, 128 - sym.shape[1])))[:, None, :]
+    mlv, polv, tmv, gdv = _pack_shared(policy, ml_model, touch_params,
+                                       guard_params)
+    lp, lv = _level_rows(levels.price, levels.valid, n_lv)
+    lk = jnp.broadcast_to(
+        jnp.asarray(levels.kind, jnp.float32)[..., None], (n_sym, n_lv, 128))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_sym, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda si, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_grid, ENG_COLS), lambda si, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda si, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 8), lambda si, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda si, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda si, bi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 128), lambda si, bi: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda si, bi: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda si, bi: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda si, bi: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((1, 1, stride * (num_bars // 2), ENGINE_SUB, lanes),
+                         lambda si, bi: (si, bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if external_rng else []),
+        out_specs=pl.BlockSpec((1, n_grid, 8, 128),
+                               lambda si, bi: (si, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_sym, n_grid, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(*((seed_arr, grid, mlv, polv, tmv, gdv, sym, lp, lv, lk)
+         + ((jnp.asarray(external_uniforms, jnp.float32),)
+            if external_rng else ())))
+
+    return _unpack_acc_engine(acc, n_skip)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",

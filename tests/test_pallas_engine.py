@@ -438,3 +438,58 @@ def test_engine_sweep_noise_std_rows_match_single_configs():
         assert float(got.sum_r[g]) == pytest.approx(float(want.sum_r), abs=1e-4)
     # the stds actually bite: the noised row's equity differs
     assert float(got.sum_r[0]) != float(got.sum_r[1])
+
+
+def test_engine_universe_sweep_matches_single_configs_exact():
+    """Sweep-of-universes: every (symbol, grid-row) cell of the one-launch
+    [S, G] surface equals a single-config engine-kernel run with that
+    symbol's levels/sigma and that row's knobs under the same injected
+    uniforms."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        mc_paths_pallas_engine_universe_sweep,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    w2 = 16
+    rows = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "red", "type": "dashed", "index": 0, "price": 100.3}],
+    ]
+    levels2 = U.stack_levels(rows, max_levels=8)
+    s0 = np.array([100.0, 100.0], np.float32)
+    sigma = np.array([0.3, 0.2], np.float32)
+    cfgs = [EngineParams.default(),
+            EngineParams.default(stop_padding=0.20, tp_padding=0.40,
+                                 q_min_prob=0.40)]
+    grid = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cfgs)
+    rng = np.random.default_rng(43)
+    u = rng.uniform(
+        1e-6, 1.0, (2, 1, DRAWS_PER_PAIR * (w2 // 2), ENGINE_SUB, LANES),
+    ).astype(np.float32)
+
+    got, got_skips, got_escal = mc_paths_pallas_engine_universe_sweep(
+        0, levels2, grid, s0, sigma, paths_per_symbol=BLOCK, num_bars=w2,
+        dt=DT, lanes=LANES, interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (2, 2)
+    for s in range(2):
+        levels_s = jax.tree_util.tree_map(lambda x: x[s], levels2)
+        for g, cfg in enumerate(cfgs):
+            want, wskips, wescal = mc_paths_pallas_engine(
+                0, levels_s, cfg, num_paths=BLOCK, num_bars=w2,
+                sigma=float(sigma[s]), dt=DT, lanes=LANES,
+                interpret=True, external_uniforms=u[s],
+            )
+            for f in ("n", "n_entered", "n_tp", "n_stop", "sum_trades"):
+                assert float(getattr(got, f)[s, g]) == float(
+                    getattr(want, f)), (s, g, f)
+            assert float(got_escal[s, g]) == float(wescal), (s, g)
+            np.testing.assert_array_equal(np.asarray(got_skips[s, g]),
+                                          np.asarray(wskips))
+            np.testing.assert_array_equal(np.asarray(got.hist[s, g]),
+                                          np.asarray(want.hist))
+    # both axes vary
+    assert float(got.n_entered[0, 0]) != float(got.n_entered[1, 0]) or \
+        float(got.sum_r[0, 0]) != float(got.sum_r[1, 0])
+    assert float(got.n_entered[0, 0]) != float(got.n_entered[0, 1]) or \
+        float(got.sum_r[0, 0]) != float(got.sum_r[0, 1])
