@@ -194,6 +194,54 @@ def check_engine():
     })
 
 
+def check_engine_noise():
+    """The noised engine kernel (stride-18 draw layout, per-entry McNoise):
+    same judging as the noise-free row, with the noise normals reconstructed
+    from the same injected uniforms."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        ENGINE_SUB,
+        mc_paths_pallas_engine,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim import enginepath as EP
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+    from tests.test_pallas_engine import LANES as TLANES
+    from tests.test_pallas_engine import _bars_from_uniforms as mk_bars
+
+    levels3 = Levels.from_rows(
+        [
+            {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+            {"color": "orange", "type": "dashed", "index": 0, "price": 100.4},
+            {"color": "teal", "type": "solid", "index": 0, "price": 99.6},
+        ],
+        max_levels=8,
+    )
+    block = ENGINE_SUB * TLANES
+    rng = np.random.default_rng(11)
+    u = rng.uniform(
+        1e-6, 1.0, (1, 18 * (W // 2), ENGINE_SUB, TLANES)).astype(np.float32)
+    params = EngineParams.default()
+    noise = McNoise.make(level_jitter_std=0.02, entry_slip_std=0.01,
+                         stop_slip_std=0.01, target_slip_std=0.01)
+    got, got_skips, got_escal = mc_paths_pallas_engine(
+        0, levels3, params, num_paths=block, num_bars=W, sigma=SIGMA, dt=DT,
+        lanes=TLANES, noise=noise, external_uniforms=u,
+    )
+    bars, tie, nn = mk_bars(u[0], SIGMA, with_noise=True)
+    out = EP.engine_path_replay(bars, levels3, params, tie,
+                                noise=noise, noise_normals=nn)
+    want = PathStats.from_lifecycle(
+        equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
+        open_at_end=out.open_at_end, max_dd=out.max_dd,
+    )
+    skips_diff = float(np.abs(np.asarray(got_skips)
+                              - np.asarray(out.skip_counts)).sum())
+    skips_tot = float(np.asarray(out.skip_counts).sum())
+    return _judge("engine+noise", got, want, extra={
+        "escalations": [float(got_escal), float(jnp.sum(out.escalations))],
+        "skip_table_l1_frac": skips_diff / max(skips_tot, 1.0),
+    })
+
+
 def main():
     import jax
 
@@ -205,6 +253,7 @@ def main():
           file=sys.stderr)
     ok = check_gated()
     ok = check_engine() and ok
+    ok = check_engine_noise() and ok
     return 0 if ok else 1
 
 
