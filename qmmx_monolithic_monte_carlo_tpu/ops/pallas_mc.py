@@ -953,7 +953,8 @@ def _gated_universe_kernel(
     seed_ref,          # SMEM (1,1) i32
     gate_ref,          # SMEM (1,8) f32 gate knobs
     sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row:
-                       #   [s0, sigma, prox, stop_pad, tp_pad, ...]
+                       #   [s0, sigma, prox, stop_pad, tp_pad,
+                       #    lvl_jit, entry_slip, stop_slip, tgt_slip, ...]
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
     level_kind_ref,    # VMEM (1, L, 128) f32
@@ -962,11 +963,14 @@ def _gated_universe_kernel(
     dt: float,
     max_levels: int,
     external_rng: bool = False,
+    use_noise: bool = False,
 ):
     """Per-(symbol, block) gated lifecycle: the shared streaming loop with the
-    symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad) read from its
-    VMEM slab row, and a per-symbol accumulator block."""
+    symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad — plus its own
+    noise stds) read from its VMEM slab row, and a per-symbol accumulator
+    block."""
     s, b = GATED_SUB, GATED_LANES
+    stride = 16 if use_noise else 8
     s0 = sym_ref[0, 0, 0]
     sigma = sym_ref[0, 0, 1]
     sig_dt = sigma * jnp.float32(dt) ** 0.5
@@ -976,7 +980,7 @@ def _gated_universe_kernel(
         u_ref, acc_ref = refs
 
         def draw(t2, k):
-            return u_ref[0, 0, pl.ds(t2 * 8 + k, 1)].reshape(s, b)
+            return u_ref[0, 0, pl.ds(t2 * stride + k, 1)].reshape(s, b)
     else:
         (acc_ref,) = refs
         pltpu.prng_seed(
@@ -995,6 +999,8 @@ def _gated_universe_kernel(
         knobs=(sym_ref[0, 0, 2], sym_ref[0, 0, 3], sym_ref[0, 0, 4]),
         gates=tuple(gate_ref[0, k] for k in range(5)),
         max_levels=max_levels,
+        noise=(tuple(sym_ref[0, 0, 5 + k] for k in range(4))
+               if use_noise else None),
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -1004,16 +1010,25 @@ def _gated_universe_kernel(
     _gated_accumulate(acc_ref, (0,), final, n_paths=s * b)
 
 
-def _symbol_slab(params: EngineParams, s0, sigma, n_sym: int):
-    """Pack [s0, sigma, prox, stop_pad, tp_pad] per symbol into the (S, 1, 128)
-    VMEM slab rows the universe kernels read.  Engine knobs may be scalars
-    (shared) or [S] vectors (per-symbol paddings — reference engines are
-    single-symbol so its settings are global, but a universe run wants
-    per-symbol calibration)."""
+def _symbol_slab(params: EngineParams, s0, sigma, n_sym: int, noise=None):
+    """Pack [s0, sigma, prox, stop_pad, tp_pad, 4×noise-std] per symbol into
+    the (S, 1, 128) VMEM slab rows the universe kernels read.  Engine knobs
+    (and noise stds) may be scalars (shared) or [S] vectors (per-symbol
+    paddings — reference engines are single-symbol so its settings are
+    global, but a universe run wants per-symbol calibration)."""
+    zero = jnp.float32(0.0)
     cols = [jnp.asarray(s0, jnp.float32), jnp.asarray(sigma, jnp.float32),
             jnp.asarray(params.contact_prox, jnp.float32),
             jnp.asarray(params.stop_padding, jnp.float32),
-            jnp.asarray(params.tp_padding, jnp.float32)]
+            jnp.asarray(params.tp_padding, jnp.float32),
+            jnp.asarray(noise.level_jitter_std, jnp.float32)
+            if noise is not None else zero,
+            jnp.asarray(noise.entry_slip_std, jnp.float32)
+            if noise is not None else zero,
+            jnp.asarray(noise.stop_slip_std, jnp.float32)
+            if noise is not None else zero,
+            jnp.asarray(noise.target_slip_std, jnp.float32)
+            if noise is not None else zero]
     sym = jnp.stack([jnp.broadcast_to(c, (n_sym,)) for c in cols], axis=1)
     return jnp.pad(sym, ((0, 0), (0, 128 - sym.shape[1])))[:, None, :]
 
@@ -1033,13 +1048,14 @@ def mc_paths_pallas_gated_universe(
     paths_per_symbol: int,
     num_bars: int = 40,
     dt: float = 1.0 / (390.0 * 252.0),
+    noise=None,               # montecarlo.McNoise; leaves may be [S]
     interpret=False,
-    external_uniforms=None,   # f32[S, n_blocks, 4*num_bars, 8, GATED_LANES]
+    external_uniforms=None,   # f32[S, n_blocks, 4*num_bars (8* w/ noise), 8, GATED_LANES]
 ) -> PathStats:
     """Per-symbol fused gated-lifecycle MC over a (symbol, block) grid;
     returns [S]-batched PathStats with lifecycle semantics.  Engine knobs
-    (prox, stop_pad, tp_pad) ride the per-symbol slab, so a universe can mix
-    per-symbol calibrations in one launch."""
+    (prox, stop_pad, tp_pad) and McNoise stds ride the per-symbol slab, so a
+    universe can mix per-symbol calibrations in one launch."""
     from ..sim.gatedpath import GateConfig
 
     if gate is None:
@@ -1053,11 +1069,13 @@ def mc_paths_pallas_gated_universe(
     if n_lv > 8:
         raise ValueError("pallas gated universe kernel supports up to 8 level slots")
     n_blocks = paths_per_symbol // GATED_BLOCK
+    use_noise = noise is not None
+    u_rows = (8 if use_noise else 4) * num_bars
 
     external_rng = external_uniforms is not None
     kernel = functools.partial(
         _gated_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
-        external_rng=external_rng,
+        external_rng=external_rng, use_noise=use_noise,
     )
     gvec = jnp.stack([
         jnp.asarray(gate.q_min_prob, jnp.float32),
@@ -1070,7 +1088,7 @@ def mc_paths_pallas_gated_universe(
     lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
     lk = jnp.broadcast_to(
         jnp.asarray(levels.kind, jnp.float32)[..., None], (n_sym, n_lv, 128))
-    sym = _symbol_slab(params, s0, sigma, n_sym)
+    sym = _symbol_slab(params, s0, sigma, n_sym, noise=noise)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     acc = pl.pallas_call(
@@ -1088,7 +1106,7 @@ def mc_paths_pallas_gated_universe(
             pl.BlockSpec((1, n_lv, 128), lambda sy, bl: (sy, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 1, 4 * num_bars, GATED_SUB, GATED_LANES),
+            pl.BlockSpec((1, 1, u_rows, GATED_SUB, GATED_LANES),
                          lambda sy, bl: (sy, bl, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         ] if external_rng else []),
@@ -1351,8 +1369,10 @@ def mc_paths_pallas_sweep(
 def _gated_sweep_kernel(
     seed_ref,          # SMEM (1,1) i32
     knobs_ref,         # SMEM (1,4) f32: [prox, _, _, _]
-    grid_ref,          # SMEM (G, 8) f32 rows: [stop_pad, tp_pad, qmin,
-                       #   touch_limit, cooldown_bars, touch_gap_bars, use_conf, _]
+    grid_ref,          # SMEM (G, 12) f32 rows: [stop_pad, tp_pad, qmin,
+                       #   touch_limit, cooldown_bars, touch_gap_bars,
+                       #   use_conf, _, lvl_jit, entry_slip, stop_slip,
+                       #   tgt_slip]
     level_price_ref,   # VMEM (L, 128) f32
     level_valid_ref,   # VMEM (L, 128) f32
     level_kind_ref,    # VMEM (L, 128) f32
@@ -1364,22 +1384,25 @@ def _gated_sweep_kernel(
     max_levels: int,
     n_grid: int,
     external_rng: bool = False,
+    use_noise: bool = False,
 ):
     """One path block replayed through the FULL gated lifecycle for every
     grid configuration.  Common random numbers come from RESEEDING: the
     hardware PRNG is re-seeded to the block's seed before each config's
     lifecycle run, so every configuration consumes the identical uniform
-    stream (bars AND tie coins) — the sweep compares decision surfaces, not
-    sampling noise.  Unlike the first-contact sweep (which generates once and
-    replays barriers), gate knobs change which trades OPEN, so the whole
-    generate+trade loop re-runs per config; generation is ~40% of the loop,
-    an acceptable price for zero cross-config variance."""
+    stream (bars, tie coins — and with noise, the SAME per-entry noise
+    normals scaled by each row's stds) — the sweep compares decision
+    surfaces, not sampling noise.  Unlike the first-contact sweep (which
+    generates once and replays barriers), gate knobs change which trades
+    OPEN, so the whole generate+trade loop re-runs per config; generation is
+    ~40% of the loop, an acceptable price for zero cross-config variance."""
     s, b = GATED_SUB, GATED_LANES
+    stride = 16 if use_noise else 8
     if external_rng:
         u_ref, acc_ref = refs
 
         def draw(t2, k):
-            return u_ref[0, pl.ds(t2 * 8 + k, 1)].reshape(s, b)
+            return u_ref[0, pl.ds(t2 * stride + k, 1)].reshape(s, b)
 
         def reseed():
             pass
@@ -1406,6 +1429,8 @@ def _gated_sweep_kernel(
             knobs=(knobs_ref[0, 0], grid_ref[g, 0], grid_ref[g, 1]),
             gates=tuple(grid_ref[g, 2 + k] for k in range(5)),
             max_levels=max_levels,
+            noise=(tuple(grid_ref[g, 8 + k] for k in range(4))
+                   if use_noise else None),
         )
         _gated_accumulate(acc_ref, (g,), final, n_paths=s * b)
 
@@ -1429,14 +1454,17 @@ def mc_paths_pallas_gated_sweep(
     mu: float = 0.0,
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
+    noise=None,               # montecarlo.McNoise; leaves may be [G]
     interpret=False,
-    external_uniforms=None,   # f32[n_blocks, 4*num_bars, 8, GATED_LANES] (tests)
+    external_uniforms=None,   # f32[n_blocks, 4*num_bars (8* w/ noise), 8, GATED_LANES]
 ) -> PathStats:
     """Gate-knob grid sweep over the fused gated lifecycle with common random
     numbers: the grid axis carries (stop_pad, tp_pad, q_min_prob, touch_limit,
     cooldown_bars, touch_gap_bars, use_confidence) tuples, so the decision
     surface the reference engine raises (touch budgets, Q_MIN_PROB) sweeps in
-    ONE kernel launch over shared paths.  Returns [G]-batched lifecycle
+    ONE kernel launch over shared paths.  ``noise`` (McNoise; scalar or [G]
+    leaves) adds per-entry execution noise — every row sees the SAME noise
+    normals scaled by its own stds.  Returns [G]-batched lifecycle
     PathStats."""
     from ..sim.gatedpath import GateConfig
 
@@ -1454,16 +1482,23 @@ def mc_paths_pallas_gated_sweep(
     if grid_tps.shape[0] != g:
         raise ValueError("grid_stops and grid_tps must have equal length")
     n_blocks = num_paths // GATED_BLOCK
+    use_noise = noise is not None
+    u_rows = (8 if use_noise else 4) * num_bars
 
     def gcol(x):
         return jnp.broadcast_to(jnp.asarray(x, jnp.float32).reshape(-1), (g,))
 
+    zcol = jnp.zeros((g,), jnp.float32)
     grid = jnp.stack([
         grid_stops, grid_tps,
         gcol(grid_gate.q_min_prob), gcol(grid_gate.touch_limit),
         gcol(grid_gate.cooldown_bars), gcol(grid_gate.touch_gap_bars),
-        gcol(grid_gate.use_confidence), jnp.zeros((g,), jnp.float32),
-    ], axis=1)  # (G, 8)
+        gcol(grid_gate.use_confidence), zcol,
+        gcol(noise.level_jitter_std) if use_noise else zcol,
+        gcol(noise.entry_slip_std) if use_noise else zcol,
+        gcol(noise.stop_slip_std) if use_noise else zcol,
+        gcol(noise.target_slip_std) if use_noise else zcol,
+    ], axis=1)  # (G, 12)
 
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
@@ -1471,7 +1506,7 @@ def mc_paths_pallas_gated_sweep(
     kernel = functools.partial(
         _gated_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
         sig_dt=sig_dt, max_levels=levels.max_levels, n_grid=g,
-        external_rng=external_rng,
+        external_rng=external_rng, use_noise=use_noise,
     )
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
@@ -1488,7 +1523,7 @@ def mc_paths_pallas_gated_sweep(
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((g, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 12), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
@@ -1496,7 +1531,7 @@ def mc_paths_pallas_gated_sweep(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 4 * num_bars, GATED_SUB, GATED_LANES),
+            pl.BlockSpec((1, u_rows, GATED_SUB, GATED_LANES),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((g, 8, 128), lambda i: (0, 0, 0),

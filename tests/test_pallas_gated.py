@@ -396,3 +396,101 @@ def test_gated_universe_per_symbol_knobs_exact():
     # the knobs actually differ per symbol
     assert float(got.n_entered[0]) != float(got.n_entered[1]) or \
         float(got.sum_r[0]) != float(got.sum_r[1])
+
+
+def test_gated_sweep_noise_std_rows_match_single_configs():
+    """[G]-leaved McNoise stds on the gated sweep's grid axis: each row
+    equals a single-config gated-kernel run with that row's scalar stds
+    under the same injected uniforms (row 0: zero stds == the noise-free
+    decision trace)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_gated_sweep,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+    rng = np.random.default_rng(47)
+    u = rng.uniform(1e-6, 1.0, (1, 8 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1,
+                              use_confidence=False)
+    grid_gate = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), gate, gate)
+    stds = [(0.0, 0.0, 0.0, 0.0), (0.02, 0.01, 0.015, 0.015)]
+    noise_grid = McNoise(
+        level_jitter_std=jnp.asarray([s[0] for s in stds], jnp.float32),
+        entry_slip_std=jnp.asarray([s[1] for s in stds], jnp.float32),
+        stop_slip_std=jnp.asarray([s[2] for s in stds], jnp.float32),
+        target_slip_std=jnp.asarray([s[3] for s in stds], jnp.float32),
+    )
+
+    got = mc_paths_pallas_gated_sweep(
+        0, LEVELS, PARAMS, [0.35, 0.35], [0.25, 0.25], grid_gate,
+        num_paths=GATED_BLOCK, num_bars=W, sigma=SIGMA, dt=DT,
+        noise=noise_grid, interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (2,)
+    for g, s in enumerate(stds):
+        single = McNoise.make(level_jitter_std=s[0], entry_slip_std=s[1],
+                              stop_slip_std=s[2], target_slip_std=s[3])
+        want = mc_paths_pallas_gated(
+            0, LEVELS, PARAMS, gate, num_paths=GATED_BLOCK, num_bars=W,
+            sigma=SIGMA, dt=DT, noise=single, interpret=True,
+            external_uniforms=u,
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "sum_trades"):
+            assert float(getattr(got, f)[g]) == float(getattr(want, f)), (g, f)
+        np.testing.assert_array_equal(np.asarray(got.hist[g]),
+                                      np.asarray(want.hist))
+        assert float(got.sum_r[g]) == pytest.approx(float(want.sum_r), abs=1e-4)
+    assert float(got.sum_r[0]) != float(got.sum_r[1])  # the stds bite
+
+
+def test_gated_universe_per_symbol_noise_exact():
+    """Per-symbol McNoise stds ride the gated universe slab: each symbol of
+    a 2-symbol universe with DISTINCT stds matches a single-config
+    gated-kernel run with those scalar stds under the same injected
+    uniforms."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_gated_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+    from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+    rows = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "red", "type": "dashed", "index": 0, "price": 100.3}],
+    ]
+    levels2 = U.stack_levels(rows, max_levels=8)
+    s0 = np.array([100.0, 100.0], np.float32)
+    sigma = np.array([SIGMA, SIGMA], np.float32)
+    stds = [(0.0, 0.0, 0.0, 0.0), (0.03, 0.01, 0.02, 0.02)]
+    noise_vec = McNoise(
+        level_jitter_std=jnp.asarray([s[0] for s in stds], jnp.float32),
+        entry_slip_std=jnp.asarray([s[1] for s in stds], jnp.float32),
+        stop_slip_std=jnp.asarray([s[2] for s in stds], jnp.float32),
+        target_slip_std=jnp.asarray([s[3] for s in stds], jnp.float32),
+    )
+    gate = GateConfig.default(touch_limit=100, touch_gap_bars=1,
+                              use_confidence=False)
+    rng = np.random.default_rng(53)
+    u = rng.uniform(1e-6, 1.0, (2, 1, 8 * W, GATED_SUB, GATED_LANES)).astype(np.float32)
+
+    got = mc_paths_pallas_gated_universe(
+        0, levels2, PARAMS, s0, sigma, gate,
+        paths_per_symbol=GATED_BLOCK, num_bars=W, dt=DT,
+        noise=noise_vec, interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (2,)
+    for s in range(2):
+        single = McNoise.make(level_jitter_std=stds[s][0],
+                              entry_slip_std=stds[s][1],
+                              stop_slip_std=stds[s][2],
+                              target_slip_std=stds[s][3])
+        levels_s = jax.tree_util.tree_map(lambda x: x[s], levels2)
+        want = mc_paths_pallas_gated(
+            0, levels_s, PARAMS, gate, num_paths=GATED_BLOCK, num_bars=W,
+            sigma=SIGMA, dt=DT, noise=single, interpret=True,
+            external_uniforms=u[s],
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "sum_trades"):
+            assert float(getattr(got, f)[s]) == float(getattr(want, f)), (s, f)
+        np.testing.assert_array_equal(np.asarray(got.hist[s]),
+                                      np.asarray(want.hist))
