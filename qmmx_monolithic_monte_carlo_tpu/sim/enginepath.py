@@ -36,8 +36,9 @@ Guard and touch memory run through ``ops/regular.py`` — bar-synchronous
 re-expressions exactness-tested against ops/guard.py / ops/touch.py — so the
 gate math here is literally the same functions the tick engine uses
 (ops.confidence, ops.features, engine.gates._ml_allowed, models.online_policy,
-engine.exits).  A scalar Python oracle (tests/oracle/fullengine.py) replays
-the whole ladder per path, and a flat-wick tape maps this pipeline 1:1 onto
+engine.exits).  A scalar Python oracle (tests/oracle/engine.py::EngineOracle)
+replays the whole ladder per path — including wicked OHLC bars with the
+distance-weighted tie coin — and a flat-wick tape maps this pipeline 1:1 onto
 ``engine.lifecycle.run_ticks`` for an end-to-end cross-check.
 
 Volume comes from the sampler (real bars under bootstrap, a synthetic
@@ -77,6 +78,7 @@ from ..types import (
 )
 from ..utils import prng
 from . import pathsim
+from .hits import bar_hit_outcome
 from .pathsim import PathStats
 
 BAR_MS = 60_000
@@ -172,17 +174,11 @@ def engine_path_replay(
         # ---- B) position management (:2966-3014) ----
         is_open = side != SIDE_FLAT
         is_long = side == SIDE_LONG
-        stop_hit = jnp.logical_and(
-            is_open, jnp.where(is_long, l <= stop, h >= stop))
-        tgt_hit = jnp.logical_and(
-            is_open, jnp.where(is_long, h >= target, l <= target))
-        both = jnp.logical_and(stop_hit, tgt_hit)
-        up_span = jnp.maximum(0.0, h - entry)
-        dn_span = jnp.maximum(0.0, entry - l)
-        p_tp = up_span / (up_span + dn_span + 1e-9)        # (:3472-3480)
-        target_first = jnp.where(
-            both, tie < p_tp, jnp.logical_and(tgt_hit, jnp.logical_not(stop_hit)))
-        hit = jnp.logical_or(stop_hit, tgt_hit)
+        bh = bar_hit_outcome(
+            is_open=is_open, is_long=is_long, entry=entry, stop=stop,
+            target=target, high=h, low=l, tie=tie)          # (:3467-3480)
+        target_first = bh.target_first
+        hit = bh.hit
 
         if escalation:
             # the live loop evaluates at the detecting tick's price and only

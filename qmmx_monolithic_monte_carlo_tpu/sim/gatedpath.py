@@ -52,6 +52,7 @@ from ..ops import pathgen as PG
 from ..types import DIR_DOWN, DIR_UP, SIDE_FLAT, SIDE_LONG, SIDE_SHORT, Levels
 from ..utils import prng
 from . import pathsim
+from .hits import bar_hit_outcome
 from .pathsim import PathStats
 
 
@@ -142,20 +143,11 @@ def gated_path_replay(
         # ---- 1) position management (:2966-3014, hits :3467-3480) ----
         is_open = side != SIDE_FLAT
         is_long = side == SIDE_LONG
-        stop_hit = jnp.logical_and(
-            is_open, jnp.where(is_long, l <= stop, h >= stop)
-        )
-        tgt_hit = jnp.logical_and(
-            is_open, jnp.where(is_long, h >= target, l <= target)
-        )
-        both = jnp.logical_and(stop_hit, tgt_hit)
-        up_span = jnp.maximum(0.0, h - entry)
-        dn_span = jnp.maximum(0.0, entry - l)
-        p_tp = up_span / (up_span + dn_span + 1e-9)  # up-share for BOTH sides (:3472-3480)
-        target_first = jnp.where(
-            both, tie < p_tp, jnp.logical_and(tgt_hit, jnp.logical_not(stop_hit))
-        )
-        closed = jnp.logical_or(stop_hit, tgt_hit)
+        bh = bar_hit_outcome(
+            is_open=is_open, is_long=is_long, entry=entry, stop=stop,
+            target=target, high=h, low=l, tie=tie)
+        target_first = bh.target_first
+        closed = bh.hit
         risk = jnp.maximum(jnp.abs(entry - stop), 1e-9)
         reward = jnp.abs(target - entry)
         r = jnp.where(closed, jnp.where(target_first, reward / risk, -1.0), 0.0)
