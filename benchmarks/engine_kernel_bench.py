@@ -32,44 +32,96 @@ LEVELS = Levels.from_rows(
 )
 
 
+def _levels_n(n):
+    if n <= 2:
+        return LEVELS
+    colors = ("blue", "orange", "black", "teal")
+    rows = [{"color": colors[i % 4],
+             "type": "solid" if (i // 4) % 2 == 0 else "dashed",
+             "index": i // 8, "price": 100.0 + (i - n // 2) * 0.12}
+            for i in range(n)]
+    return Levels.from_rows(rows, max_levels=n)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--paths", type=int, default=24, help="log2 total paths")
     ap.add_argument("--bars", type=int, default=40)
     ap.add_argument("--lanes", type=int, nargs="+", default=[256, 512, 1024])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--levels", type=int, default=2,
+                    help="level-slot count (cost-curve runs: 8/16/30)")
+    ap.add_argument("--sampler", default="gbm", choices=["gbm", "bootstrap"])
+    ap.add_argument("--hist", type=int, default=390,
+                    help="bootstrap history length (bars)")
+    ap.add_argument("--harvest", action="store_true",
+                    help="collect flywheel label stats on-chip")
+    ap.add_argument("--stage-split", action="store_true",
+                    help="also time the generation-only kernel (gen_only) — "
+                         "the roofline split: full-vs-generate gap = state-"
+                         "machine cost")
     ap.add_argument("--xla", action="store_true",
                     help="also time sim/enginepath.mc_paths_engine")
     args = ap.parse_args()
 
     params = EngineParams.default()
     num_paths = 1 << args.paths
+    levels = _levels_n(args.levels)
     dev = jax.devices()[0]
-    print(f"# device={dev.device_kind} paths=2^{args.paths} bars={args.bars}",
-          file=sys.stderr)
+    print(f"# device={dev.device_kind} paths=2^{args.paths} bars={args.bars} "
+          f"levels={args.levels} sampler={args.sampler}", file=sys.stderr)
+    hist = None
+    if args.sampler == "bootstrap":
+        import numpy as np
+
+        from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import PathBars
+
+        rng = np.random.default_rng(0)
+        h = args.hist
+        steps = rng.normal(0, 0.1, h).astype(np.float32)
+        c = np.float32(100.0) + np.cumsum(steps, dtype=np.float32)
+        o = np.concatenate([[np.float32(100.0)], c[:-1]])
+        hist = PathBars(
+            open=o, close=c,
+            high=np.maximum(o, c) + rng.uniform(0, 0.1, h).astype(np.float32),
+            low=np.minimum(o, c) - rng.uniform(0, 0.1, h).astype(np.float32),
+            volume=rng.lognormal(13.0, 0.4, h).astype(np.float32))
 
     for lanes in args.lanes:
-        def run(seed):
-            return mc_paths_pallas_engine(
-                seed, LEVELS, params, num_paths=num_paths, num_bars=args.bars,
-                sigma=0.3, dt=1.0 / (390.0 * 252.0), lanes=lanes,
-            )
+        for gen_only in ([False, True] if args.stage_split else [False]):
+            def run(seed):
+                return mc_paths_pallas_engine(
+                    seed, levels, params, num_paths=num_paths,
+                    num_bars=args.bars, sigma=0.3,
+                    dt=1.0 / (390.0 * 252.0), lanes=lanes,
+                    sampler=args.sampler, hist_bars=hist,
+                    harvest=args.harvest, gen_only=gen_only,
+                )
 
-        stats, skips, escal = run(0)
-        float(stats.sum_r)
-        t0 = time.perf_counter()
-        for k in range(1, args.reps + 1):
-            stats, skips, escal = run(k)
+            res = run(0)
+            stats = res[0]
             float(stats.sum_r)
-        dt_s = (time.perf_counter() - t0) / args.reps
-        print(json.dumps({
-            "backend": "pallas", "lanes": lanes,
-            "paths_per_sec": round(num_paths / dt_s, 1),
-            "time_s": round(dt_s, 4),
-            "hit_rate": round(float(stats.hit_rate), 4),
-            "mean_trades": round(float(stats.mean_trades), 4),
-            "escalations": int(escal),
-        }))
+            t0 = time.perf_counter()
+            for k in range(1, args.reps + 1):
+                res = run(k)
+                stats = res[0]
+                float(stats.sum_r)
+            dt_s = (time.perf_counter() - t0) / args.reps
+            row = {
+                "backend": "pallas", "lanes": lanes, "levels": args.levels,
+                "bars": args.bars, "sampler": args.sampler,
+                "gen_only": gen_only, "harvest": args.harvest,
+                "paths_per_sec": round(num_paths / dt_s, 1),
+                "bar_steps_per_sec": round(num_paths * args.bars / dt_s, 1),
+                "time_s": round(dt_s, 4),
+            }
+            if not gen_only:
+                row.update(hit_rate=round(float(stats.hit_rate), 4),
+                           mean_trades=round(float(stats.mean_trades), 4),
+                           escalations=int(res[2]))
+                if args.harvest:
+                    row["labeled"] = float(res[3].n_labeled)
+            print(json.dumps(row))
 
     if args.xla:
         from qmmx_monolithic_monte_carlo_tpu.sim.enginepath import mc_paths_engine

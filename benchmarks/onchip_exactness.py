@@ -242,7 +242,79 @@ def check_engine_noise():
     })
 
 
-def main():
+def _engine_parity(name, *, levels, w, seed, lanes=256, params=None,
+                   sampler="gbm", hist=None, harvest=False, sigma=SIGMA):
+    """Shared judge for the round-4 engine-envelope kernels: run one block
+    of injected uniforms through the Mosaic kernel AND the XLA pipeline on
+    the same chip (bars regenerated from the same draws)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        ENGINE_SUB,
+        _draw_stride,
+        mc_paths_pallas_engine,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim import enginepath as EP
+    from tests.test_pallas_engine import _bars_from_uniforms as mk_bars
+
+    if params is None:
+        params = EngineParams.default()
+    block = ENGINE_SUB * lanes
+    stride = _draw_stride(sampler, False)
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(
+        1e-6, 1.0, (1, stride * ((w + 1) // 2), ENGINE_SUB, lanes),
+    ).astype(np.float32)
+    res = mc_paths_pallas_engine(
+        0, levels, params, num_paths=block, num_bars=w, sigma=sigma, dt=DT,
+        lanes=lanes, sampler=sampler, hist_bars=hist, harvest=harvest,
+        external_uniforms=u,
+    )
+    got, got_skips, got_escal = res[:3]
+    if sampler == "bootstrap":
+        from tests.test_engine_bootstrap import _bars_from_boot_uniforms
+
+        bars, tie = _bars_from_boot_uniforms(u[0], hist, w, lanes=lanes)
+    else:
+        bars, tie = mk_bars(u[0], sigma, lanes=lanes, w=w)
+    out = EP.engine_path_replay(bars, levels, params, tie, harvest=harvest)
+    want = PathStats.from_lifecycle(
+        equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
+        open_at_end=out.open_at_end, max_dd=out.max_dd,
+    )
+    extra = {
+        "escalations": [float(got_escal),
+                        float(np.asarray(out.escalations).sum())],
+    }
+    if harvest:
+        hv_k = np.asarray(res[3].ml_counts)
+        hv_x = np.asarray(out.harvest.ml_counts)
+        extra["harvest_labeled"] = [float(hv_k.sum()), float(hv_x.sum())]
+        extra["harvest_l1_frac"] = (
+            float(np.abs(hv_k - hv_x).sum()) / max(float(hv_x.sum()), 1.0))
+    return _judge(name, got, want, extra=extra)
+
+
+def check_envelope():
+    """Round-4 envelope: 30 levels, windowed-guard 63-bar (odd) horizon,
+    bootstrap recorded bars, on-chip harvest."""
+    from tests.test_engine_bootstrap import _history
+    from tests.test_engine_envelope import _many_levels
+
+    ok = _engine_parity("engine-30-levels", levels=_many_levels(30), w=24,
+                        seed=50)
+    ok = _engine_parity("engine-63-bars-windowed-odd",
+                        levels=_many_levels(4, step=0.3), w=63, seed=51) and ok
+    ok = _engine_parity(
+        "engine-bootstrap", levels=_many_levels(3, step=0.35), w=24, seed=52,
+        sampler="bootstrap", hist=_history(3, 300),
+        params=EngineParams.default(stop_padding=0.25, tp_padding=0.18),
+    ) and ok
+    ok = _engine_parity("engine-harvest",
+                        levels=_many_levels(3, step=0.35), w=40, seed=53,
+                        harvest=True) and ok
+    return ok
+
+
+def main(only=None):
     import jax
 
     dev = jax.devices()[0]
@@ -251,16 +323,25 @@ def main():
               file=sys.stderr)
     print(f"# device={dev.device_kind} mosaic={dev.platform != 'cpu'}",
           file=sys.stderr)
-    ok = check_gated()
-    ok = check_engine() and ok
-    ok = check_engine_noise() and ok
+    checks = {
+        "gated": check_gated,
+        "engine": check_engine,
+        "engine_noise": check_engine_noise,
+        "envelope": check_envelope,
+    }
+    ok = True
+    for name, fn in checks.items():
+        if only and name not in only:
+            continue
+        ok = fn() and ok
     return 0 if ok else 1
 
 
 if __name__ == "__main__":
+    only = set(sys.argv[1:]) or None
     for attempt in range(3):
         try:
-            sys.exit(main())
+            sys.exit(main(only))
         except SystemExit:
             raise
         except Exception as e:  # noqa: BLE001

@@ -275,8 +275,7 @@ def cmd_paths(args):
 
         use_kernel = (backend == "pallas"
                       and not getattr(args, "ckpt_dir", None)
-                      and len(rows) <= 8 and args.num_bars % 2 == 0
-                      and args.num_bars <= 61)
+                      and len(rows) <= 32)
         if getattr(args, "ckpt_dir", None):
             from ..sim import resumable
 
@@ -294,7 +293,7 @@ def cmd_paths(args):
                 raise SystemExit(
                     f"--num-paths must be a multiple of {ENGINE_BLOCK} "
                     "for the pallas engine backend")
-            small = Levels.from_rows(rows[:8], max_levels=8)
+            small = Levels.from_rows(rows, max_levels=max(1, len(rows)))
             stats, skips, escal = mc_paths_pallas_engine(
                 args.seed, small, params,
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
@@ -447,8 +446,7 @@ def _sweep_engine(args, rows, levels, params):
 
     jitters = getattr(args, "jitter_stds", None)
     combos = list(itertools.product(args.stops, args.tps, jitters or [None]))
-    use_kernel = (jax.devices()[0].platform != "cpu" and len(rows) <= 8
-                  and args.num_bars % 2 == 0 and args.num_bars <= 61)
+    use_kernel = jax.devices()[0].platform != "cpu" and len(rows) <= 32
 
     def mk_noise(jit_stds):
         if jitters is None:
@@ -472,7 +470,7 @@ def _sweep_engine(args, rows, levels, params):
         if args.num_paths % ENGINE_BLOCK:
             raise SystemExit(f"--num-paths must be a multiple of {ENGINE_BLOCK} "
                              "for the engine sweep kernel")
-        small = Levels.from_rows(rows[:8], max_levels=8)
+        small = Levels.from_rows(rows, max_levels=max(1, len(rows)))
         grid_params = params.replace(
             stop_padding=jnp.asarray([c[0] for c in combos], jnp.float32),
             tp_padding=jnp.asarray([c[1] for c in combos], jnp.float32),
@@ -577,6 +575,54 @@ def cmd_sweep(args):
         print(json.dumps(row))
         g += 1
     return 0
+
+
+def cmd_flywheel(args):
+    """simulate → label → retrain → re-simulate at path scale: each round
+    runs the FULL-engine MC with the on-chip label harvest, refreshes the
+    ML gate (weighted IRLS on harvested bucket counts, ref :3833-3853) and
+    the OnlinePolicy entry heads (ref :3753-3803), then re-simulates with
+    the refreshed models armed.  Prints one JSON row per round."""
+    import json as _json
+
+    import jax
+
+    from ..sim import enginepath as EPATH
+    from ..sim import flywheel as FW
+
+    conn = _connect(args)
+    rows, levels, params = _levels_and_params(conn, args)
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    if backend == "pallas":
+        if len(rows) > 32:
+            raise SystemExit("pallas engine kernel supports up to 32 levels; "
+                             "use --backend xla")
+        from ..types import Levels
+
+        levels = Levels.from_rows(rows, max_levels=max(1, len(rows)))
+    rounds = FW.policy_iteration(
+        args.seed, levels, params, rounds=args.rounds,
+        num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+        sigma=args.sigma, backend=backend,
+        min_samples=args.min_samples,
+        block_paths=min(args.num_paths, 1 << 13),
+    )
+    names = [r.name for r in EPATH.SKIP_REASONS]
+    for i, rd in enumerate(rounds):
+        st = rd.stats
+        print(_json.dumps({
+            "round": i,
+            "labeled": rd.labeled,
+            "hit_rate": round(float(st.hit_rate), 5),
+            "mean_r": round(float(st.mean_r), 5),
+            "trades": float(st.sum_trades),
+            "escalations": rd.escalations,
+            "ml_present": bool(rd.ml_model.present),
+            "skips": {n: float(s) for n, s in zip(names, rd.skips)
+                      if float(s) > 0},
+        }))
 
 
 def cmd_retrain(args):
@@ -795,7 +841,10 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--antithetic", action="store_true")
     pa.add_argument("--qmin", type=float, default=None)
     pa.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto",
-                    help="pallas = fused kernel (TPU, <=8 levels); auto picks by device")
+                    help="pallas = fused kernel on TPU (first-contact/gated: "
+                         "<=8 levels; --engine: <=32 levels, any horizon); "
+                         "auto picks by device, falling back to the XLA "
+                         "pipeline when a shape leaves the kernel envelope")
     pa.add_argument("--gated", action="store_true",
                     help="run the engine-gated multi-trade lifecycle per path "
                          "(cooldown/touch-budget/confidence gates, per-path "
@@ -851,6 +900,21 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--stop-slip-std", type=float, default=0.0)
     sw.add_argument("--target-slip-std", type=float, default=0.0)
     sw.set_defaults(fn=cmd_sweep)
+
+    fw = sub.add_parser("flywheel", help="simulate->label->retrain->"
+                        "re-simulate policy iteration at path scale")
+    fw.add_argument("--rounds", type=int, default=2)
+    fw.add_argument("--num-paths", type=int, default=1 << 16)
+    fw.add_argument("--num-bars", type=int, default=40)
+    fw.add_argument("--s0", type=float, default=100.0)
+    fw.add_argument("--sigma", type=float, default=0.3)
+    fw.add_argument("--seed", type=int, default=0)
+    fw.add_argument("--qmin", type=float, default=None)
+    fw.add_argument("--min-samples", type=int, default=50,
+                    help="retrain gate (>=50 labeled trades, ref :3838)")
+    fw.add_argument("--backend", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    fw.set_defaults(fn=cmd_flywheel)
 
     rt = sub.add_parser("retrain")
     rt.add_argument("--policy-path", default="models/online_policy.npz")

@@ -209,6 +209,24 @@ def _pol_bucket_features(h: EngineHarvest):
     return feats, labels, cnt, glf
 
 
+def ml_batch_from_harvest(h: EngineHarvest, *, stop_padding):
+    """Expand an [S]-batched harvest into the (xs, ys, weights) triple of
+    ``parallel.universe.universe_policy_refresh`` / ``logistic.fit_batched``:
+    per-symbol weighted bucket rows (xs [S, 2B, 4], ys [S, 2B], w [S, 2B]).
+    This is what BASELINE config 4's per-symbol LR refresh trains on —
+    HARVESTED simulation output, not synthetic draws."""
+    counts = jnp.asarray(h.ml_counts)          # [S, B, 2]
+    s = counts.shape[0]
+    feats = _ml_bucket_features(stop_padding)  # [B, 4]
+    xs = jnp.broadcast_to(
+        jnp.concatenate([feats, feats], axis=0)[None], (s, 2 * ML_BUCKETS, 4))
+    ys = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros(ML_BUCKETS), jnp.ones(ML_BUCKETS)])[None],
+        (s, 2 * ML_BUCKETS))
+    w = jnp.concatenate([counts[:, :, 0], counts[:, :, 1]], axis=1)
+    return xs, ys, w
+
+
 def policy_from_harvest(
     policy: PolicyParams, h: EngineHarvest, *, min_samples: int = 1,
     c: float = 1.0, max_iter: int = 100,

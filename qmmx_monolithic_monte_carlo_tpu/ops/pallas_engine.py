@@ -16,10 +16,11 @@ piece of engine state advances on (8, lanes) f32 tiles:
               30-min tap window only ever consults the newest
               ``fatigue_hits``(=3) in-window taps, and taps age monotonically,
               so the newest 3 taps ARE the exact window statistic
-  guard       box = running min/max of bar extremes (the 60-min window covers
-              every bar when ``num_bars <= 61`` — enforced; longer horizons
-              stream through the XLA pipeline), 20-slot volume ring for the
-              5/20-bar MAs, regime/inside_count state machine (:1241-1356)
+  guard       box = running min/max of bar extremes while ``num_bars <= 61``
+              (bitwise the 60-min window, :1247); longer horizons carry
+              61-slot extreme rings and take the windowed min/max per bar
+              (full-day 390-bar runs stay on-chip); 20-slot volume ring for
+              the 5/20-bar MAs, regime/inside_count machine (:1241-1356)
   exits       5-slot close ring + the volume ring drive should_escalate_on_
               target (:897-960): volume-trend-toward-level, approach
               inference, next-level target, stop trailing
@@ -50,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EngineParams
 from ..engine.state import MlModel
+from ..models import harvest as HV
 from ..models import online_policy as OP
 from ..ops import guard as G
 from ..ops import touch as T
@@ -81,8 +83,11 @@ ENGINE_LANES = 256   # ~145 (8, lanes) f32 state tiles → 1.2 MB at 256 lanes.
                      # VPU; 256 is the sweet spot.
 ENGINE_BLOCK = ENGINE_SUB * ENGINE_LANES
 ROW_SKIP = 5         # skip counters cols 0..15, escalations col 16 ('+')
+ROW_HARVEST = 6      # packed flywheel harvest (models/harvest.py layout, '+')
 
 GUARD_WINDOW_BARS = 61   # ops/regular.py GUARD_WINDOW_BARS (60-min box, :1247)
+MAX_KERNEL_LEVELS = 32   # per-level state/ops grow linearly; the reference's
+                         # own recovered session runs 30 levels (:2712-2755)
 VOL_RING = 20            # longest volume window (guard MA-20 / minute-close 20)
 CLOSE_RING = 5           # exits: volume-trend lookback 5, approach needs 2
 TAP_SLOTS = 3            # == TouchMemoryParams.fatigue_hits (static, :1127)
@@ -96,6 +101,17 @@ _NEVER = -1e9   # "no prior touch/tap" timestamp sentinel (plain float: a
 # bar) at ks 10..17
 DRAWS_PER_PAIR = 10
 DRAWS_PER_PAIR_NOISE = 18
+# bootstrap sampler layout: (u_idx0, u_idx1, tie0, tie1) per double-bar step
+# (+ 8 noise blocks at ks 4..11) — recorded bars need no price/volume normals
+BOOT_DRAWS_PER_PAIR = 4
+BOOT_DRAWS_PER_PAIR_NOISE = 12
+HIST_CHANNELS = 5    # bootstrap tables: logc / logh / logl / logo / volume
+
+
+def _draw_stride(sampler: str, use_noise: bool) -> int:
+    if sampler == "bootstrap":
+        return BOOT_DRAWS_PER_PAIR_NOISE if use_noise else BOOT_DRAWS_PER_PAIR
+    return DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
 
 
 
@@ -117,7 +133,8 @@ def _sigmoid_clamped(z):
 def _engine_lifecycle_loop(
     draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     eng, ml, pol_w, tm, gd, max_levels, lanes, vm, escalation: bool,
-    noise=None,
+    noise=None, harvest: bool = False, sampler: str = "gbm", hist=None,
+    gen_only: bool = False,
 ):
     """The streaming generate+full-engine loop.
 
@@ -130,8 +147,32 @@ def _engine_lifecycle_loop(
     per-ENTRY gaussian execution noise (sim/enginepath semantics, reference
     MC :3453-3461; gates see the un-noised scaffold) drawn as two extra
     Box-Muller pairs per bar (draw ks 10..17 per double-bar step).  Returns
-    the final lifecycle tiles + skip-counter tiles."""
+    the final lifecycle tiles + skip-counter tiles.
+
+    Horizons: for ``num_bars <= 61`` the guard box is the running min/max
+    (bitwise the 60-min window, :1247); longer horizons carry 61-slot
+    high/low extreme rings and take the windowed min/max per bar (the
+    ``ops/regular.py guard_push`` form, exactness-tested there) — full-day
+    (390-bar) and longer runs stay on-chip.  Odd ``num_bars`` runs a final
+    half step using the first Box-Muller branch of one extra draw block.
+
+    Samplers: ``"gbm"`` streams generated bars + the synthetic volume model;
+    ``"bootstrap"`` resamples RECORDED bar geometry in-loop (the reference MC
+    walks recorded bars, :3353-3538): ``hist = (get_hist_tile, hist_len)``
+    exposes the precomputed relative-geometry tables
+    (ops/pathgen.bootstrap_tables — logc/logh/logl/logo/vol) as (8, lanes)
+    VMEM tiles; each bar draws ONE uniform → ``idx = floor(u·H)``, gathers
+    the five channels by per-lane ``take_along_axis`` over the lane-tiled
+    tables, and chains ``log_close = log_prev + logc[idx]`` — real highs,
+    lows and VOLUMES (the guard/veto gates finally see recorded volume at
+    kernel rates).  Bootstrap draw layout per double-bar step: (u_idx0,
+    u_idx1, tie0, tie1) [+ 8 noise blocks at ks 4..11]."""
     s, b = ENGINE_SUB, lanes
+    windowed_guard = num_bars > GUARD_WINDOW_BARS
+    bootstrap = sampler == "bootstrap"
+    if bootstrap:
+        get_hist_tile, hist_len = hist
+        h_tiles = -(-int(hist_len) // 128)
     (prox, stop_pad, tp_pad, qmin, cooldown_ms, enable_veto, veto_strong,
      veto_prox, disable_ml, use_blend, w_rules_raw, w_ml_raw, confl_within,
      overtouch_limit, policy_disabled, bar0_minute, has_levels) = eng
@@ -189,42 +230,63 @@ def _engine_lifecycle_loop(
         zs(2 * max_levels),            # touch last_px
         tuple(zero + _NEVER for _ in range(2 * TAP_SLOTS)),   # tap ts [e*3+k]
         zs(2 * TAP_SLOTS),             # tap ratio
-        zero + jnp.float32(_BIG),      # guard running min low
-        zero - jnp.float32(_BIG),      # guard running max high
+        # guard extremes: running box for <= 61 bars; 61-slot newest-first
+        # extreme rings for longer horizons (sentinel-filled → min/max
+        # identities on unfilled slots)
+        (jnp.full((GUARD_WINDOW_BARS * s, b), _BIG, jnp.float32)
+         if windowed_guard else zero + jnp.float32(_BIG)),    # low(s)
+        (jnp.full((GUARD_WINDOW_BARS * s, b), -_BIG, jnp.float32)
+         if windowed_guard else zero - jnp.float32(_BIG)),    # high(s)
         zero, zero, zero,              # box_low / box_high / box_valid
         zero, zero,                    # regime / inside_count
         jnp.zeros((VOL_RING * s, b), jnp.float32),    # volume ring (newest-first)
         jnp.zeros((CLOSE_RING * s, b), jnp.float32),  # close ring (newest-first)
         zs(n_skip),                    # skip counters
+        # learning-flywheel harvest (models/harvest.py): entry-time pending
+        # features + per-(bucket, label) tally tiles, empty when off
+        (zs(4) + zs(2 * HV.ML_BUCKETS) + zs(3 * 2 * HV.POL_BUCKETS)
+         if harvest else ()),
     )
 
     def body(t2, st):
-        u1 = draw(t2, 0)
-        u2 = draw(t2, 1)
-        radius = jnp.sqrt(-2.0 * jnp.log(u1))
-        angle = _TWO_PI * u2
-        z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
-        uv1 = draw(t2, 2)
-        uv2 = draw(t2, 3)
-        vradius = jnp.sqrt(-2.0 * jnp.log(uv1))
-        vangle = _TWO_PI * uv2
-        zv_pair = (vradius * jnp.cos(vangle), vradius * jnp.sin(vangle))
+        if bootstrap:
+            z_pair = (draw(t2, 0), draw(t2, 1))      # per-bar index uniforms
+            zv_pair = (None, None)
+            ties = (draw(t2, 2), draw(t2, 3))
+            noise_k0 = 4
+        else:
+            u1 = draw(t2, 0)
+            u2 = draw(t2, 1)
+            radius = jnp.sqrt(-2.0 * jnp.log(u1))
+            angle = _TWO_PI * u2
+            z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+            uv1 = draw(t2, 2)
+            uv2 = draw(t2, 3)
+            vradius = jnp.sqrt(-2.0 * jnp.log(uv1))
+            vangle = _TWO_PI * uv2
+            zv_pair = (vradius * jnp.cos(vangle), vradius * jnp.sin(vangle))
+            ties = None
+            noise_k0 = 10
         for half in range(2):
             t_i = 2 * t2 + half
             if noise is not None:
-                r1 = jnp.sqrt(-2.0 * jnp.log(draw(t2, 10 + 4 * half)))
-                a1 = _TWO_PI * draw(t2, 11 + 4 * half)
-                r2 = jnp.sqrt(-2.0 * jnp.log(draw(t2, 12 + 4 * half)))
-                a2 = _TWO_PI * draw(t2, 13 + 4 * half)
+                r1 = jnp.sqrt(-2.0 * jnp.log(draw(t2, noise_k0 + 4 * half)))
+                a1 = _TWO_PI * draw(t2, noise_k0 + 1 + 4 * half)
+                r2 = jnp.sqrt(-2.0 * jnp.log(draw(t2, noise_k0 + 2 + 4 * half)))
+                a2 = _TWO_PI * draw(t2, noise_k0 + 3 + 4 * half)
                 nz = (r1 * jnp.cos(a1), r1 * jnp.sin(a1),
                       r2 * jnp.cos(a2), r2 * jnp.sin(a2))
             else:
                 nz = None
-            st = _one_bar(
-                st, t_i, z_pair[half], zv_pair[half],
-                draw(t2, 4 + 3 * half), draw(t2, 5 + 3 * half),
-                draw(t2, 6 + 3 * half), nz,
-            )
+            if bootstrap:
+                st = _one_bar(st, t_i, z_pair[half], None, None, None,
+                              ties[half], nz)
+            else:
+                st = _one_bar(
+                    st, t_i, z_pair[half], zv_pair[half],
+                    draw(t2, 4 + 3 * half), draw(t2, 5 + 3 * half),
+                    draw(t2, 6 + 3 * half), nz,
+                )
         return st
 
     def _one_bar(st, t_i, z, zv, u3, u4, tie, nz):
@@ -232,35 +294,88 @@ def _engine_lifecycle_loop(
          last_dir, equity, peak, dd, trades, wins, losses, escal,
          c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
          run_low, run_high, box_low, box_high, box_valid, regime,
-         inside_cnt, ring_v, ring_c, skips) = st
+         inside_cnt, ring_v, ring_c, skips, hstate) = st
+        if harvest:
+            pend_mlb, pend_polb, pend_x1, pend_x6 = hstate[:4]
+            hm = list(hstate[4:4 + 2 * HV.ML_BUCKETS])
+            off = 4 + 2 * HV.ML_BUCKETS
+            hp_cnt = list(hstate[off:off + 2 * HV.POL_BUCKETS])
+            hp_x1 = list(hstate[off + 2 * HV.POL_BUCKETS:
+                                off + 4 * HV.POL_BUCKETS])
+            hp_x6 = list(hstate[off + 4 * HV.POL_BUCKETS:
+                                off + 6 * HV.POL_BUCKETS])
         t_f = t_i.astype(jnp.float32)
         now_ms = t_f * 60000.0
         # bars held by the rings during entry eval: 0..t-1 (stage D pushes t)
         n_hist = t_f   # == min(t, ring) for every window that matters (<= 20)
 
-        # ---- generate this bar (streaming GBM + bridge extremes + volume) --
-        incr = drift + sig_dt * z
-        log_open = log_s
-        log_close = log_s + incr
-        c = jnp.exp(log_close)
-        sig2dt = sig_dt * sig_dt
-        d2 = (log_close - log_open) ** 2
-        h = jnp.exp(0.5 * (log_open + log_close
-                           + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
-        low = jnp.exp(0.5 * (log_open + log_close
-                             - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
-        # VolumeModel.volumes (ops/pathgen.py:75-94) per bar
-        m_min = jnp.mod(jnp.float32(vm_open) + t_f, jnp.float32(vm_day))
-        x_u = 2.0 * m_min / jnp.float32(max(vm_day - 1, 1)) - 1.0
-        ushape = 1.0 + jnp.float32(vm_uamp) * (x_u * x_u - jnp.float32(1.0 / 3.0))
-        vnoise = jnp.exp(jnp.float32(vm_sigma) * zv
-                         - 0.5 * jnp.float32(vm_sigma) * jnp.float32(vm_sigma))
-        v = jnp.float32(vm_base) * ushape * vnoise
-        if vm_rc != 0.0:
-            v = v * (1.0 + jnp.float32(vm_rc) * ((jnp.abs(z) - vm_mean_abs)
-                                                 / vm_sd_abs))
-        v = jnp.maximum(v, jnp.float32(0.05 * vm_base))
+        if bootstrap:
+            # ---- resample one RECORDED bar (relative geometry, :3353) ----
+            hf = jnp.float32(hist_len)
+            idx_f = jnp.minimum(jnp.floor(z * hf), hf - 1.0)
+            logc_t = _hist_gather(0, idx_f)
+            logh_t = _hist_gather(1, idx_f)
+            logl_t = _hist_gather(2, idx_f)
+            log_close = log_s + logc_t
+            c = jnp.exp(log_close)
+            h = jnp.exp(log_s + logh_t)
+            low = jnp.exp(log_s + logl_t)
+            v = _hist_gather(4, idx_f)      # REAL recorded volume
+        else:
+            # ---- generate this bar (streaming GBM + bridge + volume) ----
+            incr = drift + sig_dt * z
+            log_open = log_s
+            log_close = log_s + incr
+            c = jnp.exp(log_close)
+            sig2dt = sig_dt * sig_dt
+            d2 = (log_close - log_open) ** 2
+            h = jnp.exp(0.5 * (log_open + log_close
+                               + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
+            low = jnp.exp(0.5 * (log_open + log_close
+                                 - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
+            # VolumeModel.volumes (ops/pathgen.py:75-94) per bar
+            m_min = jnp.mod(jnp.float32(vm_open) + t_f, jnp.float32(vm_day))
+            x_u = 2.0 * m_min / jnp.float32(max(vm_day - 1, 1)) - 1.0
+            ushape = 1.0 + jnp.float32(vm_uamp) * (x_u * x_u
+                                                   - jnp.float32(1.0 / 3.0))
+            vnoise = jnp.exp(jnp.float32(vm_sigma) * zv
+                             - 0.5 * jnp.float32(vm_sigma) * jnp.float32(vm_sigma))
+            v = jnp.float32(vm_base) * ushape * vnoise
+            if vm_rc != 0.0:
+                v = v * (1.0 + jnp.float32(vm_rc) * ((jnp.abs(z) - vm_mean_abs)
+                                                     / vm_sd_abs))
+            v = jnp.maximum(v, jnp.float32(0.05 * vm_base))
 
+
+        if gen_only:
+            # roofline stage split (benchmarks/engine_kernel_bench.py
+            # --stage-split): consume the generated bar, skip the engine.
+            # equity's dependency chain keeps generation + accumulation live.
+            equity = equity + (c - h) + (low - c) * 0.5 + v * 1e-12
+            return (log_close, c, side, entry, stop, target, risk0,
+                    cooldown_until, last_dir, equity, peak, dd, trades, wins,
+                    losses, escal, c_counts, c_latch, tm_cnt, tm_ts, tm_px,
+                    tap_ts, tap_ratio, run_low, run_high, box_low, box_high,
+                    box_valid, regime, inside_cnt, ring_v, ring_c, skips,
+                    hstate)
+
+        # ---- nearest-level scan at the close (shared by stage B's
+        # escalation check and gate 6 — one pass instead of two) ----------
+        inf = jnp.float32(_BIG)
+        best_d = jnp.full((s, b), inf, jnp.float32)
+        best_p = zero
+        best_k = zero
+        best_i = zero
+        lvl_dist = []
+        for i in range(max_levels):
+            lp, lv, lk = lvl[i]
+            d_i = jnp.where(lv > 0, jnp.abs(c - lp), inf)
+            lvl_dist.append(d_i)
+            take = d_i < best_d
+            best_p = jnp.where(take, lp, best_p)
+            best_k = jnp.where(take, lk, best_k)
+            best_i = jnp.where(take, jnp.float32(i), best_i)
+            best_d = jnp.where(take, d_i, best_d)
 
         # ---- B) position management (enginepath step, :2966-3014) ----------
         is_open = side != 0.0
@@ -284,7 +399,8 @@ def _engine_lifecycle_loop(
         if escalation:
             esc_go, esc_tgt, esc_trail = _escalation(
                 side=side, is_long=is_long, entry=entry, c=c,
-                ring_c=ring_c, ring_v=ring_v, n_hist=n_hist)
+                ring_c=ring_c, ring_v=ring_v, n_hist=n_hist,
+                bp=best_p, bd=best_d)
             near_target = jnp.abs(c - target) <= prox
             escalate = jnp.logical_and(
                 jnp.logical_and(jnp.logical_and(hit, target_first), near_target),
@@ -302,6 +418,26 @@ def _engine_lifecycle_loop(
         dd = jnp.maximum(dd, peak - equity)
         wins = wins + jnp.logical_and(closed, pnl > 0).astype(jnp.float32)
         losses = losses + jnp.logical_and(closed, pnl <= 0).astype(jnp.float32)
+        if harvest:
+            # label by pnl sign at close (:1934-1945); entry-time buckets
+            # latched in pend_* tiles.  One shared bucket-compare per bucket
+            # feeds both label masks.
+            pos_f = jnp.logical_and(closed, pnl > 0).astype(jnp.float32)
+            neg_f = closed_f - pos_f
+            for bb in range(HV.ML_BUCKETS):
+                ind = (pend_mlb == jnp.float32(bb)).astype(jnp.float32)
+                hm[2 * bb] = hm[2 * bb] + ind * neg_f
+                hm[2 * bb + 1] = hm[2 * bb + 1] + ind * pos_f
+            for bb in range(HV.POL_BUCKETS):
+                ind = (pend_polb == jnp.float32(bb)).astype(jnp.float32)
+                ind_n = ind * neg_f
+                ind_p = ind * pos_f
+                hp_cnt[2 * bb] = hp_cnt[2 * bb] + ind_n
+                hp_cnt[2 * bb + 1] = hp_cnt[2 * bb + 1] + ind_p
+                hp_x1[2 * bb] = hp_x1[2 * bb] + ind_n * pend_x1
+                hp_x1[2 * bb + 1] = hp_x1[2 * bb + 1] + ind_p * pend_x1
+                hp_x6[2 * bb] = hp_x6[2 * bb] + ind_n * pend_x6
+                hp_x6[2 * bb + 1] = hp_x6[2 * bb + 1] + ind_p * pend_x6
         if escalation:
             stop = jnp.where(escalate, esc_trail, stop)
             target = jnp.where(escalate, esc_tgt, target)
@@ -330,20 +466,7 @@ def _engine_lifecycle_loop(
         direction = jnp.where(up, 1.0, jnp.where(down, -1.0, last_dir))
         direction = direction * t_pos.astype(jnp.float32)  # t=0 → UNKNOWN
         reason = first_fail(reason, direction == 0.0, Reason.DIR_UNKNOWN)
-        # 6) nearest level (first-min tie-break) / TOO_FAR
-        inf = jnp.float32(_BIG)
-        best_d = jnp.full((s, b), inf, jnp.float32)
-        best_p = zero
-        best_k = zero
-        best_i = zero
-        for i in range(max_levels):
-            lp, lv, lk = lvl[i]
-            d = jnp.where(lv > 0, jnp.abs(c - lp), inf)
-            take = d < best_d
-            best_p = jnp.where(take, lp, best_p)
-            best_k = jnp.where(take, lk, best_k)
-            best_i = jnp.where(take, jnp.float32(i), best_i)
-            best_d = jnp.where(take, d, best_d)
+        # 6) nearest level (first-min tie-break, hoisted scan) / TOO_FAR
         reason = first_fail(reason, best_d > prox, Reason.TOO_FAR)
 
         # 7) contact latch + LEVEL_OVERTOUCHED (:1557-1587); mutates exactly
@@ -356,8 +479,7 @@ def _engine_lifecycle_loop(
             lp, lv, _ = lvl[i]
             oh = (best_i == jnp.float32(i)).astype(jnp.float32)
             ohs.append(oh)
-            d_i = jnp.where(lv > 0, jnp.abs(lp - c), inf)
-            inside = d_i <= prox
+            inside = lvl_dist[i] <= prox
             is_near = oh > 0.0
             latch_b = c_latch[i] > 0.0
             fresh = jnp.logical_and(
@@ -446,7 +568,11 @@ def _engine_lifecycle_loop(
 
         # 10) soft volume veto (:1773-1794); slope over the last 6 volumes
         vslope = _volume_slope6(ring_v, n_hist)
-        confl_veto = _confluence_count(best_p, confl_within) >= 2.0
+        confl_d = []
+        for i in range(max_levels):
+            lp, lv, _ = lvl[i]
+            confl_d.append((jnp.abs(lp - best_p), lv))
+        confl_veto = _confluence_thresh(confl_d, confl_within) >= 2.0
         weak = jnp.logical_and(jnp.abs(vslope) < 0.05,
                                jnp.logical_not(confl_veto))
         near_v = best_d <= jnp.maximum(veto_prox, prox * 0.12)
@@ -493,7 +619,7 @@ def _engine_lifecycle_loop(
 
         # 12) OnlinePolicy two-head gate (:3046-3112); features :308-331
         x1 = jnp.minimum(1.0, best_d)
-        confl_pol = (_confluence_count(best_p, jnp.float32(0.6)) > 1.0
+        confl_pol = (_confluence_thresh(confl_d, jnp.float32(0.6)) > 1.0
                      ).astype(jnp.float32)
         x6 = jnp.minimum(1.0, (bar0_minute + t_f) / 390.0)
         glf = go_long.astype(jnp.float32)
@@ -541,6 +667,14 @@ def _engine_lifecycle_loop(
         target = jnp.where(enter, tgt_new, target)
         risk0 = jnp.where(enter, jnp.abs(fill - stop_new), risk0)
         trades = trades + enter_f
+        if harvest:
+            mlb_new = (jnp.minimum(tc, jnp.float32(HV.TC_CAP - 1)) * 4.0
+                       + best_k * 2.0 + glf)
+            polb_new = glf * 2.0 + confl_pol
+            pend_mlb = jnp.where(enter, mlb_new, pend_mlb)
+            pend_polb = jnp.where(enter, polb_new, pend_polb)
+            pend_x1 = jnp.where(enter, x1, pend_x1)
+            pend_x6 = jnp.where(enter, x6, pend_x6)
 
         # direction state (:2952-2955): exact != (no eps band)
         moved = jnp.logical_and(t_pos, c != prev_c)
@@ -554,10 +688,21 @@ def _engine_lifecycle_loop(
         # minute-close MAs (denominator max(1, min(k, n)), :1827)
         vol_ma_s = _ring_tail_mean(ring_v, n_after, 5)
         vol_ma_l = _ring_tail_mean(ring_v, n_after, VOL_RING)
-        # guard push (:1268-1339): window == all bars (num_bars <= 61)
-        run_low = jnp.minimum(run_low, low)
-        run_high = jnp.maximum(run_high, h)
-        box_height = run_high - run_low
+        # guard push (:1268-1339): running box == the 60-min window while
+        # num_bars <= 61; longer horizons shift the 61-slot extreme rings and
+        # take the windowed extremes (sentinels on unfilled slots are min/max
+        # identities, so the young-window case needs no masking)
+        if windowed_guard:
+            run_low = ring_push(run_low, low)
+            run_high = ring_push(run_high, h)
+            win_low = _ring_fold(run_low, jnp.minimum)
+            win_high = _ring_fold(run_high, jnp.maximum)
+        else:
+            run_low = jnp.minimum(run_low, low)
+            run_high = jnp.maximum(run_high, h)
+            win_low = run_low
+            win_high = run_high
+        box_height = win_high - win_low
         compress_thresh = c * (g_comp_bp / 10000.0)
         gma_s, s_def = _guard_win_mean(ring_v, n_after, 5)
         gma_l, l_def = _guard_win_mean(ring_v, n_after, VOL_RING)
@@ -571,8 +716,8 @@ def _engine_lifecycle_loop(
             in_breakout, regime,
             jnp.where(compressed, jnp.float32(G.REGIME_ACCUMULATION),
                       jnp.float32(G.REGIME_UNKNOWN)))
-        box_low = jnp.where(compressed, run_low, box_low)
-        box_high = jnp.where(compressed, run_high, box_high)
+        box_low = jnp.where(compressed, win_low, box_low)
+        box_high = jnp.where(compressed, win_high, box_high)
         box_valid = jnp.maximum(box_valid, compressed.astype(jnp.float32))
         spike = jnp.logical_and(mas_ok, gma_s > g_vol_k * gma_l)
         can_check = jnp.logical_and(box_valid > 0.5, mas_ok)
@@ -663,19 +808,55 @@ def _engine_lifecycle_loop(
         tap_ts = tuple(jnp.where(breakout, _NEVER, x) for x in tap_ts2)
         tap_ratio = tuple(x * keep for x in tap_ratio2)
 
+        hstate = ((pend_mlb, pend_polb, pend_x1, pend_x6)
+                  + tuple(hm) + tuple(hp_cnt) + tuple(hp_x1) + tuple(hp_x6)
+                  ) if harvest else hstate
         return (log_close, c, side, entry, stop, target, risk0, cooldown_until,
                 last_dir, equity, peak, dd, trades, wins, losses, escal,
                 c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
                 run_low, run_high, box_low, box_high, box_valid, regime,
-                inside_cnt, ring_v, ring_c, skips)
+                inside_cnt, ring_v, ring_c, skips, hstate)
 
-    def _confluence_count(anchor, within):
+    def _confluence_thresh(confl_d, within):
         cnt = zero
-        for i in range(max_levels):
-            lp, lv, _ = lvl[i]
-            near = jnp.logical_and(jnp.abs(lp - anchor) <= within, lv > 0)
+        for d_i, lv in confl_d:
+            near = jnp.logical_and(d_i <= within, lv > 0)
             cnt = cnt + near.astype(jnp.float32)
         return cnt
+
+    def _hist_gather(ch, idx_f):
+        """Per-lane gather of channel ``ch`` of the recorded-bar tables at
+        (f32 small-int exact) indices ``idx_f``.  Mosaic's ``dynamic_gather``
+        requires the SOURCE to span one vreg along the gather (lane) axis, so
+        both the table and the index tile are processed in 128-lane chunks:
+        every (8, 128) index chunk gathers from every (8, 128) table chunk,
+        range-selected by arithmetic blend, and the outputs concatenate back
+        to (8, lanes)."""
+        idx = idx_f.astype(jnp.int32)
+        cols = []
+        for j in range(lanes // 128):
+            idx_j = idx[:, 128 * j:128 * (j + 1)]
+            acc = jnp.zeros((s, 128), jnp.float32)
+            for ti in range(h_tiles):
+                local = idx_j - jnp.int32(128 * ti)
+                in_r = jnp.logical_and(local >= 0, local < 128)
+                li = jnp.clip(local, 0, 127)
+                g = jnp.take_along_axis(get_hist_tile(ch, ti), li, axis=1)
+                acc = acc + g * in_r.astype(jnp.float32)
+            cols.append(acc)
+        return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+    def _ring_fold(ring, op):
+        """Elementwise fold of every (8, lanes) slot of a stacked ring with a
+        balanced tree (log-depth dependency chain for the VPU)."""
+        vals = [ring_slot(ring, j) for j in range(ring.shape[0] // s)]
+        while len(vals) > 1:
+            nxt = [op(vals[i], vals[i + 1])
+                   for i in range(0, len(vals) - 1, 2)]
+            if len(vals) % 2:
+                nxt.append(vals[-1])
+            vals = nxt
+        return vals[0]
 
     def _ring_tail_mean(ring, n_bars, k):
         """_on_minute_close MA (:1827): mean of newest min(k, n) slots with
@@ -723,19 +904,13 @@ def _engine_lifecycle_loop(
         # scalar-predicate select as a blend (see _guard_win_mean note)
         return slope * (n >= 3.0).astype(jnp.float32)
 
-    def _escalation(*, side, is_long, entry, c, ring_c, ring_v, n_hist):
-        """should_escalate_on_target (:897-960) on the pre-push rings."""
+    def _escalation(*, side, is_long, entry, c, ring_c, ring_v, n_hist,
+                    bp, bd):
+        """should_escalate_on_target (:897-960) on the pre-push rings;
+        ``bp``/``bd`` are the bar's shared nearest-level scan (the live loop
+        evaluates both at the same close price)."""
         pw = jnp.float32(0.35)       # PROXIMITY_WINDOW (:704-718)
-        # nearest level to the CURRENT price (should_exit :754-895)
         inf = jnp.float32(_BIG)
-        bd = jnp.full((s, b), inf, jnp.float32)
-        bp = zero
-        for i in range(max_levels):
-            lp, lv, _ = lvl[i]
-            d = jnp.where(lv > 0, jnp.abs(c - lp), inf)
-            take = d < bd
-            bp = jnp.where(take, lp, bp)
-            bd = jnp.where(take, d, bd)
         near = bd <= pw
         # approach: last two ring closes (infer_approach :554-565)
         p2 = ring_slot(ring_c, 0)
@@ -826,16 +1001,40 @@ def _engine_lifecycle_loop(
         return go, nxt, trail
 
     final = jax.lax.fori_loop(0, num_bars // 2, body, init)
+    if num_bars % 2:
+        # final half step: first Box-Muller branch of one extra draw block
+        t2 = jnp.int32(num_bars // 2)
+        nk0 = 4 if bootstrap else 10
+        if noise is not None:
+            r1 = jnp.sqrt(-2.0 * jnp.log(draw(t2, nk0)))
+            a1 = _TWO_PI * draw(t2, nk0 + 1)
+            r2 = jnp.sqrt(-2.0 * jnp.log(draw(t2, nk0 + 2)))
+            a2 = _TWO_PI * draw(t2, nk0 + 3)
+            nz_last = (r1 * jnp.cos(a1), r1 * jnp.sin(a1),
+                       r2 * jnp.cos(a2), r2 * jnp.sin(a2))
+        else:
+            nz_last = None
+        if bootstrap:
+            final = _one_bar(final, jnp.int32(num_bars - 1), draw(t2, 0),
+                             None, None, None, draw(t2, 2), nz_last)
+        else:
+            z_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 0))) * jnp.cos(
+                _TWO_PI * draw(t2, 1))
+            zv_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 2))) * jnp.cos(
+                _TWO_PI * draw(t2, 3))
+            final = _one_bar(final, jnp.int32(num_bars - 1), z_last, zv_last,
+                             draw(t2, 4), draw(t2, 5), draw(t2, 6), nz_last)
     (_, _, side, _, _, _, _, _, _, equity, _, dd, trades, wins, losses, escal,
      *_rest) = final
-    skips = final[-1]
-    return side, equity, dd, trades, wins, losses, escal, skips
+    skips = final[-2]
+    hstate = final[-1][4:] if harvest else ()   # tally tiles (pend_* dropped)
+    return side, equity, dd, trades, wins, losses, escal, skips, hstate
 
 
 def _engine_accumulate(acc_ref, pre: tuple, final, *, n_paths: int) -> None:
     """Fold one block's final engine state into accumulator rows at prefix
     ``pre`` (``()`` single-config, ``(g,)`` per-grid-row for the sweep)."""
-    side, equity, dd, trades, wins, losses, escal, skips = final
+    side, equity, dd, trades, wins, losses, escal, skips, hstate = final
 
     def row(k):
         return pre + (slice(k, k + 1), slice(None))
@@ -876,6 +1075,14 @@ def _engine_accumulate(acc_ref, pre: tuple, final, *, n_paths: int) -> None:
     kvec = kvec + jnp.where(col == len(skips), jnp.sum(escal), 0.0)
     acc_ref[row(ROW_SKIP)] += kvec
 
+    if hstate:
+        # learning-flywheel harvest: one packed (1, 128) '+'-combine row,
+        # models/harvest.py layout (64 ml counts, then pol counts/Σx1/Σx6)
+        hvec = jnp.zeros((1, 128), jnp.float32)
+        for k, tile in enumerate(hstate):
+            hvec = hvec + jnp.where(col == k, jnp.sum(tile), 0.0)
+        acc_ref[row(ROW_HARVEST)] += hvec
+
 
 def _engine_kernel(
     seed_ref,          # SMEM (1,1) i32
@@ -887,7 +1094,8 @@ def _engine_kernel(
     level_price_ref,   # VMEM (L, 128) f32
     level_valid_ref,   # VMEM (L, 128) f32
     level_kind_ref,    # VMEM (L, 128) f32
-    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    *refs,             # [hist_ref (bootstrap)], [u_ref (external rng,
+                       # interpret tests only)], acc_ref
     num_bars: int,
     s0: float,
     drift: float,
@@ -898,9 +1106,21 @@ def _engine_kernel(
     escalation: bool,
     external_rng: bool = False,
     use_noise: bool = False,
+    use_harvest: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
+    gen_only: bool = False,
 ):
     s, b = ENGINE_SUB, lanes
-    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    stride = _draw_stride(sampler, use_noise)
+    refs = list(refs)
+    if sampler == "bootstrap":
+        hist_ref = refs.pop(0)
+        hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
+                                        ti * 128:(ti + 1) * 128],
+                hist_len)
+    else:
+        hist = None
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -927,6 +1147,7 @@ def _engine_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(eng_ref[0, 17 + k] for k in range(4))
                if use_noise else None),
+        harvest=use_harvest, sampler=sampler, hist=hist, gen_only=gen_only,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -968,6 +1189,38 @@ def _pack_eng(params: EngineParams, policy_gate_disabled, bar0_minute,
         [jnp.broadcast_to(c.reshape(-1), (g,)) for c in cols], axis=1)
 
 
+def _pack_eng_sg(params: EngineParams, policy_gate_disabled, bar0_minute,
+                 n_sym: int, n_grid: int, noise=None):
+    """(S, G, ENG_COLS) knob slab for the sweep-of-universes kernel: every
+    EngineParams (and McNoise std) leaf may be a scalar (shared), a [G]
+    vector (shared grid), or an [S, G] matrix (per-symbol grids)."""
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    zero = jnp.float32(0.0)
+    cols = [
+        f32(params.contact_prox), f32(params.stop_padding),
+        f32(params.tp_padding), f32(params.q_min_prob),
+        f32(params.cooldown_s) * 1000.0, f32(params.enable_veto),
+        f32(params.veto_vol_strong), f32(params.veto_prox),
+        f32(params.disable_ml_gate), f32(params.use_blend),
+        f32(params.w_rules), f32(params.w_ml), f32(params.confluence_within),
+        f32(params.overtouch_limit), jnp.float32(bool(policy_gate_disabled)),
+        jnp.float32(int(bar0_minute)), jnp.float32(1.0),   # has_levels: per-sym
+        f32(noise.level_jitter_std) if noise is not None else zero,
+        f32(noise.entry_slip_std) if noise is not None else zero,
+        f32(noise.stop_slip_std) if noise is not None else zero,
+        f32(noise.target_slip_std) if noise is not None else zero,
+    ]
+
+    def sg(c):
+        if c.ndim == 0:
+            c = c.reshape(1, 1)
+        elif c.ndim == 1:
+            c = c.reshape(1, -1)
+        return jnp.broadcast_to(c, (n_sym, n_grid))
+
+    return jnp.stack([sg(c) for c in cols], axis=-1)   # (S, G, ENG_COLS)
+
+
 def _pack_shared(policy, ml_model, touch_params, guard_params):
     """The grid-invariant SMEM rows: ML model, policy entry head, touch
     params, guard params."""
@@ -992,7 +1245,7 @@ def _pack_shared(policy, ml_model, touch_params, guard_params):
     return mlv, polv, tmv, gdv
 
 
-def _unpack_acc_engine(acc, n_skip: int):
+def _unpack_acc_engine(acc, n_skip: int, harvest: bool = False):
     tot = acc[..., ROW_SUM, :]
     entered = tot[..., 1]
     mn = jnp.where(entered > 0, acc[..., ROW_MIN, 0], jnp.inf)
@@ -1008,6 +1261,10 @@ def _unpack_acc_engine(acc, n_skip: int):
     )
     skips = acc[..., ROW_SKIP, :n_skip]
     escal = acc[..., ROW_SKIP, n_skip]
+    if harvest:
+        hv = HV.EngineHarvest.from_acc_row(
+            acc[..., ROW_HARVEST, :HV.HARVEST_COLS])
+        return stats, skips, escal, hv
     return stats, skips, escal
 
 
@@ -1032,14 +1289,21 @@ def mc_paths_pallas_engine(
     bar0_minute: int = 0,
     volume_model: VolumeModel | None = None,
     noise=None,               # montecarlo.McNoise — per-entry execution noise
+    harvest: bool = False,    # collect flywheel label stats (models/harvest.py)
+    sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
+    hist_bars=None,           # PathBars-like 1-D o/h/l/c/v history (bootstrap)
+    gen_only: bool = False,   # roofline mode: generate bars, skip the engine
     interpret=False,
-    external_uniforms=None,   # f32[n_blocks, 5*num_bars (9* with noise), 8, lanes]
+    external_uniforms=None,   # f32[n_blocks, stride*ceil(num_bars/2), 8, lanes]
 ):
     """Fused-kernel FULL-ENGINE MC: ``sim/enginepath.mc_paths_engine``'s
     lifecycle entirely on-chip, including the McNoise per-entry execution
     noise knobs.  Returns (PathStats, skip_counts[16], escalations) with the
     same semantics; hardware mode uses the per-core PRNG (statistical
-    agreement; exact parity under injected uniforms).
+    agreement; exact parity under injected uniforms).  ``harvest=True``
+    accumulates the closed-trade label statistics on-chip (entry-time
+    ML/policy bucket tallies in extra state tiles, reduced into accumulator
+    row ROW_HARVEST) and returns a 4-tuple ending in the ``EngineHarvest``.
 
     Kernel-specialized constants (validated here, outside jit): the guard's
     5/20-bar volume MAs and the 3-hit edge-fatigue stack are compiled in, so
@@ -1060,41 +1324,60 @@ def mc_paths_pallas_engine(
     block = ENGINE_SUB * lanes
     if num_paths % block != 0:
         raise ValueError(f"num_paths must be a multiple of {block}")
-    if num_bars % 2 != 0:
-        raise ValueError("num_bars must be even (paired Box-Muller draws)")
-    if num_bars > GUARD_WINDOW_BARS:
+    if levels.max_levels > MAX_KERNEL_LEVELS:
         raise ValueError(
-            f"engine kernel supports num_bars <= {GUARD_WINDOW_BARS} (the "
-            "60-min guard box covers every bar); longer horizons stream "
-            "through sim/enginepath.mc_paths_engine")
-    if levels.max_levels > 8:
-        raise ValueError("pallas engine kernel supports up to 8 level slots")
+            f"pallas engine kernel supports up to {MAX_KERNEL_LEVELS} level "
+            "slots (the reference's recovered 30-level session fits)")
     if int(touch_params.fatigue_hits) != TAP_SLOTS:
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars (recorded "
+                         "o/h/l/c/v history)")
     return _engine_impl(
         seed, levels, params, policy, ml_model, touch_params, guard_params,
-        noise, external_uniforms,
+        noise, hist_bars, external_uniforms,
         num_paths=num_paths, num_bars=num_bars, s0=s0, mu=mu, sigma=sigma,
         dt=dt, lanes=lanes,
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, interpret=interpret,
+        volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
+        gen_only=bool(gen_only), interpret=interpret,
     )
+
+
+def _hist_slab(hist_bars, lanes: int):
+    """Stack the bootstrap tables into a (HIST_CHANNELS*8, h_tiles*128) VMEM
+    slab: each channel row sublane-broadcast so every (8, 128) chunk is a
+    direct ``take_along_axis`` operand (Mosaic dynamic_gather needs a
+    one-vreg-wide source along the gather axis)."""
+    from .pathgen import bootstrap_tables
+
+    tabs = bootstrap_tables(
+        hist_bars.open, hist_bars.high, hist_bars.low, hist_bars.close,
+        getattr(hist_bars, "volume", None))
+    h = tabs[0].shape[0]
+    hp = -(-h // 128) * 128
+    rows = [jnp.broadcast_to(jnp.pad(t, (0, hp - h))[None, :], (8, hp))
+            for t in tabs]
+    return jnp.concatenate(rows, axis=0), h
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "interpret"),
+                     "policy_gate_disabled", "harvest", "sampler",
+                     "gen_only", "interpret"),
 )
 def _engine_impl(
     seed, levels, params, policy, ml_model, touch_params, guard_params,
-    noise, external_uniforms, *, num_paths, num_bars, s0, mu, sigma, dt,
-    lanes, policy_gate_disabled, escalation, bar0_minute, volume_model,
-    interpret,
+    noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
+    sigma, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
+    volume_model, harvest, sampler, gen_only, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1104,14 +1387,20 @@ def _engine_impl(
     sig_dt = sigma * float(np.sqrt(dt))
     external_rng = external_uniforms is not None
     use_noise = noise is not None
-    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    stride = _draw_stride(sampler, use_noise)
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
+    if sampler == "bootstrap":
+        hist, hist_len = _hist_slab(hist_bars, lanes)
+    else:
+        hist, hist_len = None, 0
     kernel = functools.partial(
         _engine_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, external_rng=external_rng, use_noise=use_noise,
+        use_harvest=harvest, sampler=sampler, hist_len=hist_len,
+        gen_only=gen_only,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, noise=noise)
@@ -1140,7 +1429,10 @@ def _engine_impl(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, stride * (num_bars // 2), ENGINE_SUB, lanes),
+            pl.BlockSpec(hist.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
+            pl.BlockSpec((1, stride * ((num_bars + 1) // 2), ENGINE_SUB, lanes),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -1148,10 +1440,11 @@ def _engine_impl(
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, eng, mlv, polv, tmv, gdv, lp, lv, lk)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 
-    return _unpack_acc_engine(acc, n_skip)
+    return _unpack_acc_engine(acc, n_skip, harvest=harvest)
 
 
 # --------------------------------------------------------------------------
@@ -1293,13 +1586,9 @@ def mc_paths_pallas_engine_sweep(
     block = ENGINE_SUB * lanes
     if num_paths % block != 0:
         raise ValueError(f"num_paths must be a multiple of {block}")
-    if num_bars % 2 != 0:
-        raise ValueError("num_bars must be even (paired Box-Muller draws)")
-    if num_bars > GUARD_WINDOW_BARS:
+    if levels.max_levels > MAX_KERNEL_LEVELS:
         raise ValueError(
-            f"engine sweep supports num_bars <= {GUARD_WINDOW_BARS}")
-    if levels.max_levels > 8:
-        raise ValueError("pallas engine sweep supports up to 8 level slots")
+            f"pallas engine sweep supports up to {MAX_KERNEL_LEVELS} level slots")
     if int(touch_params.fatigue_hits) != TAP_SLOTS:
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
@@ -1372,7 +1661,7 @@ def _engine_sweep_impl(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, stride * (num_bars // 2), ENGINE_SUB, lanes),
+            pl.BlockSpec((1, stride * ((num_bars + 1) // 2), ENGINE_SUB, lanes),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((n_grid, 8, 128), lambda i: (0, 0, 0),
@@ -1411,6 +1700,7 @@ def _engine_universe_kernel(
     escalation: bool,
     external_rng: bool = False,
     use_noise: bool = False,
+    use_harvest: bool = False,
 ):
     """Per-(symbol, block) FULL-ENGINE lifecycle: the shared streaming loop
     with the symbol's s0/sigma AND all 17 engine knobs (plus its own noise
@@ -1451,6 +1741,7 @@ def _engine_universe_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
                if use_noise else None),
+        harvest=use_harvest,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -1480,6 +1771,7 @@ def mc_paths_pallas_engine_universe(
     bar0_minute: int = 0,
     volume_model: VolumeModel | None = None,
     noise=None,               # McNoise; leaves may be [S] for per-symbol stds
+    harvest: bool = False,    # per-symbol flywheel label stats
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 5*num_bars (9* w/ noise), 8, lanes]
 ):
@@ -1487,7 +1779,9 @@ def mc_paths_pallas_engine_universe(
     symbol runs the complete 12-gate lifecycle with its own s0/sigma/levels
     AND its own engine knobs ([S]-leaved EngineParams — per-symbol paddings,
     thresholds, veto settings; ``noise`` likewise scalar or [S]-leaved).
-    Returns [S]-batched (PathStats, skips, escalations).  Same
+    Returns [S]-batched (PathStats, skips, escalations); with ``harvest=True``
+    a 4-tuple ending in the [S]-batched ``EngineHarvest`` (per-symbol labeled
+    trade statistics for the config-4 policy refresh).  Same
     kernel-specialized constants as ``mc_paths_pallas_engine``."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
@@ -1504,17 +1798,13 @@ def mc_paths_pallas_engine_universe(
     block = ENGINE_SUB * lanes
     if paths_per_symbol % block != 0:
         raise ValueError(f"paths_per_symbol must be a multiple of {block}")
-    if num_bars % 2 != 0:
-        raise ValueError("num_bars must be even (paired Box-Muller draws)")
-    if num_bars > GUARD_WINDOW_BARS:
-        raise ValueError(
-            f"engine universe supports num_bars <= {GUARD_WINDOW_BARS}")
     lv_price = jnp.asarray(levels.price)
     if lv_price.ndim != 2:
         raise ValueError("levels must be [S, L]-batched (parallel.universe."
                          "stack_levels)")
-    if lv_price.shape[1] > 8:
-        raise ValueError("pallas engine universe supports up to 8 level slots")
+    if lv_price.shape[1] > MAX_KERNEL_LEVELS:
+        raise ValueError(
+            f"pallas engine universe supports up to {MAX_KERNEL_LEVELS} level slots")
     if int(touch_params.fatigue_hits) != TAP_SLOTS:
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
@@ -1526,14 +1816,16 @@ def mc_paths_pallas_engine_universe(
         paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, interpret=interpret,
+        volume_model=volume_model, harvest=bool(harvest), interpret=interpret,
     )
 
 
 def _engine_universe_sweep_kernel(
     seed_ref,          # SMEM (1,1) i32
-    grid_ref,          # SMEM (G, ENG_COLS) f32 knob rows (_pack_eng layout;
-                       #   has_levels col 16 is overridden per symbol)
+    grid_ref,          # VMEM (1, G, 128) f32 — THIS symbol's knob-grid slab
+                       #   (_pack_eng layout cols 0..ENG_COLS-1; has_levels
+                       #   col 16 is overridden per symbol).  Per-symbol rows
+                       #   let each symbol sweep around its own calibration.
     ml_ref,            # SMEM (1,8) f32 (shared)
     pol_ref,           # SMEM (3,8) f32
     tm_ref,            # SMEM (1,8) f32
@@ -1555,7 +1847,9 @@ def _engine_universe_sweep_kernel(
 ):
     """Sweep-of-universes: per (symbol, block) grid step, every knob-grid row
     replays the symbol's identical uniform stream (PRNG re-seeded per row) —
-    an (S × G) decision surface from ONE launch, CRN within each symbol."""
+    an (S × G) decision surface from ONE launch, CRN within each symbol.
+    The grid slab is symbol-indexed, so [S, G]-leaved EngineParams give every
+    symbol its own knob rows (per-symbol calibration × grid, ROADMAP item)."""
     s, b = ENGINE_SUB, lanes
     stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
     s0 = sym_ref[0, 0, 0]
@@ -1594,14 +1888,15 @@ def _engine_universe_sweep_kernel(
             draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
                              level_kind_ref[0, i, 0]),
             num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0),
-            eng=tuple(grid_ref[g, k] for k in range(16)) + (sym_ref[0, 0, 2],),
+            eng=(tuple(grid_ref[0, g, k] for k in range(16))
+                 + (sym_ref[0, 0, 2],)),
             ml=tuple(ml_ref[0, k] for k in range(6)),
             pol_w=tuple(tuple(pol_ref[a, d] for d in range(POLICY_FEATURE_DIM))
                         for a in range(3)),
             tm=tuple(tm_ref[0, k] for k in range(7)),
             gd=tuple(gd_ref[0, k] for k in range(4)),
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
-            noise=(tuple(grid_ref[g, 17 + k] for k in range(4))
+            noise=(tuple(grid_ref[0, g, 17 + k] for k in range(4))
                    if use_noise else None),
         )
         _engine_accumulate(acc_ref, (0, g), final, n_paths=s * b)
@@ -1634,10 +1929,11 @@ def mc_paths_pallas_engine_universe_sweep(
     """(symbol × engine-knob-grid) FULL-ENGINE sweep in ONE kernel launch:
     every symbol runs with its own s0/sigma/levels, and every knob-grid row
     replays that symbol's identical uniform stream (CRN within each symbol).
-    Returns [S, G]-batched (PathStats, skips, escalations).  Per-symbol
-    engine knobs and the grid axis are mutually exclusive here — the grid
-    rows are shared across symbols (use ``mc_paths_pallas_engine_universe``
-    for per-symbol calibration)."""
+    Returns [S, G]-batched (PathStats, skips, escalations).
+
+    ``grid_params`` (and ``noise``) leaves may be scalars, [G] vectors (one
+    grid shared by all symbols) or [S, G] matrices — per-symbol knob grids,
+    so each symbol sweeps around its OWN calibration in the same launch."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
@@ -1651,27 +1947,25 @@ def mc_paths_pallas_engine_universe_sweep(
     if volume_model is None:
         volume_model = VolumeModel()
     if n_grid is None:
-        sizes = {np.asarray(x).shape[0]
+        sizes = {np.asarray(x).shape[-1]
                  for x in jax.tree_util.tree_leaves(grid_params)
-                 if np.asarray(x).ndim == 1}
+                 if np.asarray(x).ndim in (1, 2)}
         if len(sizes) != 1:
             raise ValueError(
-                "pass n_grid or give grid_params at least one [G] leaf "
-                f"(found sizes {sorted(sizes)})")
+                "pass n_grid or give grid_params at least one [G] or [S, G] "
+                f"leaf (found sizes {sorted(sizes)})")
         (n_grid,) = sizes
     block = ENGINE_SUB * lanes
     if paths_per_symbol % block != 0:
         raise ValueError(f"paths_per_symbol must be a multiple of {block}")
-    if num_bars % 2 != 0:
-        raise ValueError("num_bars must be even (paired Box-Muller draws)")
-    if num_bars > GUARD_WINDOW_BARS:
-        raise ValueError(
-            f"engine universe sweep supports num_bars <= {GUARD_WINDOW_BARS}")
     lv_price = jnp.asarray(levels.price)
     if lv_price.ndim != 2:
         raise ValueError("levels must be [S, L]-batched")
-    if lv_price.shape[1] > 8:
-        raise ValueError("supports up to 8 level slots")
+    for x in jax.tree_util.tree_leaves(grid_params):
+        if np.asarray(x).ndim == 2 and np.asarray(x).shape[0] != lv_price.shape[0]:
+            raise ValueError("[S, G] grid leaves must match the symbol count")
+    if lv_price.shape[1] > MAX_KERNEL_LEVELS:
+        raise ValueError(f"supports up to {MAX_KERNEL_LEVELS} level slots")
     if int(touch_params.fatigue_hits) != TAP_SLOTS:
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
@@ -1716,8 +2010,9 @@ def _engine_universe_sweep_impl(
         max_levels=n_lv, lanes=lanes, vm=vm, escalation=escalation,
         n_grid=n_grid, external_rng=external_rng, use_noise=use_noise,
     )
-    grid = _pack_eng(grid_params, policy_gate_disabled, bar0_minute,
-                     jnp.float32(1.0), g=n_grid, noise=noise)
+    grid = _pack_eng_sg(grid_params, policy_gate_disabled, bar0_minute,
+                        n_sym, n_grid, noise=noise)      # (S, G, ENG_COLS)
+    grid = jnp.pad(grid, ((0, 0), (0, 0), (0, 128 - ENG_COLS)))
     sym = jnp.stack([
         jnp.broadcast_to(s0.reshape(-1), (n_sym,)),
         jnp.broadcast_to(sigma.reshape(-1), (n_sym,)),
@@ -1737,8 +2032,8 @@ def _engine_universe_sweep_impl(
         in_specs=[
             pl.BlockSpec((1, 1), lambda si, bi: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_grid, ENG_COLS), lambda si, bi: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_grid, 128), lambda si, bi: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda si, bi: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((3, 8), lambda si, bi: (0, 0),
@@ -1756,7 +2051,8 @@ def _engine_universe_sweep_impl(
             pl.BlockSpec((1, n_lv, 128), lambda si, bi: (si, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 1, stride * (num_bars // 2), ENGINE_SUB, lanes),
+            pl.BlockSpec((1, 1, stride * ((num_bars + 1) // 2), ENGINE_SUB,
+                          lanes),
                          lambda si, bi: (si, bi, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         ] if external_rng else []),
@@ -1776,13 +2072,13 @@ def _engine_universe_sweep_impl(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "interpret"),
+                     "policy_gate_disabled", "harvest", "interpret"),
 )
 def _engine_universe_impl(
     seed, levels, params, s0, sigma, policy, ml_model, touch_params,
     guard_params, noise, external_uniforms, *, paths_per_symbol, num_bars,
     dt, lanes, policy_gate_disabled, escalation, bar0_minute, volume_model,
-    interpret,
+    harvest, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -1798,7 +2094,7 @@ def _engine_universe_impl(
     kernel = functools.partial(
         _engine_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         lanes=lanes, vm=vm, escalation=escalation, external_rng=external_rng,
-        use_noise=use_noise,
+        use_noise=use_noise, use_harvest=harvest,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, g=n_sym, noise=noise)   # (S, ENG_COLS)
@@ -1838,7 +2134,7 @@ def _engine_universe_impl(
             pl.BlockSpec((1, n_lv, 128), lambda si, bi: (si, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 1, stride * (num_bars // 2), ENGINE_SUB,
+            pl.BlockSpec((1, 1, stride * ((num_bars + 1) // 2), ENGINE_SUB,
                           lanes),
                          lambda si, bi: (si, bi, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -1851,4 +2147,4 @@ def _engine_universe_impl(
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 
-    return _unpack_acc_engine(acc, n_skip)
+    return _unpack_acc_engine(acc, n_skip, harvest=harvest)

@@ -151,6 +151,54 @@ def _gbm_block(draw: Callable, *, w: int, b: int, drift, sig_dt, log_s0) -> _Bar
     return _Bars(opens=opens, close=close, high=high, low=low)
 
 
+def _bootstrap_block(draw_idx, hist_row, *, w: int, b: int, hist_len: int,
+                     log_s0) -> _Bars:
+    """Recorded-bar resampling (the reference MC walks recorded bars,
+    qmmx_monolithic.py:3353-3538; scaled analog ops/pathgen.bootstrap_paths):
+    one uniform per (path, bar) → ``idx = floor(u·H)``; the four
+    relative-geometry channels gather by per-lane ``take_along_axis`` over
+    lane-tiled tables; the log-return cumsum rides the MXU tril matmul like
+    the GBM block.  ``hist_row(ch, off, width)`` yields a (1, width) slice of
+    channel ``ch``'s padded table."""
+    u = draw_idx()                              # (w, b)
+    hf = jnp.float32(hist_len)
+    idx_f = jnp.minimum(jnp.floor(u * hf), hf - 1.0)
+    idx = idx_f.astype(jnp.int32)
+    h_tiles = -(-hist_len // 128)
+
+    def gather(ch):
+        # Mosaic dynamic_gather wants a one-vreg-wide source along the lane
+        # axis: gather every (w, 128) index chunk from every (w, 128) table
+        # chunk, then concatenate the lane chunks back
+        cols = []
+        for j in range(b // 128):
+            idx_j = idx[:, 128 * j:128 * (j + 1)]
+            acc = jnp.zeros((w, 128), jnp.float32)
+            for ti in range(h_tiles):
+                tab = jnp.broadcast_to(hist_row(ch, ti * 128, 128), (w, 128))
+                local = idx_j - jnp.int32(ti * 128)
+                in_r = jnp.logical_and(local >= 0, local < 128)
+                li = jnp.clip(local, 0, 127)
+                g = jnp.take_along_axis(tab, li, axis=1)
+                acc = acc + g * in_r.astype(jnp.float32)
+            cols.append(acc)
+        return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+    logc = gather(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    tril = (col <= row).astype(jnp.float32)
+    log_rel = jnp.dot(tril, logc, preferred_element_type=jnp.float32)
+    log_close = log_s0 + log_rel
+    log_prev = log_close - logc
+    return _Bars(
+        opens=jnp.exp(log_prev + gather(3)),
+        close=jnp.exp(log_close),
+        high=jnp.exp(log_prev + gather(1)),
+        low=jnp.exp(log_prev + gather(2)),
+    )
+
+
 def _first_contact(
     bars: _Bars, get_level: Callable, max_levels: int, prox, *, w: int, b: int
 ) -> _Contact:
@@ -343,7 +391,7 @@ def _mc_kernel(
                        #                  lvl_jit, entry_slip, stop_slip, tgt_slip]
     level_price_ref,   # VMEM (L, 128) f32 (row-broadcast level prices)
     level_valid_ref,   # VMEM (L, 128) f32 (1/0)
-    *refs,             # [u_ref (external rng only)], acc_ref
+    *refs,             # [hist_ref (bootstrap)], [u_ref (external rng)], acc_ref
     num_bars: int,
     s0: float,
     drift: float,
@@ -352,15 +400,22 @@ def _mc_kernel(
     lanes: int = SINGLE_LANES,
     external_rng: bool = False,
     use_noise: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
 ):
     w, b = num_bars, lanes
-    # uniform layout: u1/u2 are (w//2) rows each (paired Box-Muller), u3/u4
-    # full (w) rows, tie one row → 3w+1 rows total; with noise, four more
-    # single rows (two Box-Muller pairs → the four per-path execution-noise
-    # normals) → 3w+5
-    offs = (0, w // 2, w, 2 * w, 3 * w, 3 * w + 1, 3 * w + 2, 3 * w + 3,
-            3 * w + 4)
-    lens = (w // 2, w // 2, w, w, 1, 1, 1, 1, 1)
+    if sampler == "bootstrap":
+        # uniform layout: u_idx w rows, tie one row (+4 noise rows)
+        offs = (0, None, None, None, w, w + 1, w + 2, w + 3, w + 4)
+        lens = (w, None, None, None, 1, 1, 1, 1, 1)
+    else:
+        # u1/u2 are (w//2) rows each (paired Box-Muller), u3/u4 full (w)
+        # rows, tie one row → 3w+1 rows; with noise, four more single rows
+        offs = (0, w // 2, w, 2 * w, 3 * w, 3 * w + 1, 3 * w + 2, 3 * w + 3,
+                3 * w + 4)
+        lens = (w // 2, w // 2, w, w, 1, 1, 1, 1, 1)
+    refs = list(refs)
+    hist_ref = refs.pop(0) if sampler == "bootstrap" else None
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -373,10 +428,17 @@ def _mc_kernel(
         def draw(k):
             return _uniform((lens[k], b))
 
-    bars = _gbm_block(
-        draw, w=w, b=b, drift=jnp.float32(drift), sig_dt=jnp.float32(sig_dt),
-        log_s0=jnp.float32(np.log(s0)),
-    )
+    if sampler == "bootstrap":
+        bars = _bootstrap_block(
+            lambda: draw(0),
+            lambda ch, off, width: hist_ref[ch:ch + 1, off:off + width],
+            w=w, b=b, hist_len=hist_len, log_s0=jnp.float32(np.log(s0)),
+        )
+    else:
+        bars = _gbm_block(
+            draw, w=w, b=b, drift=jnp.float32(drift),
+            sig_dt=jnp.float32(sig_dt), log_s0=jnp.float32(np.log(s0)),
+        )
     ct = _first_contact(
         bars, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0]),
         max_levels, knobs_ref[0, 0], w=w, b=b,
@@ -409,7 +471,7 @@ def _mc_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "lanes", "interpret"),
+                     "lanes", "sampler", "interpret"),
 )
 def mc_paths_pallas(
     seed,
@@ -424,22 +486,32 @@ def mc_paths_pallas(
     dt: float = 1.0 / (390.0 * 252.0),
     lanes: int = SINGLE_LANES,
     noise=None,               # montecarlo.McNoise — per-path execution noise
+    sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
+    hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 3*num_bars+1 (+4 with noise), lanes]
+                              # (bootstrap: num_bars+1 (+4) rows)
 ) -> PathStats:
-    """Fused-kernel GBM MC.  Same PathStats contract as sim.pathsim.mc_paths,
+    """Fused-kernel MC.  Same PathStats contract as sim.pathsim.mc_paths,
     including the McNoise execution-noise knobs (level jitter / entry slip /
     stop+target slip as per-path gaussians, qmmx_monolithic.py:3453-3461).
+    ``sampler="bootstrap"`` resamples RECORDED bar geometry in-VMEM
+    (ops/pathgen.bootstrap_paths's scaled analog — the reference MC walks
+    recorded bars, :3353-3538) instead of generating GBM.
 
     NOTE: the noise stream differs from the XLA pipeline (per-core hardware PRNG
     vs threefry), so results agree statistically, not bitwise.
     """
     if num_paths % lanes != 0:
         raise ValueError(f"num_paths must be a multiple of {lanes}")
-    if num_bars % 2 != 0:
+    if sampler == "gbm" and num_bars % 2 != 0:
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas kernel supports up to 8 level slots")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars")
     n_blocks = num_paths // lanes
 
     drift = (mu - 0.5 * sigma * sigma) * dt
@@ -447,7 +519,19 @@ def mc_paths_pallas(
 
     external_rng = external_uniforms is not None
     use_noise = noise is not None
-    n_rows = 3 * num_bars + 1 + (4 if use_noise else 0)
+    if sampler == "bootstrap":
+        n_rows = num_bars + 1 + (4 if use_noise else 0)
+        from .pathgen import bootstrap_tables
+
+        tabs = bootstrap_tables(hist_bars.open, hist_bars.high,
+                                hist_bars.low, hist_bars.close)
+        hist_len = int(tabs[0].shape[0])
+        hp = -(-hist_len // 128) * 128
+        hist = jnp.stack(
+            [jnp.pad(t, (0, hp - hist_len)) for t in tabs[:4]], axis=0)
+    else:
+        n_rows = 3 * num_bars + 1 + (4 if use_noise else 0)
+        hist, hist_len = None, 0
     kernel = functools.partial(
         _mc_kernel,
         num_bars=num_bars,
@@ -458,6 +542,8 @@ def mc_paths_pallas(
         lanes=lanes,
         external_rng=external_rng,
         use_noise=use_noise,
+        sampler=sampler,
+        hist_len=hist_len,
     )
     zero = jnp.float32(0.0)
     knobs = jnp.stack([
@@ -485,6 +571,9 @@ def mc_paths_pallas(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
+            pl.BlockSpec(hist.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
             pl.BlockSpec((1, n_rows, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         ] if external_rng else []),
@@ -492,6 +581,7 @@ def mc_paths_pallas(
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, knobs, lp, lv)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(external_uniforms, jnp.float32),) if external_rng else ())))
 
     return _unpack_acc(acc)

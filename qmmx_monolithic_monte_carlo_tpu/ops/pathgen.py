@@ -158,6 +158,23 @@ def gbm_paths(
     )
 
 
+def bootstrap_tables(hist_open, hist_high, hist_low, hist_close,
+                     hist_volume=None):
+    """Per-bar relative geometry of a recorded history, the shared precompute
+    of every bootstrap sampler (XLA and fused-kernel): log return vs prev
+    close plus log offsets of high/low/open vs prev close, and the REAL
+    per-bar volume.  Returns (logc, logh, logl, logo, vol), f32[H] each."""
+    hist_close = jnp.asarray(hist_close, jnp.float32)
+    prev_close = jnp.concatenate([hist_close[:1], hist_close[:-1]])
+    logc = jnp.log(hist_close / prev_close)
+    logh = jnp.log(jnp.asarray(hist_high, jnp.float32) / prev_close)
+    logl = jnp.log(jnp.asarray(hist_low, jnp.float32) / prev_close)
+    logo = jnp.log(jnp.asarray(hist_open, jnp.float32) / prev_close)
+    vol = (jnp.zeros_like(hist_close) if hist_volume is None
+           else jnp.asarray(hist_volume, jnp.float32))
+    return logc, logh, logl, logo, vol
+
+
 def bootstrap_paths(
     key: jax.Array,
     *,

@@ -81,7 +81,7 @@ def sharded_mc_paths(
         from ..sim.enginepath import _one_block_engine
 
         def one_block(key, b, **kw):
-            st, _skips, _esc = _one_block_engine(key, b, **kw)
+            st = _one_block_engine(key, b, **kw)[0]
             return st
 
         zero = pathsim.PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)

@@ -58,6 +58,7 @@ from ..config import EngineParams
 from ..engine import exits
 from ..engine.gates import _ml_allowed
 from ..engine.state import MlModel
+from ..models import harvest as HV
 from ..models import online_policy as OP
 from ..ops import confidence as C
 from ..ops import features as F
@@ -107,6 +108,8 @@ class EngineLifecycleOutcome:
     max_dd: jnp.ndarray       # f32 peak-tracked max drawdown in R (>= 0)
     escalations: jnp.ndarray  # i32 target rolls taken
     skip_counts: jnp.ndarray  # f32[len(SKIP_REASONS)] first-fail totals
+    harvest: HV.EngineHarvest | None = None  # closed-trade label statistics
+                              # (models/harvest.py), None unless harvest=True
 
 
 def engine_path_replay(
@@ -125,13 +128,19 @@ def engine_path_replay(
     noise=None,                  # montecarlo.McNoise
     noise_normals=None,          # f32[4, P, W]
     exit_at_close: bool = False,  # static: live-loop exit pricing (oracle tests)
+    harvest: bool = False,       # static: collect closed-trade label stats
 ) -> EngineLifecycleOutcome:
     """Run the complete engine over every path.
 
     ``policy=None`` disables the OnlinePolicy gate by default (an untrained
     zero policy scores 0.5 < 0.60 and would veto every entry — the reference
     ships DISABLE_POLICY_GATE for exactly this); pass a trained policy to arm
-    the gate, or force the flag explicitly."""
+    the gate, or force the flag explicitly.
+
+    ``harvest=True`` additionally accumulates the learning flywheel's
+    sufficient statistics (models/harvest.py): every CLOSED trade contributes
+    one example labeled ``pnl > 0`` (:1934-1945) with its ENTRY-time ML-gate
+    and policy features, returned as ``outcome.harvest``."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
@@ -157,7 +166,9 @@ def engine_path_replay(
     def step(carry, inp):
         (side, entry, stop, target, risk0, cooldown_until, last_dir, prev_c,
          c_counts, c_latch, guard, touch, ring_c, ring_v,
-         equity, peak, dd, trades, wins, losses, escal, skips) = carry
+         equity, peak, dd, trades, wins, losses, escal, skips, hstate) = carry
+        if harvest:
+            hv, pend_ml, pend_pol, pend_x1, pend_x6 = hstate
         if noise is not None:
             h, l, c, v, tie, t, nj, ne, ns, nt = inp
         else:
@@ -207,6 +218,11 @@ def engine_path_replay(
         pnl = jnp.where(closed,
                         jnp.where(is_long, exit_px - entry, entry - exit_px),
                         0.0)
+        if harvest:
+            # label on close by pnl sign (:1934-1945), entry-time features
+            hv = HV.harvest_closed(
+                hv, closed=closed, label_pos=pnl > 0, pend_ml=pend_ml,
+                pend_pol=pend_pol, pend_x1=pend_x1, pend_x6=pend_x6)
         # normalize R by the risk AT OPEN (escalation trails the stop toward
         # the entry; dividing by the trailed distance explodes R)
         risk = jnp.maximum(risk0, 1e-9)
@@ -388,6 +404,14 @@ def engine_path_replay(
         target = jnp.where(enter, tgt_new, target)
         risk0 = jnp.where(enter, jnp.abs(fill - stop_new), risk0)
         trades = trades + enter.astype(jnp.int32)
+        if harvest:
+            # latch the entry-time features until this trade closes
+            pend_ml = jnp.where(
+                enter, HV.ml_bucket(tc, lvlk == KIND_SOLID, go_long), pend_ml)
+            pend_pol = jnp.where(
+                enter, HV.pol_bucket(go_long, x[..., 5] > 0.5), pend_pol)
+            pend_x1 = jnp.where(enter, x[..., 1], pend_x1)
+            pend_x6 = jnp.where(enter, x[..., 6], pend_x6)
 
         # direction state update (:2952-2955): exact != (no eps)
         moved = jnp.logical_and(t > 0, c != prev_c)
@@ -416,9 +440,11 @@ def engine_path_replay(
                                   guard.regime == G.REGIME_BREAKOUT_DOWN)
         touch = touch.reset_box(breakout)
 
+        hstate = ((hv, pend_ml, pend_pol, pend_x1, pend_x6) if harvest
+                  else hstate)
         carry = (side, entry, stop, target, risk0, cooldown_until, last_dir, c,
                  c_counts, c_latch, guard, touch, ring_c, ring_v,
-                 equity, peak, dd, trades, wins, losses, escal, skips)
+                 equity, peak, dd, trades, wins, losses, escal, skips, hstate)
         return carry, None
 
     zf = jnp.zeros((p,), jnp.float32)
@@ -439,6 +465,7 @@ def engine_path_replay(
         zf, zf, zf,                            # equity / peak / max_dd
         zi, zi, zi, zi,                        # trades / wins / losses / escal
         jnp.zeros((n_skip,), jnp.float32),     # skip counts
+        ((HV.EngineHarvest.zero(), zi, zi, zf, zf) if harvest else ()),
     )
     xs = (
         jnp.asarray(paths.high, jnp.float32).T,
@@ -452,12 +479,13 @@ def engine_path_replay(
         xs = xs + tuple(jnp.asarray(nn, jnp.float32).T for nn in noise_normals)
 
     (side, _, _, _, _, _, _, _, _, _, _, _, _, _,
-     equity, _, dd, trades, wins, losses, escal, skips), _ = jax.lax.scan(
-        step, init, xs)
+     equity, _, dd, trades, wins, losses, escal, skips,
+     hstate), _ = jax.lax.scan(step, init, xs)
     return EngineLifecycleOutcome(
         equity=equity, trades=trades, wins=wins, losses=losses,
         open_at_end=side != SIDE_FLAT, max_dd=dd, escalations=escal,
         skip_counts=skips,
+        harvest=hstate[0] if harvest else None,
     )
 
 
@@ -466,7 +494,7 @@ def _one_block_engine(
     dt, sampler, hist_bars, antithetic, block_len=10, heston=None,
     policy=None, ml_model=None, touch_params=None, guard_params=None,
     policy_gate_disabled=None, escalation=True, bar0_minute=0, noise=None,
-    volume_model=None,
+    volume_model=None, harvest=False,
 ) -> PathStats:
     bkey = prng.key_for(key, prng.STREAM_PATH, block_idx)
     paths = pathsim.sample_block(
@@ -486,19 +514,19 @@ def _one_block_engine(
         policy=policy, ml_model=ml_model, touch_params=touch_params,
         guard_params=guard_params, policy_gate_disabled=policy_gate_disabled,
         escalation=escalation, bar0_minute=bar0_minute,
-        noise=noise, noise_normals=draws,
+        noise=noise, noise_normals=draws, harvest=harvest,
     )
     return PathStats.from_lifecycle(
         equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
         open_at_end=out.open_at_end, max_dd=out.max_dd,
-    ), out.skip_counts, jnp.sum(out.escalations)
+    ), out.skip_counts, jnp.sum(out.escalations), out.harvest
 
 
 @partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "block_paths", "sampler",
                      "antithetic", "block_len", "escalation", "volume_model",
-                     "policy_gate_disabled"),
+                     "policy_gate_disabled", "harvest"),
 )
 def mc_paths_engine(
     key,
@@ -526,21 +554,24 @@ def mc_paths_engine(
     bar0_minute=0,
     noise=None,
     volume_model=None,
-) -> tuple[PathStats, jnp.ndarray, jnp.ndarray]:
+    harvest: bool = False,
+):
     """Streamed generated-path MC under the FULL 12-gate engine.
 
     Returns (stats, skip_counts, escalations): the lifecycle PathStats plus
     the aggregated first-fail gate-skip histogram (ordered as SKIP_REASONS —
     the log-analyzer's skip table at path scale) and the total escalation
-    count.  Default block is 8k paths: the guard/touch state is ~8 KB/path,
-    so blocks stream through HBM like the other pipelines."""
+    count.  With ``harvest=True`` returns a 4-tuple ending in the merged
+    ``EngineHarvest`` (closed-trade label statistics, models/harvest.py).
+    Default block is 8k paths: the guard/touch state is ~8 KB/path, so blocks
+    stream through HBM like the other pipelines."""
     if num_paths % block_paths != 0:
         raise ValueError("num_paths must be a multiple of block_paths")
     n_blocks = num_paths // block_paths
 
     def body(carry, b):
-        stats, skips, escal = carry
-        st, sk, es = _one_block_engine(
+        stats, skips, escal, hv = carry
+        st, sk, es, bh = _one_block_engine(
             key, b, levels=levels, params=params, block_paths=block_paths,
             num_bars=num_bars, s0=s0, mu=mu, sigma=sigma, dt=dt,
             sampler=sampler, hist_bars=hist_bars, antithetic=antithetic,
@@ -549,14 +580,19 @@ def mc_paths_engine(
             guard_params=guard_params,
             policy_gate_disabled=policy_gate_disabled, escalation=escalation,
             bar0_minute=bar0_minute, noise=noise, volume_model=volume_model,
+            harvest=harvest,
         )
-        return (stats.merge(st), skips + sk, escal + es), None
+        hv = hv.merge(bh) if harvest else hv
+        return (stats.merge(st), skips + sk, escal + es, hv), None
 
     init = (
         PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI),
         jnp.zeros((len(SKIP_REASONS),), jnp.float32),
         jnp.zeros((), jnp.int32),
+        HV.EngineHarvest.zero() if harvest else jnp.zeros((), jnp.float32),
     )
-    (stats, skips, escal), _ = jax.lax.scan(
+    (stats, skips, escal, hv), _ = jax.lax.scan(
         body, init, jnp.arange(n_blocks, dtype=jnp.uint32))
+    if harvest:
+        return stats, skips, escal, hv
     return stats, skips, escal

@@ -1,0 +1,112 @@
+"""The closed learning loop at path scale: simulate → label → retrain → re-simulate.
+
+In the reference, trading produces the training data: every closed trade
+labels its policy_event by pnl sign (qmmx_monolithic.py:1934-1945), the
+labeled stream retrains the OnlinePolicy every 2 minutes (:3753-3803), and
+the contact⋈trade join feeds the batch sklearn LR (:3833-3894).  At host
+scale that loop is io/trainstore.py.  This module closes it at PATH scale
+(VERDICT r3 missing #1): each iteration runs the FULL-engine MC with the
+label harvest on (fused kernel on TPU, XLA pipeline elsewhere), refreshes
+the ML gate (weighted IRLS on the harvested bucket counts, the :3833-3853
+analog) and the OnlinePolicy entry heads (models/harvest.policy_from_harvest,
+the :3753-3803 analog), then re-simulates with the refreshed models ARMED —
+so a billion simulated trades actually train the gates that veto the next
+billion.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineParams
+from ..engine.state import MlModel
+from ..models import harvest as HV
+from ..models import online_policy as OP
+from ..types import Levels
+from . import enginepath as EP
+
+
+class FlywheelRound(NamedTuple):
+    """One simulate→refresh iteration's observables."""
+
+    stats: object             # PathStats of the simulation that ran
+    skips: np.ndarray         # f32[len(SKIP_REASONS)]
+    escalations: float
+    harvest: HV.EngineHarvest
+    labeled: float            # closed trades harvested this round
+    ml_model: MlModel         # model REFRESHED from this round's harvest
+    policy: OP.PolicyParams   # policy refreshed from this round's harvest
+
+
+def policy_iteration(
+    seed,
+    levels: Levels,
+    params: EngineParams,
+    *,
+    rounds: int = 2,
+    num_paths: int = 1 << 13,
+    num_bars: int = 40,
+    s0: float = 100.0,
+    sigma: float = 0.3,
+    dt: float = 1.0 / (390.0 * 252.0),
+    backend: str = "auto",        # "auto" | "xla" | "pallas"
+    lanes: int | None = None,
+    min_samples: int = 50,        # the reference retrain gate (:3838-3840)
+    arm_policy_gate: bool = True,
+    block_paths: int = 1 << 13,
+) -> list[FlywheelRound]:
+    """Run ``rounds`` simulate→harvest→refresh iterations.
+
+    Round 0 simulates with no ML model and the policy gate disarmed (the
+    reference's cold start); each later round arms the previous round's
+    refreshed ML gate and (optionally) OnlinePolicy heads.  Returns the
+    per-round observables — the skip table / hit-rate shift across rounds is
+    the closed-loop evidence (tests/test_harvest.py, benchmarks/RESULTS.md).
+    """
+    use_kernel = backend == "pallas" or (
+        backend == "auto" and jax.devices()[0].platform != "cpu")
+
+    ml: MlModel | None = None
+    policy: OP.PolicyParams | None = None
+    out: list[FlywheelRound] = []
+    for r in range(rounds):
+        armed_policy = policy if arm_policy_gate else None
+        if use_kernel:
+            from ..ops.pallas_engine import ENGINE_LANES, mc_paths_pallas_engine
+
+            stats, skips, escal, hv = mc_paths_pallas_engine(
+                int(seed) + 7919 * r,
+                levels, params, num_paths=num_paths, num_bars=num_bars,
+                s0=s0, sigma=sigma, dt=dt,
+                lanes=lanes or ENGINE_LANES,
+                policy=armed_policy, ml_model=ml,
+                policy_gate_disabled=armed_policy is None,
+                harvest=True,
+            )
+        else:
+            stats, skips, escal, hv = EP.mc_paths_engine(
+                jax.random.fold_in(jax.random.key(int(seed)), r),
+                levels, params,
+                num_paths=num_paths, num_bars=num_bars, s0=s0, sigma=sigma,
+                dt=dt, block_paths=min(block_paths, num_paths),
+                policy=armed_policy, ml_model=ml,
+                policy_gate_disabled=armed_policy is None,
+                harvest=True,
+            )
+        ml = HV.ml_model_from_harvest(
+            hv, stop_padding=float(np.asarray(params.stop_padding)),
+            min_samples=min_samples)
+        policy = HV.policy_from_harvest(
+            OP.PolicyParams.init() if policy is None else policy, hv,
+            min_samples=max(1, min_samples // 2))
+        out.append(FlywheelRound(
+            stats=stats, skips=np.asarray(skips),
+            escalations=float(np.asarray(escal)),
+            harvest=hv, labeled=float(np.asarray(hv.n_labeled)),
+            ml_model=ml, policy=policy,
+        ))
+    return out

@@ -170,7 +170,7 @@ def run_resumable(
 
     def _merge(stats, extras, out):
         if engine:
-            st, sk, es = out
+            st, sk, es = out[:3]
             return stats.merge(st), {"skips": extras["skips"] + sk,
                                      "escal": extras["escal"] + es}
         return stats.merge(out), extras

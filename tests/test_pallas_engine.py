@@ -37,12 +37,15 @@ BLOCK = ENGINE_SUB * LANES
 VM = VolumeModel()
 
 
-def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False):
+def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False,
+                        w=W, s0=100.0):
     """Regenerate the kernel's streaming bars AND volumes with the same jnp
     f32 ops from the injected uniform layout (10 blocks per double-bar step:
     price-normal pair, volume-normal pair, then (u_high, u_low, tie) per
     half).  With ``noise``, u has stride 18 (per-bar execution-noise normal
-    pairs at ks 10..17) and a third return carries the (4, P, W) normals."""
+    pairs at ks 10..17) and a third return carries the (4, P, W) normals.
+    Odd ``w`` consumes a final draw block's first Box-Muller branch only
+    (the kernel's half-step tail)."""
     stride = 18 if with_noise else 10
     nrm = [[], [], [], []]
     drift = jnp.float32((0.0 - 0.5 * sigma * sigma) * DT)
@@ -50,9 +53,9 @@ def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False):
     sig2dt = sig * sig
     mean_abs = jnp.float32(np.sqrt(2.0 / np.pi))
     sd_abs = jnp.float32(np.sqrt(1.0 - 2.0 / np.pi))
-    log_s = jnp.full((ENGINE_SUB, lanes), jnp.float32(np.log(100.0)))
+    log_s = jnp.full((ENGINE_SUB, lanes), jnp.float32(np.log(s0)))
     opens, closes, highs, lows, vols, ties = [], [], [], [], [], []
-    for t2 in range(W // 2):
+    for t2 in range((w + 1) // 2):
         blk = lambda k: jnp.asarray(u[stride * t2 + k], jnp.float32)
         radius = jnp.sqrt(-2.0 * jnp.log(blk(0)))
         angle = 6.283185307179586 * blk(1)
@@ -60,7 +63,8 @@ def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False):
         vradius = jnp.sqrt(-2.0 * jnp.log(blk(2)))
         vangle = 6.283185307179586 * blk(3)
         zv_pair = (vradius * jnp.cos(vangle), vradius * jnp.sin(vangle))
-        for half in range(2):
+        halves = 1 if (w % 2 and t2 == w // 2) else 2
+        for half in range(halves):
             t = 2 * t2 + half
             z, zv = z_pair[half], zv_pair[half]
             u3, u4, tie = blk(4 + 3 * half), blk(5 + 3 * half), blk(6 + 3 * half)
@@ -98,7 +102,7 @@ def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False):
             log_s = log_close
 
     def flat(rows):  # list of W × (8, B) → (P, W)
-        return jnp.stack(rows, axis=-1).reshape(ENGINE_SUB * lanes, W)
+        return jnp.stack(rows, axis=-1).reshape(ENGINE_SUB * lanes, w)
 
     bars = PathBars(open=flat(opens), high=flat(highs), low=flat(lows),
                     close=flat(closes), volume=flat(vols))
