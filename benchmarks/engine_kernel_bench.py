@@ -88,14 +88,19 @@ def main():
             volume=rng.lognormal(13.0, 0.4, h).astype(np.float32))
 
     for lanes in args.lanes:
-        for gen_only in ([False, True] if args.stage_split else [False]):
+        modes = ([("full", {}), ("gen", {"gen_only": True}),
+                  ("no_d", {"skip_d": True})]
+                 if args.stage_split else [("full", {})])
+        for mode, mkw in modes:
+            gen_only = mode == "gen"
+
             def run(seed):
                 return mc_paths_pallas_engine(
                     seed, levels, params, num_paths=num_paths,
                     num_bars=args.bars, sigma=0.3,
                     dt=1.0 / (390.0 * 252.0), lanes=lanes,
                     sampler=args.sampler, hist_bars=hist,
-                    harvest=args.harvest, gen_only=gen_only,
+                    harvest=args.harvest, **mkw,
                 )
 
             res = run(0)
@@ -110,12 +115,12 @@ def main():
             row = {
                 "backend": "pallas", "lanes": lanes, "levels": args.levels,
                 "bars": args.bars, "sampler": args.sampler,
-                "gen_only": gen_only, "harvest": args.harvest,
+                "mode": mode, "harvest": args.harvest,
                 "paths_per_sec": round(num_paths / dt_s, 1),
                 "bar_steps_per_sec": round(num_paths * args.bars / dt_s, 1),
                 "time_s": round(dt_s, 4),
             }
-            if not gen_only:
+            if mode == "full":
                 row.update(hit_rate=round(float(stats.hit_rate), 4),
                            mean_trades=round(float(stats.mean_trades), 4),
                            escalations=int(res[2]))

@@ -72,14 +72,18 @@ def main():
     print(json.dumps({"total_wall_s": round(wall, 2),
                       "paths_per_round": 1 << args.paths,
                       "rounds": args.rounds}))
-    # the loop is CLOSED: round 1+ runs with gates trained on round 0's
-    # harvest — the policy/ML skip rows must move
-    k_pol = names.index("ONLINE_POLICY")
+    # the loop is CLOSED: round 1+ runs with the ML gate trained on the
+    # previous round's harvest — ML_CONF_LOW cannot fire in round 0 (no
+    # model exists) and must prune entries afterwards, shifting the mix
     k_ml = names.index("ML_CONF_LOW")
-    assert rounds[0].skips[k_pol] == 0 and rounds[0].skips[k_ml] == 0
-    moved = any(r.skips[k_pol] > 0 or r.skips[k_ml] > 0 for r in rounds[1:])
-    print(json.dumps({"closed_loop_gates_fired": bool(moved)}))
-    return 0 if moved else 1
+    assert rounds[0].skips[k_ml] == 0
+    moved = any(r.skips[k_ml] > 0 for r in rounds[1:])
+    shifted = any(
+        float(r.stats.hit_rate) != float(rounds[0].stats.hit_rate)
+        for r in rounds[1:])
+    print(json.dumps({"closed_loop_ml_gate_fired": bool(moved),
+                      "hit_rate_shifted": bool(shifted)}))
+    return 0 if (moved and shifted) else 1
 
 
 if __name__ == "__main__":

@@ -607,6 +607,7 @@ def cmd_flywheel(args):
         num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
         sigma=args.sigma, backend=backend,
         min_samples=args.min_samples,
+        arm_policy_gate=args.arm_policy_gate,
         block_paths=min(args.num_paths, 1 << 13),
     )
     names = [r.name for r in EPATH.SKIP_REASONS]
@@ -912,6 +913,11 @@ def build_parser() -> argparse.ArgumentParser:
     fw.add_argument("--qmin", type=float, default=None)
     fw.add_argument("--min-samples", type=int, default=50,
                     help="retrain gate (>=50 labeled trades, ref :3838)")
+    fw.add_argument("--arm-policy-gate", action="store_true",
+                    help="also arm the refreshed OnlinePolicy two-head gate "
+                         "(chosen >= 0.60 vetoes everything when the win "
+                         "rate is below 60%% -- the reference's "
+                         "DISABLE_POLICY_GATE posture is the default)")
     fw.add_argument("--backend", choices=["auto", "xla", "pallas"],
                     default="auto")
     fw.set_defaults(fn=cmd_flywheel)

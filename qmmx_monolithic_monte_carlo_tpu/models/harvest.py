@@ -159,13 +159,30 @@ def harvest_closed(
 
 def _ml_bucket_features(stop_padding):
     """The exact 4-dim serving features of every ML bucket (:1457-1461):
-    [kind_solid, |level-stop| = stop_padding, touch_count, go_long]."""
+    [kind_solid, |level-stop| = stop_padding, touch_count, go_long].
+    Uses the default float dtype so the refresh fit runs in f64 when x64 is
+    enabled (the BASELINE 1e-6 sklearn-parity posture)."""
     b = jnp.arange(ML_BUCKETS)
-    tc = (b // 4).astype(jnp.float32)
-    kind = ((b // 2) % 2).astype(jnp.float32)
-    glf = (b % 2).astype(jnp.float32)
-    pad = jnp.full((ML_BUCKETS,), jnp.asarray(stop_padding, jnp.float32))
+    tc = (b // 4) * 1.0
+    kind = ((b // 2) % 2) * 1.0
+    glf = (b % 2) * 1.0
+    pad = jnp.full((ML_BUCKETS,), stop_padding, tc.dtype)
     return jnp.stack([kind, pad, tc, glf], axis=1)       # [B, 4]
+
+
+# Billion-path harvests produce count masses ~1e8+: against sklearn's fixed
+# L2 (C=1) the data term then dwarfs the penalty and near-separable bucket
+# sets drive unbounded Newton steps (saturated sigmoids → a singular
+# unpenalized-intercept row → NaN).  Refreshes above this mass rescale the
+# weights to it — identical label proportions, so the fit is statistically
+# the same model with a numerically meaningful penalty.
+WEIGHT_MASS_CAP = 1.0e5
+
+
+def _capped(w):
+    tot = jnp.sum(w)
+    scale = jnp.where(tot > WEIGHT_MASS_CAP, WEIGHT_MASS_CAP / tot, 1.0)
+    return w * scale, tot
 
 
 def ml_model_from_harvest(
@@ -180,15 +197,17 @@ def ml_model_from_harvest(
     feats = _ml_bucket_features(stop_padding)            # [B, 4]
     x = jnp.concatenate([feats, feats], axis=0)          # label-0 rows, label-1
     y = jnp.concatenate([jnp.zeros(ML_BUCKETS), jnp.ones(ML_BUCKETS)])
-    w = jnp.concatenate([h.ml_counts[:, 0], h.ml_counts[:, 1]])
+    w, tot = _capped(jnp.concatenate([h.ml_counts[:, 0], h.ml_counts[:, 1]]))
     m = logistic.fit(x, y, sample_weight=w, c=c, max_iter=max_iter)
-    enough = jnp.sum(w) >= min_samples
+    ok = jnp.logical_and(
+        tot >= min_samples,
+        jnp.all(jnp.isfinite(m.coef)) & jnp.isfinite(m.intercept))
     return MlModel(
-        coef=jnp.where(enough, m.coef.astype(jnp.float32),
+        coef=jnp.where(ok, m.coef.astype(jnp.float32),
                        jnp.zeros((4,), jnp.float32)),
-        intercept=jnp.where(enough, m.intercept.astype(jnp.float32), 0.0),
+        intercept=jnp.where(ok, m.intercept.astype(jnp.float32), 0.0),
         n_features=jnp.int32(4),
-        present=enough,
+        present=ok,
     )
 
 
@@ -242,18 +261,20 @@ def policy_from_harvest(
     feats, labels, cnt, glf = _pol_bucket_features(h)
 
     def head(sel_glf):
-        w = jnp.where(glf == sel_glf, cnt, 0.0)
+        w, tot = _capped(jnp.where(glf == sel_glf, cnt, 0.0))
         m = logistic.fit(feats, labels, sample_weight=w, c=c,
                          max_iter=max_iter)
         vec = jnp.concatenate(
             [m.intercept.reshape(1), m.coef]).astype(jnp.float32)  # [7]
-        return vec, jnp.sum(w)
+        ok = jnp.logical_and(tot >= min_samples,
+                             jnp.all(jnp.isfinite(vec)))
+        return vec, ok
 
-    w_long, n_long = head(1.0)
-    w_short, n_short = head(0.0)
+    w_long, ok_long = head(1.0)
+    w_short, ok_short = head(0.0)
     w_entry = policy.w_entry
     w_entry = w_entry.at[A_GO_LONG].set(
-        jnp.where(n_long >= min_samples, w_long, w_entry[A_GO_LONG]))
+        jnp.where(ok_long, w_long, w_entry[A_GO_LONG]))
     w_entry = w_entry.at[A_GO_SHORT].set(
-        jnp.where(n_short >= min_samples, w_short, w_entry[A_GO_SHORT]))
+        jnp.where(ok_short, w_short, w_entry[A_GO_SHORT]))
     return policy.replace(w_entry=w_entry)

@@ -134,7 +134,7 @@ def _engine_lifecycle_loop(
     draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     eng, ml, pol_w, tm, gd, max_levels, lanes, vm, escalation: bool,
     noise=None, harvest: bool = False, sampler: str = "gbm", hist=None,
-    gen_only: bool = False,
+    gen_only: bool = False, skip_d: bool = False,
 ):
     """The streaming generate+full-engine loop.
 
@@ -681,6 +681,16 @@ def _engine_lifecycle_loop(
         last_dir = jnp.where(moved, jnp.where(c > prev_c, 1.0, -1.0), last_dir)
 
 
+        if skip_d:
+            # roofline split: freeze the minute-close state (rings/guard/
+            # touch) — isolates stage D's cost as full minus this
+            return (log_close, c, side, entry, stop, target, risk0,
+                    cooldown_until, last_dir, equity, peak, dd, trades, wins,
+                    losses, escal, c_counts, c_latch, tm_cnt, tm_ts, tm_px,
+                    tap_ts, tap_ratio, run_low, run_high, box_low, box_high,
+                    box_valid, regime, inside_cnt, ring_v, ring_c, skips,
+                    hstate)
+
         # ---- D) minute close of bar t (:1813-1855) -------------------------
         ring_v = ring_push(ring_v, v)
         ring_c = ring_push(ring_c, c)
@@ -1110,6 +1120,7 @@ def _engine_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     gen_only: bool = False,
+    skip_d: bool = False,
 ):
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
@@ -1148,6 +1159,7 @@ def _engine_kernel(
         noise=(tuple(eng_ref[0, 17 + k] for k in range(4))
                if use_noise else None),
         harvest=use_harvest, sampler=sampler, hist=hist, gen_only=gen_only,
+        skip_d=skip_d,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -1293,6 +1305,7 @@ def mc_paths_pallas_engine(
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c/v history (bootstrap)
     gen_only: bool = False,   # roofline mode: generate bars, skip the engine
+    skip_d: bool = False,     # roofline mode: skip the minute-close pipeline
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, stride*ceil(num_bars/2), 8, lanes]
 ):
@@ -1345,7 +1358,7 @@ def mc_paths_pallas_engine(
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
-        gen_only=bool(gen_only), interpret=interpret,
+        gen_only=bool(gen_only), skip_d=bool(skip_d), interpret=interpret,
     )
 
 
@@ -1371,13 +1384,13 @@ def _hist_slab(hist_bars, lanes: int):
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "volume_model", "escalation", "bar0_minute",
                      "policy_gate_disabled", "harvest", "sampler",
-                     "gen_only", "interpret"),
+                     "gen_only", "skip_d", "interpret"),
 )
 def _engine_impl(
     seed, levels, params, policy, ml_model, touch_params, guard_params,
     noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
     sigma, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, harvest, sampler, gen_only, interpret,
+    volume_model, harvest, sampler, gen_only, skip_d, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1400,7 +1413,7 @@ def _engine_impl(
         max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, external_rng=external_rng, use_noise=use_noise,
         use_harvest=harvest, sampler=sampler, hist_len=hist_len,
-        gen_only=gen_only,
+        gen_only=gen_only, skip_d=skip_d,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, noise=noise)

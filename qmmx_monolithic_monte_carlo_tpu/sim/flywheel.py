@@ -56,14 +56,20 @@ def policy_iteration(
     backend: str = "auto",        # "auto" | "xla" | "pallas"
     lanes: int | None = None,
     min_samples: int = 50,        # the reference retrain gate (:3838-3840)
-    arm_policy_gate: bool = True,
+    arm_policy_gate: bool = False,
     block_paths: int = 1 << 13,
 ) -> list[FlywheelRound]:
     """Run ``rounds`` simulate→harvest→refresh iterations.
 
     Round 0 simulates with no ML model and the policy gate disarmed (the
     reference's cold start); each later round arms the previous round's
-    refreshed ML gate and (optionally) OnlinePolicy heads.  Returns the
+    refreshed ML gate (and, with ``arm_policy_gate``, the OnlinePolicy
+    heads).  The policy gate stays DISARMED by default — its pass rule
+    (chosen-action score >= 0.60, :3085) only clears when a bucket's win
+    probability exceeds 60%, so a correctly calibrated head vetoes every
+    entry whenever the strategy's win rate sits below that; the reference
+    ships DISABLE_POLICY_GATE for exactly this posture, and the ML gate is
+    the per-bucket pruner that actually shifts the mix.  Returns the
     per-round observables — the skip table / hit-rate shift across rounds is
     the closed-loop evidence (tests/test_harvest.py, benchmarks/RESULTS.md).
     """
