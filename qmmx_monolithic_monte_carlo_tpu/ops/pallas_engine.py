@@ -134,7 +134,7 @@ def _engine_lifecycle_loop(
     draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     eng, ml, pol_w, tm, gd, max_levels, lanes, vm, escalation: bool,
     noise=None, harvest: bool = False, sampler: str = "gbm", hist=None,
-    gen_only: bool = False, skip_d: bool = False,
+    gen_only: bool = False, skip_d: bool = False, policy_off: bool = False,
 ):
     """The streaming generate+full-engine loop.
 
@@ -485,10 +485,9 @@ def _engine_lifecycle_loop(
             fresh = jnp.logical_and(
                 is_near, jnp.logical_and(inside, jnp.logical_not(latch_b)))
             cnt_new = c_counts[i] + fresh.astype(jnp.float32)
-            latch_new = jnp.logical_or(
-                jnp.logical_and(is_near, inside),
-                jnp.logical_and(jnp.logical_not(is_near),
-                                jnp.logical_and(latch_b, inside)))
+            # (near & inside) | (~near & latch & inside) == inside & (near|latch)
+            latch_new = jnp.logical_and(inside,
+                                        jnp.logical_or(is_near, latch_b))
             latch_new = jnp.logical_and(latch_new, lv > 0)
             cnt_i = jnp.where(reached7, cnt_new, c_counts[i])
             lat_i = jnp.where(reached7, latch_new.astype(jnp.float32), c_latch[i])
@@ -618,26 +617,36 @@ def _engine_lifecycle_loop(
             Reason.ML_CONF_LOW)
 
         # 12) OnlinePolicy two-head gate (:3046-3112); features :308-331
-        x1 = jnp.minimum(1.0, best_d)
-        confl_pol = (_confluence_thresh(confl_d, jnp.float32(0.6)) > 1.0
-                     ).astype(jnp.float32)
-        x6 = jnp.minimum(1.0, (bar0_minute + t_f) / 390.0)
         glf = go_long.astype(jnp.float32)
-        feats = (jnp.ones_like(x1), x1, zero, 1.0 - glf, glf, confl_pol, x6)
+        if harvest or not policy_off:
+            x1 = jnp.minimum(1.0, best_d)
+            confl_pol = (_confluence_thresh(confl_d, jnp.float32(0.6)) > 1.0
+                         ).astype(jnp.float32)
+            x6 = jnp.minimum(1.0, (bar0_minute + t_f) / 390.0)
+        if not policy_off:
+            # feature 2 (vol_trend) is identically zero at path scale, so its
+            # +-0.0 term is dropped (x + -0.0 == x bitwise; the +0.0-vs--0.0
+            # accumulator corner is absorbed by sigmoid(+-0) == 0.5), and the
+            # bias term w0 * 1.0 == w0 broadcasts without the multiply.
+            feats = (x1, 1.0 - glf, glf, confl_pol, x6)
+            w_ix = (1, 3, 4, 5, 6)
 
-        def pol_score(a):
-            zp = zero
-            for d_i in range(POLICY_FEATURE_DIM):
-                zp = zp + pol_w[a][d_i] * feats[d_i]
-            return _sigmoid_clamped(zp)
+            def pol_score(a):
+                zp = zero + pol_w[a][0]
+                for d_i, f in zip(w_ix, feats):
+                    zp = zp + pol_w[a][d_i] * f
+                return _sigmoid_clamped(zp)
 
-        s_long, s_short, s_skip = pol_score(0), pol_score(1), pol_score(2)
-        chosen = jnp.where(go_long, s_long, s_short)
-        pol_pass = jnp.logical_or(
-            policy_disabled > 0.5,
-            jnp.logical_and(chosen >= 0.60, s_skip < 0.55))
-        reason = first_fail(reason, jnp.logical_not(pol_pass),
-                            Reason.ONLINE_POLICY)
+            s_long, s_short, s_skip = pol_score(0), pol_score(1), pol_score(2)
+            chosen = jnp.where(go_long, s_long, s_short)
+            pol_pass = jnp.logical_or(
+                policy_disabled > 0.5,
+                jnp.logical_and(chosen >= 0.60, s_skip < 0.55))
+            reason = first_fail(reason, jnp.logical_not(pol_pass),
+                                Reason.ONLINE_POLICY)
+        # else: policy_gate_disabled is STATIC at every call site — pol_pass
+        # is identically true and the ONLINE_POLICY counter never fires, so
+        # the three head scores are skipped at trace time.
 
         enter = reason == 0.0
         skips = tuple(
@@ -695,9 +704,22 @@ def _engine_lifecycle_loop(
         ring_v = ring_push(ring_v, v)
         ring_c = ring_push(ring_c, c)
         n_after = t_f + 1.0
+        # One sequential pass over the volume ring feeds all four MAs: the
+        # minute-close tail means (:1827) and the guard window means
+        # (:1279-1283) share the same slot sums bitwise — unfilled slots hold
+        # exactly 0.0 (zero-init ring), so the young-window mask only ever
+        # changes the DENOMINATOR, never the sum.  sum20 extends sum5 in the
+        # same association order as the old per-window loops.
+        sum5 = ring_slot(ring_v, 0)
+        for slot in range(1, 5):
+            sum5 = sum5 + ring_slot(ring_v, slot)
+        sum20 = sum5
+        for slot in range(5, VOL_RING):
+            sum20 = sum20 + ring_slot(ring_v, slot)
         # minute-close MAs (denominator max(1, min(k, n)), :1827)
-        vol_ma_s = _ring_tail_mean(ring_v, n_after, 5)
-        vol_ma_l = _ring_tail_mean(ring_v, n_after, VOL_RING)
+        vol_ma_s = sum5 / jnp.maximum(1.0, jnp.minimum(jnp.float32(5.0), n_after))
+        vol_ma_l = sum20 / jnp.maximum(
+            1.0, jnp.minimum(jnp.float32(VOL_RING), n_after))
         # guard push (:1268-1339): running box == the 60-min window while
         # num_bars <= 61; longer horizons shift the 61-slot extreme rings and
         # take the windowed extremes (sentinels on unfilled slots are min/max
@@ -714,8 +736,14 @@ def _engine_lifecycle_loop(
             win_high = run_high
         box_height = win_high - win_low
         compress_thresh = c * (g_comp_bp / 10000.0)
-        gma_s, s_def = _guard_win_mean(ring_v, n_after, 5)
-        gma_l, l_def = _guard_win_mean(ring_v, n_after, VOL_RING)
+        # guard MAs from the shared sums (:1279-1283 semantics: defined only
+        # at >= k bars).  The masked select is an arithmetic blend: a
+        # scalar-predicate jnp.where over a tile operand makes Mosaic
+        # demand an impossible replicated relayout of the tile.
+        s_def = n_after >= jnp.float32(5.0)
+        l_def = n_after >= jnp.float32(VOL_RING)
+        gma_s = (sum5 / 5.0) * s_def.astype(jnp.float32)
+        gma_l = (sum20 / jnp.float32(VOL_RING)) * l_def.astype(jnp.float32)
         mas_ok = jnp.logical_and(jnp.logical_and(s_def, gma_s != 0.0),
                                  jnp.logical_and(l_def, gma_l != 0.0))
         in_breakout = jnp.logical_or(
@@ -751,7 +779,7 @@ def _engine_lifecycle_loop(
             do_track, jnp.logical_and(inside, inside_cnt >= g_clear_bars))
         regime = jnp.where(cleared, jnp.float32(G.REGIME_ACCUMULATION), regime)
         # too-few-bars reset (REGIME_UNKNOWN == 0): scalar-predicate select
-        # as a blend (see _guard_win_mean note)
+        # as a blend (see the guard-MA blend note)
         enough = (n_after >= g_min_bars).astype(jnp.float32)
         regime = regime * enough
         box_valid = box_valid * enough
@@ -771,18 +799,24 @@ def _engine_lifecycle_loop(
                 jnp.logical_or(pierced, bps_c <= tol_bps), valid_i)
             hit_i = jnp.logical_and(near_i, acc_now)
             side_short = c > lr
-            for sd in range(2):
+            # Only the ACTIVE side (short iff c > lr) can register this bar,
+            # so the de-dup predicates are computed once from the active
+            # side's gathered state and the update scattered back — bitwise
+            # the same per-(level, side) transitions as the two-sided form
+            # (the inactive side's ``counted`` is identically false).
+            ts_a = jnp.where(side_short, tm_ts[2 * i + 1], tm_ts[2 * i])
+            px_a = jnp.where(side_short, tm_px[2 * i + 1], tm_px[2 * i])
+            has_a = ts_a > jnp.float32(-5e8)
+            too_soon = jnp.logical_and(has_a, now_ms - ts_a < min_gap_ms)
+            bps_last = jnp.where(px_a <= 0, 0.0,
+                                 jnp.abs(c - px_a) / px_a * 1e4)
+            too_close = jnp.logical_and(has_a, bps_last < min_px_bps)
+            counted_a = jnp.logical_and(
+                hit_i, jnp.logical_not(jnp.logical_or(too_soon, too_close)))
+            cnt_long = jnp.logical_and(counted_a, jnp.logical_not(side_short))
+            cnt_short = jnp.logical_and(counted_a, side_short)
+            for sd, counted in ((0, cnt_long), (1, cnt_short)):
                 j = 2 * i + sd
-                hit_sd = jnp.logical_and(
-                    hit_i, side_short if sd == 1 else jnp.logical_not(side_short))
-                has_j = tm_ts[j] > jnp.float32(-5e8)
-                too_soon = jnp.logical_and(has_j, now_ms - tm_ts[j] < min_gap_ms)
-                bps_last = jnp.where(tm_px[j] <= 0, 0.0,
-                                     jnp.abs(c - tm_px[j]) / tm_px[j] * 1e4)
-                too_close = jnp.logical_and(has_j, bps_last < min_px_bps)
-                counted = jnp.logical_and(
-                    hit_sd,
-                    jnp.logical_not(jnp.logical_or(too_soon, too_close)))
                 tm_cnt2.append(tm_cnt[j] + counted.astype(jnp.float32))
                 tm_ts2.append(jnp.where(counted, now_ms, tm_ts[j]))
                 tm_px2.append(jnp.where(counted, c, tm_px[j]))
@@ -868,28 +902,6 @@ def _engine_lifecycle_loop(
             vals = nxt
         return vals[0]
 
-    def _ring_tail_mean(ring, n_bars, k):
-        """_on_minute_close MA (:1827): mean of newest min(k, n) slots with
-        denominator max(1, min(k, n)).  n_bars is a traced scalar."""
-        kk = jnp.minimum(jnp.float32(k), n_bars)
-        ssum = zero
-        for slot in range(k):
-            w = (jnp.float32(slot) < kk).astype(jnp.float32)
-            ssum = ssum + ring_slot(ring, slot) * w
-        return ssum / jnp.maximum(1.0, kk)
-
-    def _guard_win_mean(ring, n_bars, k):
-        """Guard-internal MA (:1279-1283): defined only at >= k bars, mean
-        over exactly the newest k.  The masked select is an arithmetic blend:
-        a scalar-predicate jnp.where over a tile operand makes Mosaic demand
-        an impossible replicated relayout of the tile."""
-        defined = n_bars >= jnp.float32(k)
-        ssum = zero
-        for slot in range(k):
-            ssum = ssum + ring_slot(ring, slot)
-        mean = ssum / jnp.float32(k)
-        return mean * defined.astype(jnp.float32), defined
-
     def _volume_slope6(ring, n_bars):
         """_calc_volume_slope (:1796-1811), window 6 over the newest-first
         volume ring holding bars <= t-1 (n_bars of them)."""
@@ -911,7 +923,7 @@ def _engine_lifecycle_loop(
         v2 = v2 / half
         slope = (v2 - v1) / (jnp.abs(v1) + 1e-9)
         slope = jnp.where(jnp.logical_and(v1 == 0.0, v2 == 0.0), 0.0, slope)
-        # scalar-predicate select as a blend (see _guard_win_mean note)
+        # scalar-predicate select as a blend (see the guard-MA blend note)
         return slope * (n >= 3.0).astype(jnp.float32)
 
     def _escalation(*, side, is_long, entry, c, ring_c, ring_v, n_hist,
@@ -922,10 +934,12 @@ def _engine_lifecycle_loop(
         pw = jnp.float32(0.35)       # PROXIMITY_WINDOW (:704-718)
         inf = jnp.float32(_BIG)
         near = bd <= pw
+        # |close - level| per ring slot, computed once and shared by the
+        # approach inference AND every (d_j, d_prev) pair of the trend mask
+        darr = [jnp.abs(ring_slot(ring_c, j) - bp) for j in range(CLOSE_RING)]
         # approach: last two ring closes (infer_approach :554-565)
-        p2 = ring_slot(ring_c, 0)
         p1 = ring_slot(ring_c, 1)
-        toward = jnp.abs(p2 - bp) < jnp.abs(p1 - bp)
+        toward = darr[0] < darr[1]
         inferred_ok = jnp.logical_and(n_hist >= 2.0, toward)
         # from_above when price > level; bool select via and/or (no i1 where)
         appr_from_below = jnp.logical_or(
@@ -940,9 +954,8 @@ def _engine_lifecycle_loop(
             jf = jnp.float32(j)
             in_win = jf < n5
             is_first = jf == n5 - 1.0     # oldest in window
-            d_j = jnp.abs(ring_slot(ring_c, j) - bp)
-            d_prev = jnp.abs(ring_slot(ring_c, min(j + 1, CLOSE_RING - 1)) - bp)
-            keep = jnp.logical_or(is_first, d_j <= d_prev)
+            keep = jnp.logical_or(is_first,
+                                  darr[j] <= darr[min(j + 1, CLOSE_RING - 1)])
             sel.append(jnp.logical_and(in_win, keep))
         cnt = zero
         for j in range(CLOSE_RING):
@@ -965,7 +978,7 @@ def _engine_lifecycle_loop(
             last_sum = last_sum + ring_slot(ring_v, j) * in_last
             older = older + w
         trend = (last_sum - first_sum) / k2
-        # scalar-predicate select as a blend (see _guard_win_mean note)
+        # scalar-predicate select as a blend (see the guard-MA blend note)
         vol_trend = trend * trend_def.astype(jnp.float32)
         reversal = vol_trend < 0.0
         # direction the predicted move points (:830-831, :865-866); the
@@ -1121,6 +1134,7 @@ def _engine_kernel(
     hist_len: int = 0,
     gen_only: bool = False,
     skip_d: bool = False,
+    policy_off: bool = False,
 ):
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
@@ -1159,7 +1173,7 @@ def _engine_kernel(
         noise=(tuple(eng_ref[0, 17 + k] for k in range(4))
                if use_noise else None),
         harvest=use_harvest, sampler=sampler, hist=hist, gen_only=gen_only,
-        skip_d=skip_d,
+        skip_d=skip_d, policy_off=policy_off,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -1413,7 +1427,7 @@ def _engine_impl(
         max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, external_rng=external_rng, use_noise=use_noise,
         use_harvest=harvest, sampler=sampler, hist_len=hist_len,
-        gen_only=gen_only, skip_d=skip_d,
+        gen_only=gen_only, skip_d=skip_d, policy_off=bool(policy_gate_disabled),
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, noise=noise)
@@ -1487,6 +1501,7 @@ def _engine_sweep_kernel(
     n_grid: int,
     external_rng: bool = False,
     use_noise: bool = False,
+    policy_off: bool = False,
 ):
     """One path block run through the FULL engine once per grid row.  The
     hardware PRNG is re-seeded to the block's seed before each row, so every
@@ -1535,6 +1550,7 @@ def _engine_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[g, 17 + k] for k in range(4))
                    if use_noise else None),
+            policy_off=policy_off,
         )
         _engine_accumulate(acc_ref, (g,), final, n_paths=s * b)
 
@@ -1645,7 +1661,7 @@ def _engine_sweep_impl(
         _engine_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
         sig_dt=sig_dt, max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, n_grid=n_grid, external_rng=external_rng,
-        use_noise=use_noise,
+        use_noise=use_noise, policy_off=bool(policy_gate_disabled),
     )
     grid = _pack_eng(grid_params, policy_gate_disabled, bar0_minute,
                      levels.count > 0, g=n_grid, noise=noise)
@@ -1714,6 +1730,7 @@ def _engine_universe_kernel(
     external_rng: bool = False,
     use_noise: bool = False,
     use_harvest: bool = False,
+    policy_off: bool = False,
 ):
     """Per-(symbol, block) FULL-ENGINE lifecycle: the shared streaming loop
     with the symbol's s0/sigma AND all 17 engine knobs (plus its own noise
@@ -1754,7 +1771,7 @@ def _engine_universe_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
                if use_noise else None),
-        harvest=use_harvest,
+        harvest=use_harvest, policy_off=policy_off,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -1857,6 +1874,7 @@ def _engine_universe_sweep_kernel(
     n_grid: int,
     external_rng: bool = False,
     use_noise: bool = False,
+    policy_off: bool = False,
 ):
     """Sweep-of-universes: per (symbol, block) grid step, every knob-grid row
     replays the symbol's identical uniform stream (PRNG re-seeded per row) —
@@ -1911,6 +1929,7 @@ def _engine_universe_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[0, g, 17 + k] for k in range(4))
                    if use_noise else None),
+            policy_off=policy_off,
         )
         _engine_accumulate(acc_ref, (0, g), final, n_paths=s * b)
 
@@ -2022,6 +2041,7 @@ def _engine_universe_sweep_impl(
         _engine_universe_sweep_kernel, num_bars=num_bars, dt=dt,
         max_levels=n_lv, lanes=lanes, vm=vm, escalation=escalation,
         n_grid=n_grid, external_rng=external_rng, use_noise=use_noise,
+        policy_off=bool(policy_gate_disabled),
     )
     grid = _pack_eng_sg(grid_params, policy_gate_disabled, bar0_minute,
                         n_sym, n_grid, noise=noise)      # (S, G, ENG_COLS)
@@ -2108,6 +2128,7 @@ def _engine_universe_impl(
         _engine_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         lanes=lanes, vm=vm, escalation=escalation, external_rng=external_rng,
         use_noise=use_noise, use_harvest=harvest,
+        policy_off=bool(policy_gate_disabled),
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, g=n_sym, noise=noise)   # (S, ENG_COLS)
