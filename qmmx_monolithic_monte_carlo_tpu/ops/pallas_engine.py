@@ -108,6 +108,17 @@ BOOT_DRAWS_PER_PAIR_NOISE = 12
 HIST_CHANNELS = 5    # bootstrap tables: logc / logh / logl / logo / volume
 
 
+def _young_bars(guard_params) -> int:
+    """Static leading-bar count eligible for the reduced minute-close body
+    (bars t with t + 1 < min_bars; see the young-bar peel note in
+    ``_one_bar``).  Falls back to 0 — always correct, just slower — when
+    min_bars is not concrete at trace time."""
+    try:
+        return max(0, int(guard_params.min_bars) - 1)
+    except (TypeError, jax.errors.ConcretizationTypeError):
+        return 0
+
+
 def _draw_stride(sampler: str, use_noise: bool) -> int:
     if sampler == "bootstrap":
         return BOOT_DRAWS_PER_PAIR_NOISE if use_noise else BOOT_DRAWS_PER_PAIR
@@ -135,6 +146,7 @@ def _engine_lifecycle_loop(
     eng, ml, pol_w, tm, gd, max_levels, lanes, vm, escalation: bool,
     noise=None, harvest: bool = False, sampler: str = "gbm", hist=None,
     gen_only: bool = False, skip_d: bool = False, policy_off: bool = False,
+    young_bars: int = 0,
 ):
     """The streaming generate+full-engine loop.
 
@@ -248,7 +260,7 @@ def _engine_lifecycle_loop(
          if harvest else ()),
     )
 
-    def body(t2, st):
+    def body(t2, st, young=False):
         if bootstrap:
             z_pair = (draw(t2, 0), draw(t2, 1))      # per-bar index uniforms
             zv_pair = (None, None)
@@ -280,16 +292,16 @@ def _engine_lifecycle_loop(
                 nz = None
             if bootstrap:
                 st = _one_bar(st, t_i, z_pair[half], None, None, None,
-                              ties[half], nz)
+                              ties[half], nz, young=young)
             else:
                 st = _one_bar(
                     st, t_i, z_pair[half], zv_pair[half],
                     draw(t2, 4 + 3 * half), draw(t2, 5 + 3 * half),
-                    draw(t2, 6 + 3 * half), nz,
+                    draw(t2, 6 + 3 * half), nz, young=young,
                 )
         return st
 
-    def _one_bar(st, t_i, z, zv, u3, u4, tie, nz):
+    def _one_bar(st, t_i, z, zv, u3, u4, tie, nz, young=False):
         (log_s, prev_c, side, entry, stop, target, risk0, cooldown_until,
          last_dir, equity, peak, dd, trades, wins, losses, escal,
          c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
@@ -704,153 +716,168 @@ def _engine_lifecycle_loop(
         ring_v = ring_push(ring_v, v)
         ring_c = ring_push(ring_c, c)
         n_after = t_f + 1.0
-        # One sequential pass over the volume ring feeds all four MAs: the
-        # minute-close tail means (:1827) and the guard window means
-        # (:1279-1283) share the same slot sums bitwise — unfilled slots hold
-        # exactly 0.0 (zero-init ring), so the young-window mask only ever
-        # changes the DENOMINATOR, never the sum.  sum20 extends sum5 in the
-        # same association order as the old per-window loops.
-        sum5 = ring_slot(ring_v, 0)
-        for slot in range(1, 5):
-            sum5 = sum5 + ring_slot(ring_v, slot)
-        sum20 = sum5
-        for slot in range(5, VOL_RING):
-            sum20 = sum20 + ring_slot(ring_v, slot)
-        # minute-close MAs (denominator max(1, min(k, n)), :1827)
-        vol_ma_s = sum5 / jnp.maximum(1.0, jnp.minimum(jnp.float32(5.0), n_after))
-        vol_ma_l = sum20 / jnp.maximum(
-            1.0, jnp.minimum(jnp.float32(VOL_RING), n_after))
-        # guard push (:1268-1339): running box == the 60-min window while
-        # num_bars <= 61; longer horizons shift the 61-slot extreme rings and
-        # take the windowed extremes (sentinels on unfilled slots are min/max
-        # identities, so the young-window case needs no masking)
+        # guard extremes (:1268-1339): running box == the 60-min window while
+        # num_bars <= 61; longer horizons shift 61-slot extreme rings
+        # (sentinels on unfilled slots are min/max identities, so the
+        # young-window case needs no masking).  Pushed on EVERY bar — the
+        # young prefix below consumes them later.
         if windowed_guard:
             run_low = ring_push(run_low, low)
             run_high = ring_push(run_high, h)
-            win_low = _ring_fold(run_low, jnp.minimum)
-            win_high = _ring_fold(run_high, jnp.maximum)
         else:
             run_low = jnp.minimum(run_low, low)
             run_high = jnp.maximum(run_high, h)
-            win_low = run_low
-            win_high = run_high
-        box_height = win_high - win_low
-        compress_thresh = c * (g_comp_bp / 10000.0)
-        # guard MAs from the shared sums (:1279-1283 semantics: defined only
-        # at >= k bars).  The masked select is an arithmetic blend: a
-        # scalar-predicate jnp.where over a tile operand makes Mosaic
-        # demand an impossible replicated relayout of the tile.
-        s_def = n_after >= jnp.float32(5.0)
-        l_def = n_after >= jnp.float32(VOL_RING)
-        gma_s = (sum5 / 5.0) * s_def.astype(jnp.float32)
-        gma_l = (sum20 / jnp.float32(VOL_RING)) * l_def.astype(jnp.float32)
-        mas_ok = jnp.logical_and(jnp.logical_and(s_def, gma_s != 0.0),
-                                 jnp.logical_and(l_def, gma_l != 0.0))
-        in_breakout = jnp.logical_or(
-            regime == jnp.float32(G.REGIME_BREAKOUT_UP),
-            regime == jnp.float32(G.REGIME_BREAKOUT_DOWN))
-        compressed = box_height <= jnp.maximum(1e-6, compress_thresh)
-        regime = jnp.where(
-            in_breakout, regime,
-            jnp.where(compressed, jnp.float32(G.REGIME_ACCUMULATION),
-                      jnp.float32(G.REGIME_UNKNOWN)))
-        box_low = jnp.where(compressed, win_low, box_low)
-        box_high = jnp.where(compressed, win_high, box_high)
-        box_valid = jnp.maximum(box_valid, compressed.astype(jnp.float32))
-        spike = jnp.logical_and(mas_ok, gma_s > g_vol_k * gma_l)
-        can_check = jnp.logical_and(box_valid > 0.5, mas_ok)
-        bo_up = jnp.logical_and(
-            can_check, jnp.logical_and(c > box_high + 1e-6, spike))
-        bo_dn = jnp.logical_and(
-            jnp.logical_and(can_check, jnp.logical_not(bo_up)),
-            jnp.logical_and(c < box_low - 1e-6, spike))
-        regime = jnp.where(bo_up, jnp.float32(G.REGIME_BREAKOUT_UP),
-                           jnp.where(bo_dn, jnp.float32(G.REGIME_BREAKOUT_DOWN),
-                                     regime))
-        inside_cnt = jnp.where(jnp.logical_or(bo_up, bo_dn), 0.0, inside_cnt)
-        in_bo2 = jnp.logical_or(
-            regime == jnp.float32(G.REGIME_BREAKOUT_UP),
-            regime == jnp.float32(G.REGIME_BREAKOUT_DOWN))
-        inside = jnp.logical_and(box_low <= c, c <= box_high)
-        do_track = jnp.logical_and(in_bo2, box_valid > 0.5)
-        inside_cnt = jnp.where(
-            do_track, jnp.where(inside, inside_cnt + 1.0, 0.0), inside_cnt)
-        cleared = jnp.logical_and(
-            do_track, jnp.logical_and(inside, inside_cnt >= g_clear_bars))
-        regime = jnp.where(cleared, jnp.float32(G.REGIME_ACCUMULATION), regime)
-        # too-few-bars reset (REGIME_UNKNOWN == 0): scalar-predicate select
-        # as a blend (see the guard-MA blend note)
-        enough = (n_after >= g_min_bars).astype(jnp.float32)
-        regime = regime * enough
-        box_valid = box_valid * enough
-        inside_cnt = inside_cnt * enough
+        # Young-bar peel (static): while n_after < g_min_bars the guard
+        # forcibly zeroes regime/box_valid/inside_cnt, so those end exactly
+        # as carried (0), acc_now is false (no touch registration, taps or
+        # breakout reset can fire), mid-bar breakouts are impossible (the
+        # box is set from extremes that include this bar, so close cannot
+        # be outside it the bar it is set), and the stale box_low/high
+        # writes are dead (every box_valid-setting bar rewrites them before
+        # any box_valid-gated read).  Only the rings and running extremes
+        # carry information — the MA sums, guard regime machine, touch
+        # registration, edge taps and breakout reset are all skipped for
+        # bars t < young_bars == min_bars - 1 (bitwise-identical outputs).
+        if not young:
+            # One sequential pass over the volume ring feeds all four MAs: the
+            # minute-close tail means (:1827) and the guard window means
+            # (:1279-1283) share the same slot sums bitwise — unfilled slots hold
+            # exactly 0.0 (zero-init ring), so the young-window mask only ever
+            # changes the DENOMINATOR, never the sum.  sum20 extends sum5 in the
+            # same association order as the old per-window loops.
+            sum5 = ring_slot(ring_v, 0)
+            for slot in range(1, 5):
+                sum5 = sum5 + ring_slot(ring_v, slot)
+            sum20 = sum5
+            for slot in range(5, VOL_RING):
+                sum20 = sum20 + ring_slot(ring_v, slot)
+            # minute-close MAs (denominator max(1, min(k, n)), :1827)
+            vol_ma_s = sum5 / jnp.maximum(1.0, jnp.minimum(jnp.float32(5.0), n_after))
+            vol_ma_l = sum20 / jnp.maximum(
+                1.0, jnp.minimum(jnp.float32(VOL_RING), n_after))
+            if windowed_guard:
+                win_low = _ring_fold(run_low, jnp.minimum)
+                win_high = _ring_fold(run_high, jnp.maximum)
+            else:
+                win_low = run_low
+                win_high = run_high
+            box_height = win_high - win_low
+            compress_thresh = c * (g_comp_bp / 10000.0)
+            # guard MAs from the shared sums (:1279-1283 semantics: defined only
+            # at >= k bars).  The masked select is an arithmetic blend: a
+            # scalar-predicate jnp.where over a tile operand makes Mosaic
+            # demand an impossible replicated relayout of the tile.
+            s_def = n_after >= jnp.float32(5.0)
+            l_def = n_after >= jnp.float32(VOL_RING)
+            gma_s = (sum5 / 5.0) * s_def.astype(jnp.float32)
+            gma_l = (sum20 / jnp.float32(VOL_RING)) * l_def.astype(jnp.float32)
+            mas_ok = jnp.logical_and(jnp.logical_and(s_def, gma_s != 0.0),
+                                     jnp.logical_and(l_def, gma_l != 0.0))
+            in_breakout = jnp.logical_or(
+                regime == jnp.float32(G.REGIME_BREAKOUT_UP),
+                regime == jnp.float32(G.REGIME_BREAKOUT_DOWN))
+            compressed = box_height <= jnp.maximum(1e-6, compress_thresh)
+            regime = jnp.where(
+                in_breakout, regime,
+                jnp.where(compressed, jnp.float32(G.REGIME_ACCUMULATION),
+                          jnp.float32(G.REGIME_UNKNOWN)))
+            box_low = jnp.where(compressed, win_low, box_low)
+            box_high = jnp.where(compressed, win_high, box_high)
+            box_valid = jnp.maximum(box_valid, compressed.astype(jnp.float32))
+            spike = jnp.logical_and(mas_ok, gma_s > g_vol_k * gma_l)
+            can_check = jnp.logical_and(box_valid > 0.5, mas_ok)
+            bo_up = jnp.logical_and(
+                can_check, jnp.logical_and(c > box_high + 1e-6, spike))
+            bo_dn = jnp.logical_and(
+                jnp.logical_and(can_check, jnp.logical_not(bo_up)),
+                jnp.logical_and(c < box_low - 1e-6, spike))
+            regime = jnp.where(bo_up, jnp.float32(G.REGIME_BREAKOUT_UP),
+                               jnp.where(bo_dn, jnp.float32(G.REGIME_BREAKOUT_DOWN),
+                                         regime))
+            inside_cnt = jnp.where(jnp.logical_or(bo_up, bo_dn), 0.0, inside_cnt)
+            in_bo2 = jnp.logical_or(
+                regime == jnp.float32(G.REGIME_BREAKOUT_UP),
+                regime == jnp.float32(G.REGIME_BREAKOUT_DOWN))
+            inside = jnp.logical_and(box_low <= c, c <= box_high)
+            do_track = jnp.logical_and(in_bo2, box_valid > 0.5)
+            inside_cnt = jnp.where(
+                do_track, jnp.where(inside, inside_cnt + 1.0, 0.0), inside_cnt)
+            cleared = jnp.logical_and(
+                do_track, jnp.logical_and(inside, inside_cnt >= g_clear_bars))
+            regime = jnp.where(cleared, jnp.float32(G.REGIME_ACCUMULATION), regime)
+            # too-few-bars reset (REGIME_UNKNOWN == 0): scalar-predicate select
+            # as a blend (see the guard-MA blend note)
+            enough = (n_after >= g_min_bars).astype(jnp.float32)
+            regime = regime * enough
+            box_valid = box_valid * enough
+            inside_cnt = inside_cnt * enough
 
 
-        # touch_register on the finished bar (:1158-1197)
-        acc_now = regime == jnp.float32(G.REGIME_ACCUMULATION)
-        tm_cnt2, tm_ts2, tm_px2 = [], [], []
-        for i in range(max_levels):
-            lp, lv, _ = lvl[i]
-            lr = lvl_round[i]
-            valid_i = lv > 0
-            pierced = jnp.logical_and(low - 1e-9 <= lr, lr <= h + 1e-9)
-            bps_c = jnp.where(lr <= 0, 0.0, jnp.abs(c - lr) / lr * 1e4)
-            near_i = jnp.logical_and(
-                jnp.logical_or(pierced, bps_c <= tol_bps), valid_i)
-            hit_i = jnp.logical_and(near_i, acc_now)
-            side_short = c > lr
-            # Only the ACTIVE side (short iff c > lr) can register this bar,
-            # so the de-dup predicates are computed once from the active
-            # side's gathered state and the update scattered back — bitwise
-            # the same per-(level, side) transitions as the two-sided form
-            # (the inactive side's ``counted`` is identically false).
-            ts_a = jnp.where(side_short, tm_ts[2 * i + 1], tm_ts[2 * i])
-            px_a = jnp.where(side_short, tm_px[2 * i + 1], tm_px[2 * i])
-            has_a = ts_a > jnp.float32(-5e8)
-            too_soon = jnp.logical_and(has_a, now_ms - ts_a < min_gap_ms)
-            bps_last = jnp.where(px_a <= 0, 0.0,
-                                 jnp.abs(c - px_a) / px_a * 1e4)
-            too_close = jnp.logical_and(has_a, bps_last < min_px_bps)
-            counted_a = jnp.logical_and(
-                hit_i, jnp.logical_not(jnp.logical_or(too_soon, too_close)))
-            cnt_long = jnp.logical_and(counted_a, jnp.logical_not(side_short))
-            cnt_short = jnp.logical_and(counted_a, side_short)
-            for sd, counted in ((0, cnt_long), (1, cnt_short)):
-                j = 2 * i + sd
-                tm_cnt2.append(tm_cnt[j] + counted.astype(jnp.float32))
-                tm_ts2.append(jnp.where(counted, now_ms, tm_ts[j]))
-                tm_px2.append(jnp.where(counted, c, tm_px[j]))
-        tm_cnt, tm_ts, tm_px = tuple(tm_cnt2), tuple(tm_ts2), tuple(tm_px2)
+            # touch_register on the finished bar (:1158-1197)
+            acc_now = regime == jnp.float32(G.REGIME_ACCUMULATION)
+            tm_cnt2, tm_ts2, tm_px2 = [], [], []
+            for i in range(max_levels):
+                lp, lv, _ = lvl[i]
+                lr = lvl_round[i]
+                valid_i = lv > 0
+                pierced = jnp.logical_and(low - 1e-9 <= lr, lr <= h + 1e-9)
+                bps_c = jnp.where(lr <= 0, 0.0, jnp.abs(c - lr) / lr * 1e4)
+                near_i = jnp.logical_and(
+                    jnp.logical_or(pierced, bps_c <= tol_bps), valid_i)
+                hit_i = jnp.logical_and(near_i, acc_now)
+                side_short = c > lr
+                # Only the ACTIVE side (short iff c > lr) can register this bar,
+                # so the de-dup predicates are computed once from the active
+                # side's gathered state and the update scattered back — bitwise
+                # the same per-(level, side) transitions as the two-sided form
+                # (the inactive side's ``counted`` is identically false).
+                ts_a = jnp.where(side_short, tm_ts[2 * i + 1], tm_ts[2 * i])
+                px_a = jnp.where(side_short, tm_px[2 * i + 1], tm_px[2 * i])
+                has_a = ts_a > jnp.float32(-5e8)
+                too_soon = jnp.logical_and(has_a, now_ms - ts_a < min_gap_ms)
+                bps_last = jnp.where(px_a <= 0, 0.0,
+                                     jnp.abs(c - px_a) / px_a * 1e4)
+                too_close = jnp.logical_and(has_a, bps_last < min_px_bps)
+                counted_a = jnp.logical_and(
+                    hit_i, jnp.logical_not(jnp.logical_or(too_soon, too_close)))
+                cnt_long = jnp.logical_and(counted_a, jnp.logical_not(side_short))
+                cnt_short = jnp.logical_and(counted_a, side_short)
+                for sd, counted in ((0, cnt_long), (1, cnt_short)):
+                    j = 2 * i + sd
+                    tm_cnt2.append(tm_cnt[j] + counted.astype(jnp.float32))
+                    tm_ts2.append(jnp.where(counted, now_ms, tm_ts[j]))
+                    tm_px2.append(jnp.where(counted, c, tm_px[j]))
+            tm_cnt, tm_ts, tm_px = tuple(tm_cnt2), tuple(tm_ts2), tuple(tm_px2)
 
-        # edge taps (:1189-1197) from the minute-close MAs
-        ratio_ok = jnp.logical_and(vol_ma_s != 0.0, vol_ma_l > 0.0)
-        ratio = jnp.where(ratio_ok, vol_ma_s / jnp.maximum(vol_ma_l, 1e-30), 1.0)
-        at_top = jnp.logical_and(
-            jnp.logical_and(box_valid > 0.5, h >= box_high - 1e-9), acc_now)
-        at_bot = jnp.logical_and(
-            jnp.logical_and(box_valid > 0.5, low <= box_low + 1e-9), acc_now)
-        tap_ts2 = list(tap_ts)
-        tap_ratio2 = list(tap_ratio)
-        for e, do_edge in enumerate((at_top, at_bot)):
-            o = e * TAP_SLOTS
-            for k in range(TAP_SLOTS - 1, 0, -1):
-                tap_ts2[o + k] = jnp.where(do_edge, tap_ts[o + k - 1],
-                                           tap_ts[o + k])
-                tap_ratio2[o + k] = jnp.where(do_edge, tap_ratio[o + k - 1],
-                                              tap_ratio[o + k])
-            tap_ts2[o] = jnp.where(do_edge, now_ms, tap_ts[o])
-            tap_ratio2[o] = jnp.where(do_edge, ratio, tap_ratio[o])
-        # breakout resets the touch box (:1154-1156 via enginepath D)
-        breakout = jnp.logical_or(
-            regime == jnp.float32(G.REGIME_BREAKOUT_UP),
-            regime == jnp.float32(G.REGIME_BREAKOUT_DOWN))
-        bf = breakout.astype(jnp.float32)
-        keep = 1.0 - bf
-        tm_cnt = tuple(x * keep for x in tm_cnt)
-        tm_ts = tuple(jnp.where(breakout, _NEVER, x) for x in tm_ts)
-        tm_px = tuple(x * keep for x in tm_px)
-        tap_ts = tuple(jnp.where(breakout, _NEVER, x) for x in tap_ts2)
-        tap_ratio = tuple(x * keep for x in tap_ratio2)
+            # edge taps (:1189-1197) from the minute-close MAs
+            ratio_ok = jnp.logical_and(vol_ma_s != 0.0, vol_ma_l > 0.0)
+            ratio = jnp.where(ratio_ok, vol_ma_s / jnp.maximum(vol_ma_l, 1e-30), 1.0)
+            at_top = jnp.logical_and(
+                jnp.logical_and(box_valid > 0.5, h >= box_high - 1e-9), acc_now)
+            at_bot = jnp.logical_and(
+                jnp.logical_and(box_valid > 0.5, low <= box_low + 1e-9), acc_now)
+            tap_ts2 = list(tap_ts)
+            tap_ratio2 = list(tap_ratio)
+            for e, do_edge in enumerate((at_top, at_bot)):
+                o = e * TAP_SLOTS
+                for k in range(TAP_SLOTS - 1, 0, -1):
+                    tap_ts2[o + k] = jnp.where(do_edge, tap_ts[o + k - 1],
+                                               tap_ts[o + k])
+                    tap_ratio2[o + k] = jnp.where(do_edge, tap_ratio[o + k - 1],
+                                                  tap_ratio[o + k])
+                tap_ts2[o] = jnp.where(do_edge, now_ms, tap_ts[o])
+                tap_ratio2[o] = jnp.where(do_edge, ratio, tap_ratio[o])
+            # breakout resets the touch box (:1154-1156 via enginepath D)
+            breakout = jnp.logical_or(
+                regime == jnp.float32(G.REGIME_BREAKOUT_UP),
+                regime == jnp.float32(G.REGIME_BREAKOUT_DOWN))
+            bf = breakout.astype(jnp.float32)
+            keep = 1.0 - bf
+            tm_cnt = tuple(x * keep for x in tm_cnt)
+            tm_ts = tuple(jnp.where(breakout, _NEVER, x) for x in tm_ts)
+            tm_px = tuple(x * keep for x in tm_px)
+            tap_ts = tuple(jnp.where(breakout, _NEVER, x) for x in tap_ts2)
+            tap_ratio = tuple(x * keep for x in tap_ratio2)
 
         hstate = ((pend_mlb, pend_polb, pend_x1, pend_x6)
                   + tuple(hm) + tuple(hp_cnt) + tuple(hp_x1) + tuple(hp_x6)
@@ -1023,7 +1050,15 @@ def _engine_lifecycle_loop(
             jnp.logical_and(jnp.logical_not(do_exit), continuation), found)
         return go, nxt, trail
 
-    final = jax.lax.fori_loop(0, num_bars // 2, body, init)
+    # static young-bar peel: double-bar steps whose BOTH bars satisfy
+    # t < young_bars run the reduced minute-close body (see _one_bar)
+    k2 = max(0, min(num_bars // 2, young_bars // 2))
+    final = init
+    if k2 > 0:
+        final = jax.lax.fori_loop(
+            0, k2, functools.partial(body, young=True), final)
+    if k2 < num_bars // 2:
+        final = jax.lax.fori_loop(k2, num_bars // 2, body, final)
     if num_bars % 2:
         # final half step: first Box-Muller branch of one extra draw block
         t2 = jnp.int32(num_bars // 2)
@@ -1037,16 +1072,19 @@ def _engine_lifecycle_loop(
                        r2 * jnp.cos(a2), r2 * jnp.sin(a2))
         else:
             nz_last = None
+        young_last = (num_bars - 1) < young_bars
         if bootstrap:
             final = _one_bar(final, jnp.int32(num_bars - 1), draw(t2, 0),
-                             None, None, None, draw(t2, 2), nz_last)
+                             None, None, None, draw(t2, 2), nz_last,
+                             young=young_last)
         else:
             z_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 0))) * jnp.cos(
                 _TWO_PI * draw(t2, 1))
             zv_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 2))) * jnp.cos(
                 _TWO_PI * draw(t2, 3))
             final = _one_bar(final, jnp.int32(num_bars - 1), z_last, zv_last,
-                             draw(t2, 4), draw(t2, 5), draw(t2, 6), nz_last)
+                             draw(t2, 4), draw(t2, 5), draw(t2, 6), nz_last,
+                             young=young_last)
     (_, _, side, _, _, _, _, _, _, equity, _, dd, trades, wins, losses, escal,
      *_rest) = final
     skips = final[-2]
@@ -1135,6 +1173,7 @@ def _engine_kernel(
     gen_only: bool = False,
     skip_d: bool = False,
     policy_off: bool = False,
+    young_bars: int = 0,
 ):
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
@@ -1173,7 +1212,7 @@ def _engine_kernel(
         noise=(tuple(eng_ref[0, 17 + k] for k in range(4))
                if use_noise else None),
         harvest=use_harvest, sampler=sampler, hist=hist, gen_only=gen_only,
-        skip_d=skip_d, policy_off=policy_off,
+        skip_d=skip_d, policy_off=policy_off, young_bars=young_bars,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -1372,7 +1411,8 @@ def mc_paths_pallas_engine(
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
-        gen_only=bool(gen_only), skip_d=bool(skip_d), interpret=interpret,
+        gen_only=bool(gen_only), skip_d=bool(skip_d),
+        young_bars=_young_bars(guard_params), interpret=interpret,
     )
 
 
@@ -1398,13 +1438,13 @@ def _hist_slab(hist_bars, lanes: int):
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "volume_model", "escalation", "bar0_minute",
                      "policy_gate_disabled", "harvest", "sampler",
-                     "gen_only", "skip_d", "interpret"),
+                     "gen_only", "skip_d", "young_bars", "interpret"),
 )
 def _engine_impl(
     seed, levels, params, policy, ml_model, touch_params, guard_params,
     noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
     sigma, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, harvest, sampler, gen_only, skip_d, interpret,
+    volume_model, harvest, sampler, gen_only, skip_d, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1428,6 +1468,7 @@ def _engine_impl(
         escalation=escalation, external_rng=external_rng, use_noise=use_noise,
         use_harvest=harvest, sampler=sampler, hist_len=hist_len,
         gen_only=gen_only, skip_d=skip_d, policy_off=bool(policy_gate_disabled),
+        young_bars=young_bars,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, noise=noise)
@@ -1502,6 +1543,7 @@ def _engine_sweep_kernel(
     external_rng: bool = False,
     use_noise: bool = False,
     policy_off: bool = False,
+    young_bars: int = 0,
 ):
     """One path block run through the FULL engine once per grid row.  The
     hardware PRNG is re-seeded to the block's seed before each row, so every
@@ -1550,7 +1592,7 @@ def _engine_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[g, 17 + k] for k in range(4))
                    if use_noise else None),
-            policy_off=policy_off,
+            policy_off=policy_off, young_bars=young_bars,
         )
         _engine_accumulate(acc_ref, (g,), final, n_paths=s * b)
 
@@ -1629,7 +1671,8 @@ def mc_paths_pallas_engine_sweep(
         dt=dt, lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, interpret=interpret,
+        volume_model=volume_model, young_bars=_young_bars(guard_params),
+        interpret=interpret,
     )
 
 
@@ -1637,13 +1680,14 @@ def mc_paths_pallas_engine_sweep(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "n_grid", "volume_model", "escalation",
-                     "bar0_minute", "policy_gate_disabled", "interpret"),
+                     "bar0_minute", "policy_gate_disabled", "young_bars",
+                     "interpret"),
 )
 def _engine_sweep_impl(
     seed, levels, grid_params, policy, ml_model, touch_params, guard_params,
     noise, external_uniforms, *, num_paths, num_bars, s0, mu, sigma, dt,
     lanes, n_grid, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, interpret,
+    volume_model, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1662,6 +1706,7 @@ def _engine_sweep_impl(
         sig_dt=sig_dt, max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, n_grid=n_grid, external_rng=external_rng,
         use_noise=use_noise, policy_off=bool(policy_gate_disabled),
+        young_bars=young_bars,
     )
     grid = _pack_eng(grid_params, policy_gate_disabled, bar0_minute,
                      levels.count > 0, g=n_grid, noise=noise)
@@ -1731,6 +1776,7 @@ def _engine_universe_kernel(
     use_noise: bool = False,
     use_harvest: bool = False,
     policy_off: bool = False,
+    young_bars: int = 0,
 ):
     """Per-(symbol, block) FULL-ENGINE lifecycle: the shared streaming loop
     with the symbol's s0/sigma AND all 17 engine knobs (plus its own noise
@@ -1771,7 +1817,7 @@ def _engine_universe_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
                if use_noise else None),
-        harvest=use_harvest, policy_off=policy_off,
+        harvest=use_harvest, policy_off=policy_off, young_bars=young_bars,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -1846,7 +1892,8 @@ def mc_paths_pallas_engine_universe(
         paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, harvest=bool(harvest), interpret=interpret,
+        volume_model=volume_model, harvest=bool(harvest),
+        young_bars=_young_bars(guard_params), interpret=interpret,
     )
 
 
@@ -1875,6 +1922,7 @@ def _engine_universe_sweep_kernel(
     external_rng: bool = False,
     use_noise: bool = False,
     policy_off: bool = False,
+    young_bars: int = 0,
 ):
     """Sweep-of-universes: per (symbol, block) grid step, every knob-grid row
     replays the symbol's identical uniform stream (PRNG re-seeded per row) —
@@ -1929,7 +1977,7 @@ def _engine_universe_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[0, g, 17 + k] for k in range(4))
                    if use_noise else None),
-            policy_off=policy_off,
+            policy_off=policy_off, young_bars=young_bars,
         )
         _engine_accumulate(acc_ref, (0, g), final, n_paths=s * b)
 
@@ -2010,7 +2058,8 @@ def mc_paths_pallas_engine_universe_sweep(
         lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, interpret=interpret,
+        volume_model=volume_model, young_bars=_young_bars(guard_params),
+        interpret=interpret,
     )
 
 
@@ -2018,13 +2067,13 @@ def mc_paths_pallas_engine_universe_sweep(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes", "n_grid",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "interpret"),
+                     "policy_gate_disabled", "young_bars", "interpret"),
 )
 def _engine_universe_sweep_impl(
     seed, levels, grid_params, s0, sigma, policy, ml_model, touch_params,
     guard_params, noise, external_uniforms, *, paths_per_symbol, num_bars,
     dt, lanes, n_grid, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, interpret,
+    volume_model, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2105,13 +2154,14 @@ def _engine_universe_sweep_impl(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "harvest", "interpret"),
+                     "policy_gate_disabled", "harvest", "young_bars",
+                     "interpret"),
 )
 def _engine_universe_impl(
     seed, levels, params, s0, sigma, policy, ml_model, touch_params,
     guard_params, noise, external_uniforms, *, paths_per_symbol, num_bars,
     dt, lanes, policy_gate_disabled, escalation, bar0_minute, volume_model,
-    harvest, interpret,
+    harvest, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2128,7 +2178,7 @@ def _engine_universe_impl(
         _engine_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         lanes=lanes, vm=vm, escalation=escalation, external_rng=external_rng,
         use_noise=use_noise, use_harvest=harvest,
-        policy_off=bool(policy_gate_disabled),
+        policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, g=n_sym, noise=noise)   # (S, ENG_COLS)
