@@ -511,51 +511,58 @@ def _engine_lifecycle_loop(
         reason = first_fail(reason, tc >= overtouch_limit,
                             Reason.LEVEL_OVERTOUCHED)
 
-        # 7b) accumulation gates (:1589-1621)
-        accumulating = regime == jnp.float32(G.REGIME_ACCUMULATION)
+        # 7b) accumulation gates (:1589-1621).  On young bars regime is
+        # identically UNKNOWN (the guard machine hasn't run yet — see the
+        # young-bar peel note in stage D), so the accumulation-gated
+        # predicates (edge fatigue, touch budget/cooldown, decay) and the
+        # breakout counter-trend gate below are statically inert: their
+        # reason codes cannot fire and decay_mult == 1.0 (conf * 1.0 is
+        # bitwise conf in f32).
+        if not young:
+            accumulating = regime == jnp.float32(G.REGIME_ACCUMULATION)
 
-        def edge_fatigued(e):
-            # newest 3 taps == the window statistic (see module docstring)
-            in_w = [tap_ts[e * TAP_SLOTS + k] >= now_ms - fat_win_ms
-                    for k in range(TAP_SLOTS)]
-            n3 = in_w[TAP_SLOTS - 1]  # oldest slot in window → >= 3 in window
-            avg = (tap_ratio[e * TAP_SLOTS + 0] + tap_ratio[e * TAP_SLOTS + 1]
-                   + tap_ratio[e * TAP_SLOTS + 2]) / 3.0
-            return jnp.logical_and(n3, avg >= fat_vol_k)
+            def edge_fatigued(e):
+                # newest 3 taps == the window statistic (see module docstring)
+                in_w = [tap_ts[e * TAP_SLOTS + k] >= now_ms - fat_win_ms
+                        for k in range(TAP_SLOTS)]
+                n3 = in_w[TAP_SLOTS - 1]  # oldest slot in window → >= 3 in window
+                avg = (tap_ratio[e * TAP_SLOTS + 0] + tap_ratio[e * TAP_SLOTS + 1]
+                       + tap_ratio[e * TAP_SLOTS + 2]) / 3.0
+                return jnp.logical_and(n3, avg >= fat_vol_k)
 
-        fat_top = edge_fatigued(0)
-        fat_bot = edge_fatigued(1)
-        fatigued_edge = jnp.where(fat_top, jnp.float32(T.EDGE_TOP),
-                                  jnp.where(fat_bot, jnp.float32(T.EDGE_BOT),
-                                            jnp.float32(T.EDGE_NONE)))
-        edge_for_this = jnp.where(direction < 0.0, jnp.float32(T.EDGE_TOP),
-                                  jnp.float32(T.EDGE_BOT))
-        reason = first_fail(
-            reason,
-            jnp.logical_and(accumulating, fatigued_edge == edge_for_this),
-            Reason.EDGE_FATIGUE)
-        # touch_allow (:1222-1239): gather (nearest level, trade side)
-        is_short_dir = direction < 0.0   # T.TM_SHORT when approaching down
-        tmc = zero
-        tmts = zero + _NEVER
-        for i in range(max_levels):
-            cnt_side = jnp.where(is_short_dir, tm_cnt[2 * i + 1], tm_cnt[2 * i])
-            ts_side = jnp.where(is_short_dir, tm_ts[2 * i + 1], tm_ts[2 * i])
-            tmc = tmc + cnt_side * ohs[i]
-            tmts = jnp.where(ohs[i] > 0.0, ts_side, tmts)
-        budget_blocked = tmc >= max_bounces
-        has_tm = tmts > jnp.float32(-5e8)
-        cooldown_blocked = jnp.logical_and(has_tm, now_ms - tmts < min_gap_ms)
-        tm_ok = jnp.logical_not(jnp.logical_or(budget_blocked, cooldown_blocked))
-        tm_fail = jnp.logical_and(accumulating, jnp.logical_not(tm_ok))
-        reason = first_fail(reason, jnp.logical_and(tm_fail, budget_blocked),
-                            Reason.TOUCH_BUDGET)
-        reason = first_fail(
-            reason, jnp.logical_and(tm_fail, jnp.logical_not(budget_blocked)),
-            Reason.TOUCH_COOLDOWN)
-        decay_mult = jnp.where(
-            jnp.logical_and(accumulating, tm_ok),
-            jnp.where(tm_ok, _decay_pow(decay, tmc), 1.0), 1.0)
+            fat_top = edge_fatigued(0)
+            fat_bot = edge_fatigued(1)
+            fatigued_edge = jnp.where(fat_top, jnp.float32(T.EDGE_TOP),
+                                      jnp.where(fat_bot, jnp.float32(T.EDGE_BOT),
+                                                jnp.float32(T.EDGE_NONE)))
+            edge_for_this = jnp.where(direction < 0.0, jnp.float32(T.EDGE_TOP),
+                                      jnp.float32(T.EDGE_BOT))
+            reason = first_fail(
+                reason,
+                jnp.logical_and(accumulating, fatigued_edge == edge_for_this),
+                Reason.EDGE_FATIGUE)
+            # touch_allow (:1222-1239): gather (nearest level, trade side)
+            is_short_dir = direction < 0.0   # T.TM_SHORT when approaching down
+            tmc = zero
+            tmts = zero + _NEVER
+            for i in range(max_levels):
+                cnt_side = jnp.where(is_short_dir, tm_cnt[2 * i + 1], tm_cnt[2 * i])
+                ts_side = jnp.where(is_short_dir, tm_ts[2 * i + 1], tm_ts[2 * i])
+                tmc = tmc + cnt_side * ohs[i]
+                tmts = jnp.where(ohs[i] > 0.0, ts_side, tmts)
+            budget_blocked = tmc >= max_bounces
+            has_tm = tmts > jnp.float32(-5e8)
+            cooldown_blocked = jnp.logical_and(has_tm, now_ms - tmts < min_gap_ms)
+            tm_ok = jnp.logical_not(jnp.logical_or(budget_blocked, cooldown_blocked))
+            tm_fail = jnp.logical_and(accumulating, jnp.logical_not(tm_ok))
+            reason = first_fail(reason, jnp.logical_and(tm_fail, budget_blocked),
+                                Reason.TOUCH_BUDGET)
+            reason = first_fail(
+                reason, jnp.logical_and(tm_fail, jnp.logical_not(budget_blocked)),
+                Reason.TOUCH_COOLDOWN)
+            decay_mult = jnp.where(
+                jnp.logical_and(accumulating, tm_ok),
+                jnp.where(tm_ok, _decay_pow(decay, tmc), 1.0), 1.0)
 
         # 8) confidence × decay (:1626-1641 via :1415-1427)
         conf = jnp.maximum(0.0, 1.0 - best_d / jnp.maximum(jnp.float32(1e-4), prox))
@@ -563,19 +570,22 @@ def _engine_lifecycle_loop(
         conf = conf + jnp.where(tc <= 1.0, 0.10,
                                 jnp.where(tc == 2.0, -0.08, -0.16))
         conf = conf + jnp.where(direction != 0.0, 0.03, 0.0)
-        conf = jnp.clip(conf, 0.0, 1.0) * decay_mult
+        conf = jnp.clip(conf, 0.0, 1.0)
+        if not young:
+            conf = conf * decay_mult
         reason = first_fail(reason, conf < qmin, Reason.CONF_LOW)
 
 
         # 9) side + clean scaffold; 9b) breakout counter-trend (:1652-1666)
         go_long = direction > 0.0
         stop_clean = jnp.where(go_long, best_p - stop_pad, best_p + stop_pad)
-        blocked = jnp.logical_or(
-            jnp.logical_and(regime == jnp.float32(G.REGIME_BREAKOUT_UP),
-                            jnp.logical_not(go_long)),
-            jnp.logical_and(regime == jnp.float32(G.REGIME_BREAKOUT_DOWN),
-                            go_long))
-        reason = first_fail(reason, blocked, Reason.ACC_BREAKOUT_GATE)
+        if not young:
+            blocked = jnp.logical_or(
+                jnp.logical_and(regime == jnp.float32(G.REGIME_BREAKOUT_UP),
+                                jnp.logical_not(go_long)),
+                jnp.logical_and(regime == jnp.float32(G.REGIME_BREAKOUT_DOWN),
+                                go_long))
+            reason = first_fail(reason, blocked, Reason.ACC_BREAKOUT_GATE)
 
         # 10) soft volume veto (:1773-1794); slope over the last 6 volumes
         vslope = _volume_slope6(ring_v, n_hist)
