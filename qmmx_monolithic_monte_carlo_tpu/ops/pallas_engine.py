@@ -1443,6 +1443,32 @@ def _hist_slab(hist_bars, lanes: int):
     return jnp.concatenate(rows, axis=0), h
 
 
+def _hist_slab_batched(hist_bars, lanes: int):
+    """Per-symbol recorded histories as an (S, HIST_CHANNELS*8,
+    h_tiles*128) VMEM slab — one ``_hist_slab`` layout per symbol row,
+    indexed by the universe kernels' symbol grid axis.  Histories are
+    rectangular [S, H]: every symbol resamples its OWN recorded bars over a
+    common lookback window (the reference MC replays each symbol's last N
+    recorded bars, :3353-3538)."""
+    from .pathgen import bootstrap_tables
+
+    o = jnp.asarray(hist_bars.open, jnp.float32)
+    if o.ndim != 2:
+        raise ValueError("universe bootstrap needs [S, H]-batched hist_bars "
+                         "(one recorded history row per symbol)")
+    vol = getattr(hist_bars, "volume", None)
+    vol = jnp.zeros_like(o) if vol is None else jnp.asarray(vol, jnp.float32)
+    tabs = jax.vmap(bootstrap_tables)(
+        o, jnp.asarray(hist_bars.high, jnp.float32),
+        jnp.asarray(hist_bars.low, jnp.float32),
+        jnp.asarray(hist_bars.close, jnp.float32), vol)
+    n_sym, h = tabs[0].shape
+    hp = -(-h // 128) * 128
+    rows = [jnp.broadcast_to(jnp.pad(t, ((0, 0), (0, hp - h)))[:, None, :],
+                             (n_sym, 8, hp)) for t in tabs]
+    return jnp.concatenate(rows, axis=1), h
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
@@ -1540,7 +1566,8 @@ def _engine_sweep_kernel(
     level_price_ref,   # VMEM (L, 128) f32
     level_valid_ref,   # VMEM (L, 128) f32
     level_kind_ref,    # VMEM (L, 128) f32
-    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    *refs,             # [hist_ref (bootstrap)], [u_ref (external rng,
+                       # interpret tests only)], acc_ref
     num_bars: int,
     s0: float,
     drift: float,
@@ -1552,6 +1579,8 @@ def _engine_sweep_kernel(
     n_grid: int,
     external_rng: bool = False,
     use_noise: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -1562,9 +1591,19 @@ def _engine_sweep_kernel(
     a slippage-sensitivity sweep) — pure decision-surface comparison, zero
     cross-config sampling variance.  Engine knobs change which trades open
     AND how the touch/guard state evolves, so the whole generate+engine loop
-    re-runs per row."""
+    re-runs per row.  ``sampler="bootstrap"`` resamples the shared recorded
+    history instead of generating GBM bars — identical resample indices per
+    row, so the sweep compares knobs over the SAME recorded-bar paths."""
     s, b = ENGINE_SUB, lanes
-    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    stride = _draw_stride(sampler, use_noise)
+    refs = list(refs)
+    if sampler == "bootstrap":
+        hist_ref = refs.pop(0)
+        hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
+                                        ti * 128:(ti + 1) * 128],
+                hist_len)
+    else:
+        hist = None
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -1602,6 +1641,7 @@ def _engine_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[g, 17 + k] for k in range(4))
                    if use_noise else None),
+            sampler=sampler, hist=hist,
             policy_off=policy_off, young_bars=young_bars,
         )
         _engine_accumulate(acc_ref, (g,), final, n_paths=s * b)
@@ -1629,6 +1669,8 @@ def mc_paths_pallas_engine_sweep(
     volume_model: VolumeModel | None = None,
     noise=None,               # McNoise; leaves may be [G] for std sweeps
     n_grid: int | None = None,
+    sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
+    hist_bars=None,           # PathBars-like 1-D o/h/l/c/v history (bootstrap)
     interpret=False,
     external_uniforms=None,
 ):
@@ -1640,7 +1682,10 @@ def mc_paths_pallas_engine_sweep(
     over shared paths.  ``noise`` (McNoise; scalar or [G] leaves) adds
     per-entry execution noise — every row sees the SAME noise normals scaled
     by its own stds, so [G]-leaved stds sweep slippage sensitivity under CRN.
-    Returns [G]-batched (PathStats, skips, escalations).
+    ``sampler="bootstrap"`` sweeps the knob grid over recorded-bar resampled
+    paths (the reference MC replays recorded bars, :3353-3538) — CRN gives
+    every row the identical resampled history walk.  Returns [G]-batched
+    (PathStats, skips, escalations).
 
     Same kernel-specialized constants as ``mc_paths_pallas_engine``."""
     if touch_params is None:
@@ -1674,14 +1719,20 @@ def mc_paths_pallas_engine_sweep(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars (recorded "
+                         "o/h/l/c/v history)")
     return _engine_sweep_impl(
         seed, levels, grid_params, policy, ml_model, touch_params,
-        guard_params, noise, external_uniforms,
+        guard_params, noise, hist_bars, external_uniforms,
         num_paths=num_paths, num_bars=num_bars, s0=s0, mu=mu, sigma=sigma,
         dt=dt, lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, young_bars=_young_bars(guard_params),
+        volume_model=volume_model, sampler=sampler,
+        young_bars=_young_bars(guard_params),
         interpret=interpret,
     )
 
@@ -1690,14 +1741,14 @@ def mc_paths_pallas_engine_sweep(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "n_grid", "volume_model", "escalation",
-                     "bar0_minute", "policy_gate_disabled", "young_bars",
-                     "interpret"),
+                     "bar0_minute", "policy_gate_disabled", "sampler",
+                     "young_bars", "interpret"),
 )
 def _engine_sweep_impl(
     seed, levels, grid_params, policy, ml_model, touch_params, guard_params,
-    noise, external_uniforms, *, num_paths, num_bars, s0, mu, sigma, dt,
-    lanes, n_grid, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, young_bars, interpret,
+    noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
+    sigma, dt, lanes, n_grid, policy_gate_disabled, escalation, bar0_minute,
+    volume_model, sampler, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1707,15 +1758,20 @@ def _engine_sweep_impl(
     sig_dt = sigma * float(np.sqrt(dt))
     external_rng = external_uniforms is not None
     use_noise = noise is not None
-    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    stride = _draw_stride(sampler, use_noise)
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
+    if sampler == "bootstrap":
+        hist, hist_len = _hist_slab(hist_bars, lanes)
+    else:
+        hist, hist_len = None, 0
     kernel = functools.partial(
         _engine_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
         sig_dt=sig_dt, max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, n_grid=n_grid, external_rng=external_rng,
-        use_noise=use_noise, policy_off=bool(policy_gate_disabled),
+        use_noise=use_noise, sampler=sampler, hist_len=hist_len,
+        policy_off=bool(policy_gate_disabled),
         young_bars=young_bars,
     )
     grid = _pack_eng(grid_params, policy_gate_disabled, bar0_minute,
@@ -1745,6 +1801,9 @@ def _engine_sweep_impl(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
+            pl.BlockSpec(hist.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
             pl.BlockSpec((1, stride * ((num_bars + 1) // 2), ENGINE_SUB, lanes),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
@@ -1753,6 +1812,7 @@ def _engine_sweep_impl(
         out_shape=jax.ShapeDtypeStruct((n_grid, 8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, grid, mlv, polv, tmv, gdv, lp, lv, lk)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 
@@ -1775,7 +1835,8 @@ def _engine_universe_kernel(
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
     level_kind_ref,    # VMEM (1, L, 128) f32
-    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    *refs,             # [hist_ref (bootstrap, THIS symbol's table slab)],
+                       # [u_ref (external rng, interpret tests only)], acc_ref
     num_bars: int,
     dt: float,
     max_levels: int,
@@ -1785,14 +1846,27 @@ def _engine_universe_kernel(
     external_rng: bool = False,
     use_noise: bool = False,
     use_harvest: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
     """Per-(symbol, block) FULL-ENGINE lifecycle: the shared streaming loop
     with the symbol's s0/sigma AND all 17 engine knobs (plus its own noise
-    stds) read from its VMEM slab row, and a per-symbol accumulator block."""
+    stds) read from its VMEM slab row, and a per-symbol accumulator block.
+    ``sampler="bootstrap"`` resamples each symbol's OWN recorded history
+    (symbol-indexed table slab) — the scaled analog of the reference's
+    per-symbol recorded-bar MC (:3353-3538)."""
     s, b = ENGINE_SUB, lanes
-    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    stride = _draw_stride(sampler, use_noise)
+    refs = list(refs)
+    if sampler == "bootstrap":
+        hist_ref = refs.pop(0)
+        hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
+                                        ti * 128:(ti + 1) * 128],
+                hist_len)
+    else:
+        hist = None
     s0 = sym_ref[0, 0, 0]
     sigma = sym_ref[0, 0, 1]
     sig_dt = sigma * jnp.float32(dt) ** 0.5
@@ -1827,7 +1901,8 @@ def _engine_universe_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
                if use_noise else None),
-        harvest=use_harvest, policy_off=policy_off, young_bars=young_bars,
+        harvest=use_harvest, sampler=sampler, hist=hist,
+        policy_off=policy_off, young_bars=young_bars,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -1858,6 +1933,8 @@ def mc_paths_pallas_engine_universe(
     volume_model: VolumeModel | None = None,
     noise=None,               # McNoise; leaves may be [S] for per-symbol stds
     harvest: bool = False,    # per-symbol flywheel label stats
+    sampler: str = "gbm",     # "gbm" | "bootstrap" (per-symbol recorded bars)
+    hist_bars=None,           # PathBars-like [S, H] o/h/l/c/v histories
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 5*num_bars (9* w/ noise), 8, lanes]
 ):
@@ -1867,8 +1944,11 @@ def mc_paths_pallas_engine_universe(
     thresholds, veto settings; ``noise`` likewise scalar or [S]-leaved).
     Returns [S]-batched (PathStats, skips, escalations); with ``harvest=True``
     a 4-tuple ending in the [S]-batched ``EngineHarvest`` (per-symbol labeled
-    trade statistics for the config-4 policy refresh).  Same
-    kernel-specialized constants as ``mc_paths_pallas_engine``."""
+    trade statistics for the config-4 policy refresh).
+    ``sampler="bootstrap"`` streams each symbol's OWN recorded bars
+    (``hist_bars`` [S, H]-batched, real volumes) — the reference MC is a
+    per-symbol recorded-bar replay (:3353-3538).  Same kernel-specialized
+    constants as ``mc_paths_pallas_engine``."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
@@ -1895,14 +1975,19 @@ def mc_paths_pallas_engine_universe(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
+                         "recorded o/h/l/c/v histories, one row per symbol)")
     return _engine_universe_impl(
         seed, levels, params, jnp.asarray(s0, jnp.float32),
         jnp.asarray(sigma, jnp.float32), policy, ml_model, touch_params,
-        guard_params, noise, external_uniforms,
+        guard_params, noise, hist_bars, external_uniforms,
         paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, harvest=bool(harvest),
+        volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
         young_bars=_young_bars(guard_params), interpret=interpret,
     )
 
@@ -1921,7 +2006,8 @@ def _engine_universe_sweep_kernel(
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
     level_kind_ref,    # VMEM (1, L, 128) f32
-    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    *refs,             # [hist_ref (bootstrap, THIS symbol's table slab)],
+                       # [u_ref (external rng, interpret tests only)], acc_ref
     num_bars: int,
     dt: float,
     max_levels: int,
@@ -1931,6 +2017,8 @@ def _engine_universe_sweep_kernel(
     n_grid: int,
     external_rng: bool = False,
     use_noise: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -1938,9 +2026,19 @@ def _engine_universe_sweep_kernel(
     replays the symbol's identical uniform stream (PRNG re-seeded per row) —
     an (S × G) decision surface from ONE launch, CRN within each symbol.
     The grid slab is symbol-indexed, so [S, G]-leaved EngineParams give every
-    symbol its own knob rows (per-symbol calibration × grid, ROADMAP item)."""
+    symbol its own knob rows (per-symbol calibration × grid, ROADMAP item).
+    ``sampler="bootstrap"`` sweeps each symbol's grid over its OWN recorded
+    bars — identical resample indices per row (CRN on recorded history)."""
     s, b = ENGINE_SUB, lanes
-    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    stride = _draw_stride(sampler, use_noise)
+    refs = list(refs)
+    if sampler == "bootstrap":
+        hist_ref = refs.pop(0)
+        hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
+                                        ti * 128:(ti + 1) * 128],
+                hist_len)
+    else:
+        hist = None
     s0 = sym_ref[0, 0, 0]
     sigma = sym_ref[0, 0, 1]
     sig_dt = sigma * jnp.float32(dt) ** 0.5
@@ -1987,6 +2085,7 @@ def _engine_universe_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[0, g, 17 + k] for k in range(4))
                    if use_noise else None),
+            sampler=sampler, hist=hist,
             policy_off=policy_off, young_bars=young_bars,
         )
         _engine_accumulate(acc_ref, (0, g), final, n_paths=s * b)
@@ -2013,6 +2112,8 @@ def mc_paths_pallas_engine_universe_sweep(
     volume_model: VolumeModel | None = None,
     noise=None,            # McNoise; leaves may be [G]
     n_grid: int | None = None,
+    sampler: str = "gbm",  # "gbm" | "bootstrap" (per-symbol recorded bars)
+    hist_bars=None,        # PathBars-like [S, H] o/h/l/c/v histories
     interpret=False,
     external_uniforms=None,
 ):
@@ -2023,7 +2124,9 @@ def mc_paths_pallas_engine_universe_sweep(
 
     ``grid_params`` (and ``noise``) leaves may be scalars, [G] vectors (one
     grid shared by all symbols) or [S, G] matrices — per-symbol knob grids,
-    so each symbol sweeps around its OWN calibration in the same launch."""
+    so each symbol sweeps around its OWN calibration in the same launch.
+    ``sampler="bootstrap"`` runs the whole (S × G) surface over each
+    symbol's OWN recorded bars (``hist_bars`` [S, H]-batched) with CRN."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
@@ -2060,15 +2163,21 @@ def mc_paths_pallas_engine_universe_sweep(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
+                         "recorded o/h/l/c/v histories, one row per symbol)")
     return _engine_universe_sweep_impl(
         seed, levels, grid_params, jnp.asarray(s0, jnp.float32),
         jnp.asarray(sigma, jnp.float32), policy, ml_model, touch_params,
-        guard_params, noise, external_uniforms,
+        guard_params, noise, hist_bars, external_uniforms,
         paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
         lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, young_bars=_young_bars(guard_params),
+        volume_model=volume_model, sampler=sampler,
+        young_bars=_young_bars(guard_params),
         interpret=interpret,
     )
 
@@ -2077,13 +2186,14 @@ def mc_paths_pallas_engine_universe_sweep(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes", "n_grid",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "young_bars", "interpret"),
+                     "policy_gate_disabled", "sampler", "young_bars",
+                     "interpret"),
 )
 def _engine_universe_sweep_impl(
     seed, levels, grid_params, s0, sigma, policy, ml_model, touch_params,
-    guard_params, noise, external_uniforms, *, paths_per_symbol, num_bars,
-    dt, lanes, n_grid, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, young_bars, interpret,
+    guard_params, noise, hist_bars, external_uniforms, *, paths_per_symbol,
+    num_bars, dt, lanes, n_grid, policy_gate_disabled, escalation,
+    bar0_minute, volume_model, sampler, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2092,15 +2202,20 @@ def _engine_universe_sweep_impl(
 
     external_rng = external_uniforms is not None
     use_noise = noise is not None
-    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    stride = _draw_stride(sampler, use_noise)
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
+    if sampler == "bootstrap":
+        hist, hist_len = _hist_slab_batched(hist_bars, lanes)
+    else:
+        hist, hist_len = None, 0
     kernel = functools.partial(
         _engine_universe_sweep_kernel, num_bars=num_bars, dt=dt,
         max_levels=n_lv, lanes=lanes, vm=vm, escalation=escalation,
         n_grid=n_grid, external_rng=external_rng, use_noise=use_noise,
-        policy_off=bool(policy_gate_disabled),
+        sampler=sampler, hist_len=hist_len,
+        policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     grid = _pack_eng_sg(grid_params, policy_gate_disabled, bar0_minute,
                         n_sym, n_grid, noise=noise)      # (S, G, ENG_COLS)
@@ -2143,6 +2258,9 @@ def _engine_universe_sweep_impl(
             pl.BlockSpec((1, n_lv, 128), lambda si, bi: (si, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
+            pl.BlockSpec((1,) + hist.shape[1:], lambda si, bi: (si, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
             pl.BlockSpec((1, 1, stride * ((num_bars + 1) // 2), ENGINE_SUB,
                           lanes),
                          lambda si, bi: (si, bi, 0, 0, 0),
@@ -2154,6 +2272,7 @@ def _engine_universe_sweep_impl(
         out_shape=jax.ShapeDtypeStruct((n_sym, n_grid, 8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, grid, mlv, polv, tmv, gdv, sym, lp, lv, lk)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 
@@ -2164,14 +2283,14 @@ def _engine_universe_sweep_impl(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "harvest", "young_bars",
-                     "interpret"),
+                     "policy_gate_disabled", "harvest", "sampler",
+                     "young_bars", "interpret"),
 )
 def _engine_universe_impl(
     seed, levels, params, s0, sigma, policy, ml_model, touch_params,
-    guard_params, noise, external_uniforms, *, paths_per_symbol, num_bars,
-    dt, lanes, policy_gate_disabled, escalation, bar0_minute, volume_model,
-    harvest, young_bars, interpret,
+    guard_params, noise, hist_bars, external_uniforms, *, paths_per_symbol,
+    num_bars, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
+    volume_model, harvest, sampler, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2180,14 +2299,19 @@ def _engine_universe_impl(
 
     external_rng = external_uniforms is not None
     use_noise = noise is not None
-    stride = DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
+    stride = _draw_stride(sampler, use_noise)
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
+    if sampler == "bootstrap":
+        hist, hist_len = _hist_slab_batched(hist_bars, lanes)
+    else:
+        hist, hist_len = None, 0
     kernel = functools.partial(
         _engine_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         lanes=lanes, vm=vm, escalation=escalation, external_rng=external_rng,
-        use_noise=use_noise, use_harvest=harvest,
+        use_noise=use_noise, use_harvest=harvest, sampler=sampler,
+        hist_len=hist_len,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
@@ -2228,6 +2352,9 @@ def _engine_universe_impl(
             pl.BlockSpec((1, n_lv, 128), lambda si, bi: (si, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
+            pl.BlockSpec((1,) + hist.shape[1:], lambda si, bi: (si, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
             pl.BlockSpec((1, 1, stride * ((num_bars + 1) // 2), ENGINE_SUB,
                           lanes),
                          lambda si, bi: (si, bi, 0, 0, 0),
@@ -2238,6 +2365,7 @@ def _engine_universe_impl(
         out_shape=jax.ShapeDtypeStruct((n_sym, 8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, mlv, polv, tmv, gdv, sym, lp, lv, lk)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 

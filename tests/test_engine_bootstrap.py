@@ -158,3 +158,199 @@ def test_engine_kernel_bootstrap_requires_history():
         mc_paths_pallas_engine(
             0, LEVELS, EngineParams.default(), num_paths=BLOCK, num_bars=8,
             lanes=LANES, sampler="bootstrap")
+
+
+def test_engine_sweep_kernel_bootstrap_matches_single_configs_exact():
+    """Knob-grid CRN sweep over recorded bars: every grid row of the
+    bootstrap sweep kernel equals an independent single-config bootstrap
+    kernel run under the same injected uniforms (identical resample
+    indices per row — pure decision-surface comparison on recorded
+    history)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        mc_paths_pallas_engine_sweep,
+    )
+
+    w = 12
+    hist = _history(7, 220)
+    stop_g = np.array([0.15, 0.35], np.float32)
+    tp_g = np.array([0.10, 0.28], np.float32)
+    grid = EngineParams.default().replace(
+        stop_padding=jnp.asarray(stop_g), tp_padding=jnp.asarray(tp_g))
+    rng = np.random.default_rng(29)
+    u = rng.uniform(
+        1e-6, 1.0, (1, BOOT_DRAWS_PER_PAIR * (w // 2), ENGINE_SUB, LANES),
+    ).astype(np.float32)
+
+    got, got_skips, got_escal = mc_paths_pallas_engine_sweep(
+        0, LEVELS, grid, num_paths=BLOCK, num_bars=w, dt=DT, lanes=LANES,
+        sampler="bootstrap", hist_bars=hist, interpret=True,
+        external_uniforms=u,
+    )
+    assert got.n.shape == (2,)
+    for g in range(2):
+        cfg = EngineParams.default(stop_padding=float(stop_g[g]),
+                                   tp_padding=float(tp_g[g]))
+        want, wskips, wescal = mc_paths_pallas_engine(
+            0, LEVELS, cfg, num_paths=BLOCK, num_bars=w, dt=DT, lanes=LANES,
+            sampler="bootstrap", hist_bars=hist, interpret=True,
+            external_uniforms=u,
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+            assert float(getattr(got, f)[g]) == float(getattr(want, f)), (g, f)
+        assert float(got_escal[g]) == float(wescal), g
+        np.testing.assert_array_equal(np.asarray(got_skips[g]),
+                                      np.asarray(wskips))
+        np.testing.assert_array_equal(np.asarray(got.hist[g]),
+                                      np.asarray(want.hist))
+    # the knob rows actually produce different decision surfaces
+    assert float(got.n_entered[0]) != float(got.n_entered[1]) or float(
+        got.n_tp[0]) != float(got.n_tp[1])
+
+
+def _stacked_histories(seeds, h):
+    """[S, H]-batched recorded histories (one _history row per symbol)."""
+    rows = [_history(sd, h) for sd in seeds]
+    return PG.PathBars(
+        open=jnp.stack([r.open for r in rows]),
+        high=jnp.stack([r.high for r in rows]),
+        low=jnp.stack([r.low for r in rows]),
+        close=jnp.stack([r.close for r in rows]),
+        volume=jnp.stack([r.volume for r in rows]),
+    )
+
+
+def test_engine_universe_kernel_bootstrap_per_symbol_histories_exact():
+    """Per-symbol recorded-bar universe: each symbol of a 2-symbol universe
+    resamples its OWN history (the reference MC is a per-symbol recorded-bar
+    replay, :3353-3538) and equals a single-config bootstrap kernel run of
+    that symbol under the same injected uniforms."""
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        BOOT_DRAWS_PER_PAIR as BOOT,
+        mc_paths_pallas_engine_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    w = 12
+    rows = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+         {"color": "teal", "type": "dashed", "index": 0, "price": 100.4}],
+        [{"color": "orange", "type": "solid", "index": 0, "price": 50.1}],
+    ]
+    levels2 = U.stack_levels(rows, max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sigma = np.array([0.35, 0.5], np.float32)   # unused by bootstrap bars
+    # relative-geometry tables rebase each symbol's recorded moves onto its
+    # own s0, so the raw history price scale is irrelevant
+    hist2 = _stacked_histories([11, 23], 180)
+    params = EngineParams.default().replace(
+        stop_padding=jnp.asarray([0.20, 0.30], np.float32))
+    rng = np.random.default_rng(31)
+    u = rng.uniform(
+        1e-6, 1.0, (2, 1, BOOT * (w // 2), ENGINE_SUB, LANES),
+    ).astype(np.float32)
+
+    got, got_skips, got_escal = mc_paths_pallas_engine_universe(
+        0, levels2, params, s0, sigma, paths_per_symbol=BLOCK, num_bars=w,
+        dt=DT, lanes=LANES, sampler="bootstrap", hist_bars=hist2,
+        interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (2,)
+    for s in range(2):
+        levels_s = jax.tree_util.tree_map(lambda x: x[s], levels2)
+        hist_s = jax.tree_util.tree_map(lambda x: x[s], hist2)
+        cfg = EngineParams.default(stop_padding=[0.20, 0.30][s])
+        want, wskips, wescal = mc_paths_pallas_engine(
+            0, levels_s, cfg, num_paths=BLOCK, num_bars=w, s0=float(s0[s]),
+            sigma=float(sigma[s]), dt=DT, lanes=LANES, sampler="bootstrap",
+            hist_bars=hist_s, interpret=True, external_uniforms=u[s],
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+            assert float(getattr(got, f)[s]) == float(getattr(want, f)), (s, f)
+        assert float(got_escal[s]) == float(wescal), s
+        np.testing.assert_array_equal(np.asarray(got_skips[s]),
+                                      np.asarray(wskips))
+        np.testing.assert_array_equal(np.asarray(got.hist[s]),
+                                      np.asarray(want.hist))
+
+
+def test_engine_universe_sweep_bootstrap_exact():
+    """(S × G) sweep-of-universes over per-symbol recorded bars: every cell
+    equals a single-config bootstrap kernel run of that (symbol, row) under
+    the same injected uniforms."""
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        BOOT_DRAWS_PER_PAIR as BOOT,
+        mc_paths_pallas_engine_universe_sweep,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    w = 8
+    rows = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "teal", "type": "dashed", "index": 0, "price": 50.15}],
+    ]
+    levels2 = U.stack_levels(rows, max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sigma = np.array([0.35, 0.5], np.float32)
+    hist2 = _stacked_histories([13, 37], 150)
+    stop_g = np.array([0.12, 0.30], np.float32)
+    grid = EngineParams.default().replace(stop_padding=jnp.asarray(stop_g))
+    rng = np.random.default_rng(41)
+    u = rng.uniform(
+        1e-6, 1.0, (2, 1, BOOT * (w // 2), ENGINE_SUB, LANES),
+    ).astype(np.float32)
+
+    got, got_skips, got_escal = mc_paths_pallas_engine_universe_sweep(
+        0, levels2, grid, s0, sigma, paths_per_symbol=BLOCK, num_bars=w,
+        dt=DT, lanes=LANES, sampler="bootstrap", hist_bars=hist2,
+        interpret=True, external_uniforms=u,
+    )
+    assert got.n.shape == (2, 2)
+    for s in range(2):
+        levels_s = jax.tree_util.tree_map(lambda x: x[s], levels2)
+        hist_s = jax.tree_util.tree_map(lambda x: x[s], hist2)
+        for g in range(2):
+            cfg = EngineParams.default(stop_padding=float(stop_g[g]))
+            want, wskips, wescal = mc_paths_pallas_engine(
+                0, levels_s, cfg, num_paths=BLOCK, num_bars=w,
+                s0=float(s0[s]), sigma=float(sigma[s]), dt=DT, lanes=LANES,
+                sampler="bootstrap", hist_bars=hist_s, interpret=True,
+                external_uniforms=u[s],
+            )
+            for f in ("n", "n_entered", "n_tp", "n_stop", "sum_trades"):
+                assert float(getattr(got, f)[s, g]) == float(
+                    getattr(want, f)), (s, g, f)
+            assert float(got_escal[s, g]) == float(wescal), (s, g)
+            np.testing.assert_array_equal(np.asarray(got_skips[s, g]),
+                                          np.asarray(wskips))
+            np.testing.assert_array_equal(np.asarray(got.hist[s, g]),
+                                          np.asarray(want.hist))
+
+
+def test_engine_universe_bootstrap_requires_batched_history():
+    """[S, H] shape validation: 1-D histories are rejected for the universe
+    kernels, missing histories raise."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        mc_paths_pallas_engine_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    levels2 = U.stack_levels(
+        [[{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+         [{"color": "teal", "type": "dashed", "index": 0, "price": 50.0}]],
+        max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sig = np.array([0.3, 0.3], np.float32)
+    with pytest.raises(ValueError, match="hist_bars"):
+        mc_paths_pallas_engine_universe(
+            0, levels2, EngineParams.default(), s0, sig,
+            paths_per_symbol=BLOCK, num_bars=8, lanes=LANES,
+            sampler="bootstrap")
+    with pytest.raises(ValueError, match="batched"):
+        mc_paths_pallas_engine_universe(
+            0, levels2, EngineParams.default(), s0, sig,
+            paths_per_symbol=BLOCK, num_bars=8, lanes=LANES,
+            sampler="bootstrap", hist_bars=_history(3, 100), interpret=True)
