@@ -227,6 +227,28 @@ def cmd_mc(args):
     return 0
 
 
+def _hist_paths_bars(args):
+    """Recorded o/h/l/c/v history (1-D ops.pathgen.PathBars) for bootstrap
+    samplers: ``--bars-csv`` if given, else the synthetic 390-bar fixture
+    (the ``paths`` horizon ``--num-bars`` is NOT the history length)."""
+    import types as _types
+
+    import numpy as np
+
+    from ..ops.pathgen import PathBars
+
+    a = _types.SimpleNamespace(**vars(args))
+    if not getattr(args, "bars_csv", None):
+        a.num_bars = max(390, getattr(args, "num_bars", 0))
+    dict_rows, _bars = _load_bars(a)
+
+    def col(k):
+        return np.asarray([r[k] for r in dict_rows], np.float32)
+
+    return PathBars(open=col("o"), high=col("h"), low=col("l"),
+                    close=col("c"), volume=col("v"))
+
+
 def cmd_paths(args):
     import jax
 
@@ -237,6 +259,13 @@ def cmd_paths(args):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    sampler = getattr(args, "sampler", "gbm")
+    hist = _hist_paths_bars(args) if sampler != "gbm" else None
+    kernel_sampler = sampler in ("gbm", "bootstrap")
+    if args.backend == "auto" and not kernel_sampler:
+        backend = "xla"          # auto falls back when the kernels can't
+    if sampler != "gbm" and getattr(args, "ckpt_dir", None):
+        raise SystemExit("--ckpt-dir runs use the gbm sampler")
     noise = None
     stds = (getattr(args, "entry_slip_std", 0.0),
             getattr(args, "level_jitter_std", 0.0),
@@ -275,6 +304,7 @@ def cmd_paths(args):
 
         use_kernel = (backend == "pallas"
                       and not getattr(args, "ckpt_dir", None)
+                      and kernel_sampler
                       and len(rows) <= 32)
         if getattr(args, "ckpt_dir", None):
             from ..sim import resumable
@@ -298,13 +328,14 @@ def cmd_paths(args):
                 args.seed, small, params,
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, noise=noise,
+                sampler=sampler, hist_bars=hist,
             )
         else:
             stats, skips, escal = EPATH.mc_paths_engine(
                 jax.random.key(args.seed), levels, params,
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
-                noise=noise,
+                noise=noise, sampler=sampler, hist_bars=hist,
             )
         out = {
             "paths": float(stats.n), "entered": float(stats.n_entered),
@@ -338,6 +369,9 @@ def cmd_paths(args):
             if len(rows) > 8:
                 raise SystemExit("pallas backend supports up to 8 levels; "
                                  "use --backend xla")
+            if not kernel_sampler:
+                raise SystemExit("pallas gated kernel samplers: gbm | "
+                                 "bootstrap; use --backend xla")
             if args.num_paths % GATED_BLOCK:
                 raise SystemExit(
                     f"--num-paths must be a multiple of {GATED_BLOCK} "
@@ -347,6 +381,7 @@ def cmd_paths(args):
                 args.seed, small, params, gate,
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, noise=noise,
+                sampler=sampler, hist_bars=hist,
             )
         else:
             stats = gatedpath.mc_paths_gated(
@@ -354,6 +389,7 @@ def cmd_paths(args):
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
                 antithetic=args.antithetic, noise=noise,
+                sampler=sampler, hist_bars=hist,
             )
     elif backend == "pallas":
         from ..ops.pallas_mc import mc_paths_pallas
@@ -362,10 +398,14 @@ def cmd_paths(args):
         small = Levels.from_rows(rows[:8], max_levels=8) if len(rows) <= 8 else None
         if small is None:
             raise SystemExit("pallas backend supports up to 8 levels; use --backend xla")
+        if not kernel_sampler:
+            raise SystemExit("pallas kernel samplers: gbm | bootstrap; "
+                             "use --backend xla")
         stats = mc_paths_pallas(
             args.seed, small, params,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, noise=noise,
+            sampler=sampler, hist_bars=hist,
         )
     else:
         stats = pathsim.mc_paths(
@@ -373,6 +413,7 @@ def cmd_paths(args):
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
             antithetic=args.antithetic, noise=noise,
+            sampler=sampler, hist_bars=hist,
         )
     out = {
         "paths": float(stats.n), "entered": float(stats.n_entered),
@@ -446,7 +487,10 @@ def _sweep_engine(args, rows, levels, params):
 
     jitters = getattr(args, "jitter_stds", None)
     combos = list(itertools.product(args.stops, args.tps, jitters or [None]))
-    use_kernel = jax.devices()[0].platform != "cpu" and len(rows) <= 32
+    sampler = getattr(args, "sampler", "gbm")
+    hist = _hist_paths_bars(args) if sampler != "gbm" else None
+    use_kernel = (jax.devices()[0].platform != "cpu" and len(rows) <= 32
+                  and sampler in ("gbm", "bootstrap"))
 
     def mk_noise(jit_stds):
         if jitters is None:
@@ -478,7 +522,7 @@ def _sweep_engine(args, rows, levels, params):
         stats, _skips, escal = mc_paths_pallas_engine_sweep(
             args.seed, small, grid_params,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-            sigma=args.sigma,
+            sigma=args.sigma, sampler=sampler, hist_bars=hist,
             noise=mk_noise(jnp.asarray([c[2] for c in combos], jnp.float32)
                            if jitters else None),
         )
@@ -492,6 +536,7 @@ def _sweep_engine(args, rows, levels, params):
                 stop_padding=jnp.float32(sp), tp_padding=jnp.float32(tp)),
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
+            sampler=sampler, hist_bars=hist,
             noise=mk_noise(jnp.float32(jit)) if jit is not None else None,
         ) for sp, tp, jit in combos]
         stats = jax.tree_util.tree_map(
@@ -526,6 +571,8 @@ def cmd_sweep(args):
     qmin_grid = getattr(args, "qmins", None)
     if not gated and (touch_grid or qmin_grid):
         raise SystemExit("--touch-limits/--qmins require --gated")
+    if getattr(args, "sampler", "gbm") != "gbm" and not engine:
+        raise SystemExit("sweep --sampler bootstrap requires --engine")
     if engine:
         return _sweep_engine(args, rows, levels, params)
     if gated:
@@ -841,6 +888,16 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--seed", type=int, default=0)
     pa.add_argument("--antithetic", action="store_true")
     pa.add_argument("--qmin", type=float, default=None)
+    pa.add_argument("--sampler",
+                    choices=["gbm", "bootstrap", "block_bootstrap"],
+                    default="gbm",
+                    help="path sampler: gbm generates; bootstrap resamples "
+                         "RECORDED bars (--bars-csv, real volumes — the "
+                         "reference MC walks recorded bars) and runs fused "
+                         "on TPU; block_bootstrap is XLA-only")
+    pa.add_argument("--bars-csv", default=None,
+                    help="recorded o/h/l/c/v history for bootstrap samplers "
+                         "(default: synthetic 390-bar fixture)")
     pa.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto",
                     help="pallas = fused kernel on TPU (first-contact/gated: "
                          "<=8 levels; --engine: <=32 levels, any horizon); "
@@ -892,6 +949,12 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--engine", action="store_true",
                     help="sweep the FULL 12-gate engine lifecycle (CRN; "
                          "fused kernel on TPU, per-config XLA runs on CPU)")
+    sw.add_argument("--sampler", choices=["gbm", "bootstrap"], default="gbm",
+                    help="engine only: bootstrap sweeps the knob grid over "
+                         "RECORDED bars (--bars-csv) with CRN — identical "
+                         "resample indices per row")
+    sw.add_argument("--bars-csv", default=None,
+                    help="recorded o/h/l/c/v history for --sampler bootstrap")
     sw.add_argument("--jitter-stds", type=float, nargs="+", default=None,
                     help="engine only: put level-jitter stds on the grid axis "
                          "(cartesian with stops/tps) — every row replays the "

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 from ..types import APPROACH_FROM_BELOW, Levels
 
-_INF = jnp.float32(jnp.inf)
+# plain float: a module-scope jnp scalar would initialize the default
+# backend at import time (dispatching one op over the TPU tunnel before the
+# CLI can force CPU)
+_INF = float("inf")
 
 
 def nearest_level(levels: Levels, price) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -62,6 +62,7 @@ from ..sim.enginepath import SKIP_REASONS
 from ..sim.pathsim import HIST_BINS, LIFE_HIST_HI, LIFE_HIST_LO, PathStats
 from ..types import Levels
 from .pallas_mc import (
+    HIST_CHANNELS,
     ROW_HIST,
     ROW_MAX,
     ROW_MAXDD,
@@ -69,6 +70,9 @@ from .pallas_mc import (
     ROW_SUM,
     _BIG,
     _TWO_PI,
+    _hist_gather_tiles,
+    _hist_slab,
+    _hist_slab_batched,
     _init_acc,
     _level_rows,
     _uniform,
@@ -105,7 +109,7 @@ DRAWS_PER_PAIR_NOISE = 18
 # (+ 8 noise blocks at ks 4..11) — recorded bars need no price/volume normals
 BOOT_DRAWS_PER_PAIR = 4
 BOOT_DRAWS_PER_PAIR_NOISE = 12
-HIST_CHANNELS = 5    # bootstrap tables: logc / logh / logl / logo / volume
+# HIST_CHANNELS (bootstrap table channels) re-exported from pallas_mc
 
 
 def _young_bars(guard_params) -> int:
@@ -907,25 +911,9 @@ def _engine_lifecycle_loop(
 
     def _hist_gather(ch, idx_f):
         """Per-lane gather of channel ``ch`` of the recorded-bar tables at
-        (f32 small-int exact) indices ``idx_f``.  Mosaic's ``dynamic_gather``
-        requires the SOURCE to span one vreg along the gather (lane) axis, so
-        both the table and the index tile are processed in 128-lane chunks:
-        every (8, 128) index chunk gathers from every (8, 128) table chunk,
-        range-selected by arithmetic blend, and the outputs concatenate back
-        to (8, lanes)."""
-        idx = idx_f.astype(jnp.int32)
-        cols = []
-        for j in range(lanes // 128):
-            idx_j = idx[:, 128 * j:128 * (j + 1)]
-            acc = jnp.zeros((s, 128), jnp.float32)
-            for ti in range(h_tiles):
-                local = idx_j - jnp.int32(128 * ti)
-                in_r = jnp.logical_and(local >= 0, local < 128)
-                li = jnp.clip(local, 0, 127)
-                g = jnp.take_along_axis(get_hist_tile(ch, ti), li, axis=1)
-                acc = acc + g * in_r.astype(jnp.float32)
-            cols.append(acc)
-        return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+        indices ``idx_f`` (shared 128-lane-chunked dynamic_gather helper)."""
+        return _hist_gather_tiles(
+            lambda ti: get_hist_tile(ch, ti), h_tiles, idx_f, rows=s)
 
     def _ring_fold(ring, op):
         """Elementwise fold of every (8, lanes) slot of a stacked ring with a
@@ -1426,47 +1414,8 @@ def mc_paths_pallas_engine(
     )
 
 
-def _hist_slab(hist_bars, lanes: int):
-    """Stack the bootstrap tables into a (HIST_CHANNELS*8, h_tiles*128) VMEM
-    slab: each channel row sublane-broadcast so every (8, 128) chunk is a
-    direct ``take_along_axis`` operand (Mosaic dynamic_gather needs a
-    one-vreg-wide source along the gather axis)."""
-    from .pathgen import bootstrap_tables
-
-    tabs = bootstrap_tables(
-        hist_bars.open, hist_bars.high, hist_bars.low, hist_bars.close,
-        getattr(hist_bars, "volume", None))
-    h = tabs[0].shape[0]
-    hp = -(-h // 128) * 128
-    rows = [jnp.broadcast_to(jnp.pad(t, (0, hp - h))[None, :], (8, hp))
-            for t in tabs]
-    return jnp.concatenate(rows, axis=0), h
-
-
-def _hist_slab_batched(hist_bars, lanes: int):
-    """Per-symbol recorded histories as an (S, HIST_CHANNELS*8,
-    h_tiles*128) VMEM slab — one ``_hist_slab`` layout per symbol row,
-    indexed by the universe kernels' symbol grid axis.  Histories are
-    rectangular [S, H]: every symbol resamples its OWN recorded bars over a
-    common lookback window (the reference MC replays each symbol's last N
-    recorded bars, :3353-3538)."""
-    from .pathgen import bootstrap_tables
-
-    o = jnp.asarray(hist_bars.open, jnp.float32)
-    if o.ndim != 2:
-        raise ValueError("universe bootstrap needs [S, H]-batched hist_bars "
-                         "(one recorded history row per symbol)")
-    vol = getattr(hist_bars, "volume", None)
-    vol = jnp.zeros_like(o) if vol is None else jnp.asarray(vol, jnp.float32)
-    tabs = jax.vmap(bootstrap_tables)(
-        o, jnp.asarray(hist_bars.high, jnp.float32),
-        jnp.asarray(hist_bars.low, jnp.float32),
-        jnp.asarray(hist_bars.close, jnp.float32), vol)
-    n_sym, h = tabs[0].shape
-    hp = -(-h // 128) * 128
-    rows = [jnp.broadcast_to(jnp.pad(t, ((0, 0), (0, hp - h)))[:, None, :],
-                             (n_sym, 8, hp)) for t in tabs]
-    return jnp.concatenate(rows, axis=1), h
+# _hist_slab / _hist_slab_batched (bootstrap-table VMEM slabs) live in
+# pallas_mc and are shared by the gated kernel family.
 
 
 @functools.partial(

@@ -199,6 +199,76 @@ def _bootstrap_block(draw_idx, hist_row, *, w: int, b: int, hist_len: int,
     )
 
 
+HIST_CHANNELS = 5    # bootstrap tables: logc / logh / logl / logo / volume
+
+
+def _hist_slab(hist_bars, lanes: int):
+    """Stack the bootstrap tables into a (HIST_CHANNELS*8, h_tiles*128) VMEM
+    slab: each channel row sublane-broadcast so every (8, 128) chunk is a
+    direct ``take_along_axis`` operand (Mosaic dynamic_gather needs a
+    one-vreg-wide source along the gather axis)."""
+    from .pathgen import bootstrap_tables
+
+    tabs = bootstrap_tables(
+        hist_bars.open, hist_bars.high, hist_bars.low, hist_bars.close,
+        getattr(hist_bars, "volume", None))
+    h = tabs[0].shape[0]
+    hp = -(-h // 128) * 128
+    rows = [jnp.broadcast_to(jnp.pad(t, (0, hp - h))[None, :], (8, hp))
+            for t in tabs]
+    return jnp.concatenate(rows, axis=0), h
+
+
+def _hist_slab_batched(hist_bars, lanes: int):
+    """Per-symbol recorded histories as an (S, HIST_CHANNELS*8,
+    h_tiles*128) VMEM slab — one ``_hist_slab`` layout per symbol row,
+    indexed by the universe kernels' symbol grid axis.  Histories are
+    rectangular [S, H]: every symbol resamples its OWN recorded bars over a
+    common lookback window (the reference MC replays each symbol's last N
+    recorded bars, :3353-3538)."""
+    from .pathgen import bootstrap_tables
+
+    o = jnp.asarray(hist_bars.open, jnp.float32)
+    if o.ndim != 2:
+        raise ValueError("universe bootstrap needs [S, H]-batched hist_bars "
+                         "(one recorded history row per symbol)")
+    vol = getattr(hist_bars, "volume", None)
+    vol = jnp.zeros_like(o) if vol is None else jnp.asarray(vol, jnp.float32)
+    tabs = jax.vmap(bootstrap_tables)(
+        o, jnp.asarray(hist_bars.high, jnp.float32),
+        jnp.asarray(hist_bars.low, jnp.float32),
+        jnp.asarray(hist_bars.close, jnp.float32), vol)
+    n_sym, h = tabs[0].shape
+    hp = -(-h // 128) * 128
+    rows = [jnp.broadcast_to(jnp.pad(t, ((0, 0), (0, hp - h)))[:, None, :],
+                             (n_sym, 8, hp)) for t in tabs]
+    return jnp.concatenate(rows, axis=1), h
+
+
+def _hist_gather_tiles(get_tile, h_tiles: int, idx_f, *, rows: int):
+    """Per-lane gather of lane-tiled history tables at (f32 small-int exact)
+    indices ``idx_f`` [rows, lanes].  Mosaic's ``dynamic_gather`` requires
+    the SOURCE to span one vreg along the gather (lane) axis, so both the
+    table and the index tile are processed in 128-lane chunks: every
+    (rows, 128) index chunk gathers from every (rows, 128) table chunk
+    (``get_tile(ti)``), range-selected by arithmetic blend, and the outputs
+    concatenate back to (rows, lanes)."""
+    idx = idx_f.astype(jnp.int32)
+    lanes = idx_f.shape[1]
+    cols = []
+    for j in range(lanes // 128):
+        idx_j = idx[:, 128 * j:128 * (j + 1)]
+        acc = jnp.zeros((rows, 128), jnp.float32)
+        for ti in range(h_tiles):
+            local = idx_j - jnp.int32(128 * ti)
+            in_r = jnp.logical_and(local >= 0, local < 128)
+            li = jnp.clip(local, 0, 127)
+            g = jnp.take_along_axis(get_tile(ti), li, axis=1)
+            acc = acc + g * in_r.astype(jnp.float32)
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+
 def _first_contact(
     bars: _Bars, get_level: Callable, max_levels: int, prox, *, w: int, b: int
 ) -> _Contact:
@@ -726,6 +796,16 @@ GATED_BLOCK = GATED_SUB * GATED_LANES
 ROW_MAXDD = 4        # worst per-path drawdown — 'max' combine, zero identity
 
 
+def _gated_stride(sampler: str, use_noise: bool) -> int:
+    """Uniform blocks consumed per double-bar step by the gated loop.
+
+    GBM: (u1, u2) Box-Muller pair + 2×(u3, u4, tie) bridge/tie draws = 8
+    (+8 noise blocks).  Bootstrap: (u_idx0, u_idx1, tie0, tie1) = 4 (+8)."""
+    if sampler == "bootstrap":
+        return 12 if use_noise else 4
+    return 16 if use_noise else 8
+
+
 def _gated_kernel(
     seed_ref,          # SMEM (1,1) i32
     knobs_ref,         # SMEM (1,8) f32: [prox, stop_pad, tp_pad, _,
@@ -735,7 +815,8 @@ def _gated_kernel(
     level_price_ref,   # VMEM (L, 128) f32
     level_valid_ref,   # VMEM (L, 128) f32
     level_kind_ref,    # VMEM (L, 128) f32 (1 solid / 0 dashed)
-    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    *refs,             # [hist_ref (bootstrap)], [u_ref (external rng,
+                       # interpret tests only)], acc_ref
     num_bars: int,
     s0: float,
     drift: float,
@@ -744,6 +825,8 @@ def _gated_kernel(
     lanes: int = GATED_LANES,
     external_rng: bool = False,
     use_noise: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
 ):
     """The QMMX engine per path, entirely on-chip: bars are generated
     bar-by-bar inside the loop (no (W,B) residency, no cumsum matmul — the
@@ -751,13 +834,24 @@ def _gated_kernel(
     (sim/gatedpath.py semantics: cooldown, per-level fresh-touch latch with
     the LEVEL_OVERTOUCHED budget, confidence gate, per-path equity/peak/
     drawdown) advances over full (8, lanes) vector registers.
+    ``sampler="bootstrap"`` resamples recorded bars from the VMEM table
+    slab instead of generating GBM (the reference MC walks recorded bars,
+    :3353-3538).
 
     All counters are f32 (small integers are exact; keeps every op in one
     vreg type).  Bool algebra is composed with and/or — Mosaic cannot select
     over i1 operands — while f32 selects use jnp.where freely.
     """
     s, b = GATED_SUB, lanes
-    stride = 16 if use_noise else 8
+    stride = _gated_stride(sampler, use_noise)
+    refs = list(refs)
+    if sampler == "bootstrap":
+        hist_ref = refs.pop(0)
+        hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
+                                        ti * 128:(ti + 1) * 128],
+                hist_len)
+    else:
+        hist = None
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -784,6 +878,7 @@ def _gated_kernel(
         max_levels=max_levels, lanes=lanes,
         noise=(tuple(knobs_ref[0, 4 + k] for k in range(4))
                if use_noise else None),
+        sampler=sampler, hist=hist,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -795,7 +890,7 @@ def _gated_kernel(
 
 def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                           knobs, gates, max_levels, lanes=GATED_LANES,
-                          noise=None):
+                          noise=None, sampler="gbm", hist=None):
     """The streaming generate+trade loop shared by the gated kernels.
 
     Each ``fori_loop`` iteration processes TWO bars from one paired
@@ -812,9 +907,27 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     (lvl_jitter, entry_slip, stop_slip, tgt_slip) std scalars — per-ENTRY
     gaussian execution noise (sim/gatedpath.gated_path_replay semantics,
     reference MC :3453-3461) drawn as two extra Box-Muller pairs per bar
-    (draw ks 8..15 per double-bar step).  Returns the final
+    (draw ks 8..15 per double-bar step; bootstrap: ks 4..11).
+
+    ``sampler="bootstrap"`` resamples RECORDED bar geometry in-loop (the
+    reference MC walks recorded bars, :3353-3538): ``hist =
+    (get_hist_tile, hist_len)`` exposes the precomputed relative-geometry
+    tables (ops/pathgen.bootstrap_tables) as (8, lanes) VMEM tiles; each
+    bar draws ONE uniform → ``idx = floor(u·H)``, gathers logc/logh/logl
+    (+ logo on bar 0 — gated_path_replay seeds bar-0 prev-close from
+    ``open[0]``) and chains ``log_close = log_prev + logc[idx]``.
+    Bootstrap draw layout per double-bar step: (u_idx0, u_idx1, tie0,
+    tie1) [+ 8 noise blocks at ks 4..11].  Returns the final
     (side, equity, dd, trades, wins, losses)."""
     s, b = GATED_SUB, lanes
+    bootstrap = sampler == "bootstrap"
+    if bootstrap:
+        get_hist_tile, hist_len = hist
+        h_tiles = -(-int(hist_len) // 128)
+
+        def _hgather(ch, idx_f):
+            return _hist_gather_tiles(
+                lambda ti: get_hist_tile(ch, ti), h_tiles, idx_f, rows=s)
     prox, stop_pad, tp_pad = knobs
     qmin, touch_limit, cooldown_bars, touch_gap, use_conf = gates
 
@@ -835,45 +948,70 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
               for _ in range(max_levels)),                 # last touch bar
     )
 
-    def body(t2, st):
-        u1 = draw(t2, 0)
-        u2 = draw(t2, 1)
-        radius = jnp.sqrt(-2.0 * jnp.log(u1))
-        angle = _TWO_PI * u2
-        z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+    def body(t2, st, first=False):
+        if bootstrap:
+            z_pair = (draw(t2, 0), draw(t2, 1))      # per-bar index uniforms
+            ties = (draw(t2, 2), draw(t2, 3))
+            noise_k0 = 4
+        else:
+            u1 = draw(t2, 0)
+            u2 = draw(t2, 1)
+            radius = jnp.sqrt(-2.0 * jnp.log(u1))
+            angle = _TWO_PI * u2
+            z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+            ties = None
+            noise_k0 = 8
         for half in range(2):
             t_f = (2 * t2 + half).astype(jnp.float32)
             if noise is not None:
-                r1 = jnp.sqrt(-2.0 * jnp.log(draw(t2, 8 + 4 * half)))
-                a1 = _TWO_PI * draw(t2, 9 + 4 * half)
-                r2 = jnp.sqrt(-2.0 * jnp.log(draw(t2, 10 + 4 * half)))
-                a2 = _TWO_PI * draw(t2, 11 + 4 * half)
+                r1 = jnp.sqrt(-2.0 * jnp.log(draw(t2, noise_k0 + 4 * half)))
+                a1 = _TWO_PI * draw(t2, noise_k0 + 1 + 4 * half)
+                r2 = jnp.sqrt(-2.0 * jnp.log(draw(t2, noise_k0 + 2 + 4 * half)))
+                a2 = _TWO_PI * draw(t2, noise_k0 + 3 + 4 * half)
                 nz = (r1 * jnp.cos(a1), r1 * jnp.sin(a1),
                       r2 * jnp.cos(a2), r2 * jnp.sin(a2))
             else:
                 nz = None
-            st = _one_bar(
-                st, t_f, z_pair[half],
-                draw(t2, 2 + 3 * half), draw(t2, 3 + 3 * half),
-                draw(t2, 4 + 3 * half), nz,
-            )
+            if bootstrap:
+                st = _one_bar(st, t_f, z_pair[half], None, None,
+                              ties[half], nz, bar0=first and half == 0)
+            else:
+                st = _one_bar(
+                    st, t_f, z_pair[half],
+                    draw(t2, 2 + 3 * half), draw(t2, 3 + 3 * half),
+                    draw(t2, 4 + 3 * half), nz,
+                )
         return st
 
-    def _one_bar(st, t_f, z, u3, u4, tie, nz):
+    def _one_bar(st, t_f, z, u3, u4, tie, nz, bar0=False):
         (log_s, prev_c, side, entry, stop, target, cooldown,
          equity, peak, dd, trades, wins, losses, touch, last_tb) = st
 
-        # ---- generate this bar (streaming GBM + bridge extremes) ----
-        incr = drift + sig_dt * z
-        log_open = log_s                      # open == previous close, exact
-        log_close = log_s + incr
-        c = jnp.exp(log_close)
-        sig2dt = sig_dt * sig_dt
-        d2 = (log_close - log_open) ** 2
-        high = jnp.exp(0.5 * (log_open + log_close
-                              + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
-        low = jnp.exp(0.5 * (log_open + log_close
-                             - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
+        if bootstrap:
+            # ---- resample one RECORDED bar (relative geometry, :3353) ----
+            hf = jnp.float32(hist_len)
+            idx_f = jnp.minimum(jnp.floor(z * hf), hf - 1.0)
+            log_close = log_s + _hgather(0, idx_f)
+            c = jnp.exp(log_close)
+            high = jnp.exp(log_s + _hgather(1, idx_f))
+            low = jnp.exp(log_s + _hgather(2, idx_f))
+            # bar 0's prev close is open[0] in gated_path_replay — recorded
+            # bars have real open gaps, so gather logo on the statically
+            # peeled first bar only (zero cost in the steady-state loop)
+            if bar0:
+                prev_c = jnp.exp(log_s + _hgather(3, idx_f))
+        else:
+            # ---- generate this bar (streaming GBM + bridge extremes) ----
+            incr = drift + sig_dt * z
+            log_open = log_s                  # open == previous close, exact
+            log_close = log_s + incr
+            c = jnp.exp(log_close)
+            sig2dt = sig_dt * sig_dt
+            d2 = (log_close - log_open) ** 2
+            high = jnp.exp(0.5 * (log_open + log_close
+                                  + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
+            low = jnp.exp(0.5 * (log_open + log_close
+                                 - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
 
         # ---- 1) position management ----
         is_open = side != 0.0
@@ -991,9 +1129,13 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         return (log_close, c, side, entry, stop, target, cooldown,
                 equity, peak, dd, trades, wins, losses, touch, last_tb)
 
-    (_, _, side, _, _, _, _, equity, _, dd, trades, wins, losses, _, _) = (
-        jax.lax.fori_loop(0, num_bars // 2, body, init)
-    )
+    if bootstrap:
+        # static peel of the first double-bar step (bar-0 logo gather)
+        st = body(jnp.int32(0), init, first=True)
+        st = jax.lax.fori_loop(1, num_bars // 2, body, st)
+    else:
+        st = jax.lax.fori_loop(0, num_bars // 2, body, init)
+    (_, _, side, _, _, _, _, equity, _, dd, trades, wins, losses, _, _) = st
     return side, equity, dd, trades, wins, losses
 
 
@@ -1048,19 +1190,31 @@ def _gated_universe_kernel(
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
     level_kind_ref,    # VMEM (1, L, 128) f32
-    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    *refs,             # [hist_ref (bootstrap, THIS symbol's table slab)],
+                       # [u_ref (external rng, interpret tests only)], acc_ref
     num_bars: int,
     dt: float,
     max_levels: int,
     external_rng: bool = False,
     use_noise: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
 ):
     """Per-(symbol, block) gated lifecycle: the shared streaming loop with the
     symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad — plus its own
     noise stds) read from its VMEM slab row, and a per-symbol accumulator
-    block."""
+    block.  ``sampler="bootstrap"`` resamples each symbol's OWN recorded
+    history (symbol-indexed table slab, :3353-3538)."""
     s, b = GATED_SUB, GATED_LANES
-    stride = 16 if use_noise else 8
+    stride = _gated_stride(sampler, use_noise)
+    refs = list(refs)
+    if sampler == "bootstrap":
+        hist_ref = refs.pop(0)
+        hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
+                                        ti * 128:(ti + 1) * 128],
+                hist_len)
+    else:
+        hist = None
     s0 = sym_ref[0, 0, 0]
     sigma = sym_ref[0, 0, 1]
     sig_dt = sigma * jnp.float32(dt) ** 0.5
@@ -1091,6 +1245,7 @@ def _gated_universe_kernel(
         max_levels=max_levels,
         noise=(tuple(sym_ref[0, 0, 5 + k] for k in range(4))
                if use_noise else None),
+        sampler=sampler, hist=hist,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -1125,7 +1280,8 @@ def _symbol_slab(params: EngineParams, s0, sigma, n_sym: int, noise=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("paths_per_symbol", "num_bars", "dt", "interpret"),
+    static_argnames=("paths_per_symbol", "num_bars", "dt", "sampler",
+                     "interpret"),
 )
 def mc_paths_pallas_gated_universe(
     seed,
@@ -1139,13 +1295,19 @@ def mc_paths_pallas_gated_universe(
     num_bars: int = 40,
     dt: float = 1.0 / (390.0 * 252.0),
     noise=None,               # montecarlo.McNoise; leaves may be [S]
+    sampler: str = "gbm",     # "gbm" | "bootstrap" (per-symbol recorded bars)
+    hist_bars=None,           # PathBars-like [S, H] o/h/l/c histories
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 4*num_bars (8* w/ noise), 8, GATED_LANES]
+                              # (bootstrap: 2*num_bars (6*) rows)
 ) -> PathStats:
     """Per-symbol fused gated-lifecycle MC over a (symbol, block) grid;
     returns [S]-batched PathStats with lifecycle semantics.  Engine knobs
     (prox, stop_pad, tp_pad) and McNoise stds ride the per-symbol slab, so a
-    universe can mix per-symbol calibrations in one launch."""
+    universe can mix per-symbol calibrations in one launch.
+    ``sampler="bootstrap"`` streams each symbol's OWN recorded bars
+    (``hist_bars`` [S, H]-batched — the reference MC is a per-symbol
+    recorded-bar replay, :3353-3538)."""
     from ..sim.gatedpath import GateConfig
 
     if gate is None:
@@ -1158,14 +1320,24 @@ def mc_paths_pallas_gated_universe(
     n_sym, n_lv = lv_price.shape
     if n_lv > 8:
         raise ValueError("pallas gated universe kernel supports up to 8 level slots")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
+                         "recorded o/h/l/c histories, one row per symbol)")
     n_blocks = paths_per_symbol // GATED_BLOCK
     use_noise = noise is not None
-    u_rows = (8 if use_noise else 4) * num_bars
+    u_rows = _gated_stride(sampler, use_noise) * (num_bars // 2)
+    if sampler == "bootstrap":
+        hist, hist_len = _hist_slab_batched(hist_bars, GATED_LANES)
+    else:
+        hist, hist_len = None, 0
 
     external_rng = external_uniforms is not None
     kernel = functools.partial(
         _gated_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         external_rng=external_rng, use_noise=use_noise,
+        sampler=sampler, hist_len=hist_len,
     )
     gvec = jnp.stack([
         jnp.asarray(gate.q_min_prob, jnp.float32),
@@ -1196,6 +1368,9 @@ def mc_paths_pallas_gated_universe(
             pl.BlockSpec((1, n_lv, 128), lambda sy, bl: (sy, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
+            pl.BlockSpec((1,) + hist.shape[1:], lambda sy, bl: (sy, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
             pl.BlockSpec((1, 1, u_rows, GATED_SUB, GATED_LANES),
                          lambda sy, bl: (sy, bl, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -1205,6 +1380,7 @@ def mc_paths_pallas_gated_universe(
         out_shape=jax.ShapeDtypeStruct((n_sym, 8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, gvec, sym, lp, lvv, lk)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 
@@ -1232,7 +1408,7 @@ def _unpack_acc_gated(acc) -> PathStats:
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "lanes", "interpret"),
+                     "lanes", "sampler", "interpret"),
 )
 def mc_paths_pallas_gated(
     seed,
@@ -1248,14 +1424,20 @@ def mc_paths_pallas_gated(
     dt: float = 1.0 / (390.0 * 252.0),
     lanes: int = GATED_LANES,
     noise=None,               # montecarlo.McNoise — per-entry execution noise
+    sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
+    hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 4*num_bars (8* with noise), 8, lanes]
+                              # (bootstrap: 2*num_bars (6*) rows)
 ) -> PathStats:
     """Fused-kernel engine-gated MC: the sim/gatedpath.py lifecycle entirely
     on-chip, including the McNoise per-entry execution-noise knobs.  Same
     PathStats lifecycle contract as ``mc_paths_gated``; the noise stream is
     the per-core hardware PRNG (statistical agreement with the XLA pipeline;
-    exact parity is tested under injected uniforms)."""
+    exact parity is tested under injected uniforms).
+    ``sampler="bootstrap"`` resamples RECORDED bar geometry in-loop
+    (ops/pathgen.bootstrap_paths's scaled analog — the reference MC walks
+    recorded bars, :3353-3538) instead of generating GBM."""
     from ..sim.gatedpath import GateConfig
 
     if gate is None:
@@ -1267,17 +1449,25 @@ def mc_paths_pallas_gated(
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas gated kernel supports up to 8 level slots")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars")
     n_blocks = num_paths // block
 
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
     external_rng = external_uniforms is not None
     use_noise = noise is not None
-    u_rows = (8 if use_noise else 4) * num_bars
+    u_rows = _gated_stride(sampler, use_noise) * (num_bars // 2)
+    if sampler == "bootstrap":
+        hist, hist_len = _hist_slab(hist_bars, lanes)
+    else:
+        hist, hist_len = None, 0
     kernel = functools.partial(
         _gated_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, external_rng=external_rng,
-        use_noise=use_noise,
+        use_noise=use_noise, sampler=sampler, hist_len=hist_len,
     )
     zero = jnp.float32(0.0)
     knobs = jnp.stack([
@@ -1317,6 +1507,9 @@ def mc_paths_pallas_gated(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
+            pl.BlockSpec(hist.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
             pl.BlockSpec((1, u_rows, GATED_SUB, lanes),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
@@ -1325,6 +1518,7 @@ def mc_paths_pallas_gated(
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, knobs, gvec, lp, lv, lk)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 
@@ -1466,7 +1660,8 @@ def _gated_sweep_kernel(
     level_price_ref,   # VMEM (L, 128) f32
     level_valid_ref,   # VMEM (L, 128) f32
     level_kind_ref,    # VMEM (L, 128) f32
-    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    *refs,             # [hist_ref (bootstrap)], [u_ref (external rng,
+                       # interpret tests only)], acc_ref
     num_bars: int,
     s0: float,
     drift: float,
@@ -1475,6 +1670,8 @@ def _gated_sweep_kernel(
     n_grid: int,
     external_rng: bool = False,
     use_noise: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
 ):
     """One path block replayed through the FULL gated lifecycle for every
     grid configuration.  Common random numbers come from RESEEDING: the
@@ -1485,9 +1682,19 @@ def _gated_sweep_kernel(
     surfaces, not sampling noise.  Unlike the first-contact sweep (which
     generates once and replays barriers), gate knobs change which trades
     OPEN, so the whole generate+trade loop re-runs per config; generation is
-    ~40% of the loop, an acceptable price for zero cross-config variance."""
+    ~40% of the loop, an acceptable price for zero cross-config variance.
+    ``sampler="bootstrap"`` sweeps the grid over recorded-bar resampled
+    paths — identical resample indices per row (CRN on recorded history)."""
     s, b = GATED_SUB, GATED_LANES
-    stride = 16 if use_noise else 8
+    stride = _gated_stride(sampler, use_noise)
+    refs = list(refs)
+    if sampler == "bootstrap":
+        hist_ref = refs.pop(0)
+        hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
+                                        ti * 128:(ti + 1) * 128],
+                hist_len)
+    else:
+        hist = None
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -1521,6 +1728,7 @@ def _gated_sweep_kernel(
             max_levels=max_levels,
             noise=(tuple(grid_ref[g, 8 + k] for k in range(4))
                    if use_noise else None),
+            sampler=sampler, hist=hist,
         )
         _gated_accumulate(acc_ref, (g,), final, n_paths=s * b)
 
@@ -1528,7 +1736,7 @@ def _gated_sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "interpret"),
+                     "sampler", "interpret"),
 )
 def mc_paths_pallas_gated_sweep(
     seed,
@@ -1545,8 +1753,11 @@ def mc_paths_pallas_gated_sweep(
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
     noise=None,               # montecarlo.McNoise; leaves may be [G]
+    sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
+    hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 4*num_bars (8* w/ noise), 8, GATED_LANES]
+                              # (bootstrap: 2*num_bars (6*) rows)
 ) -> PathStats:
     """Gate-knob grid sweep over the fused gated lifecycle with common random
     numbers: the grid axis carries (stop_pad, tp_pad, q_min_prob, touch_limit,
@@ -1554,7 +1765,9 @@ def mc_paths_pallas_gated_sweep(
     surface the reference engine raises (touch budgets, Q_MIN_PROB) sweeps in
     ONE kernel launch over shared paths.  ``noise`` (McNoise; scalar or [G]
     leaves) adds per-entry execution noise — every row sees the SAME noise
-    normals scaled by its own stds.  Returns [G]-batched lifecycle
+    normals scaled by its own stds.  ``sampler="bootstrap"`` sweeps the grid
+    over recorded-bar resampled paths (identical resample indices per row —
+    CRN on recorded history, :3353-3538).  Returns [G]-batched lifecycle
     PathStats."""
     from ..sim.gatedpath import GateConfig
 
@@ -1566,6 +1779,10 @@ def mc_paths_pallas_gated_sweep(
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas gated sweep supports up to 8 level slots")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars")
     grid_stops = jnp.asarray(grid_stops, jnp.float32).reshape(-1)
     grid_tps = jnp.asarray(grid_tps, jnp.float32).reshape(-1)
     g = grid_stops.shape[0]
@@ -1573,7 +1790,11 @@ def mc_paths_pallas_gated_sweep(
         raise ValueError("grid_stops and grid_tps must have equal length")
     n_blocks = num_paths // GATED_BLOCK
     use_noise = noise is not None
-    u_rows = (8 if use_noise else 4) * num_bars
+    u_rows = _gated_stride(sampler, use_noise) * (num_bars // 2)
+    if sampler == "bootstrap":
+        hist, hist_len = _hist_slab(hist_bars, GATED_LANES)
+    else:
+        hist, hist_len = None, 0
 
     def gcol(x):
         return jnp.broadcast_to(jnp.asarray(x, jnp.float32).reshape(-1), (g,))
@@ -1597,6 +1818,7 @@ def mc_paths_pallas_gated_sweep(
         _gated_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
         sig_dt=sig_dt, max_levels=levels.max_levels, n_grid=g,
         external_rng=external_rng, use_noise=use_noise,
+        sampler=sampler, hist_len=hist_len,
     )
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
@@ -1621,6 +1843,9 @@ def mc_paths_pallas_gated_sweep(
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
+            pl.BlockSpec(hist.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
             pl.BlockSpec((1, u_rows, GATED_SUB, GATED_LANES),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
@@ -1629,6 +1854,7 @@ def mc_paths_pallas_gated_sweep(
         out_shape=jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, knobs, grid, lp, lv, lk)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 

@@ -418,7 +418,7 @@ def test_kernel_bootstrap_multi_tile_and_validation():
 
     with pytest.raises(ValueError, match="hist_bars"):
         mc_paths_pallas(0, LEVELS, PARAMS, num_paths=LANES, num_bars=W,
-                        sampler="bootstrap")
+                        lanes=LANES, sampler="bootstrap")
     # history spanning multiple lane tiles still runs (interpret, tiny)
     f = np.float32
     h = LANES + 77
