@@ -202,6 +202,40 @@ def _bootstrap_block(draw_idx, hist_row, *, w: int, b: int, hist_len: int,
 HIST_CHANNELS = 5    # bootstrap tables: logc / logh / logl / logo / volume
 
 
+def _hist_slab_flat(hist_bars):
+    """Bootstrap tables as a (4, h_tiles*128) row slab — the block-form
+    first-contact kernels gather with a (1, width) ``hist_row`` slice
+    broadcast over bars, so no sublane duplication is needed (volume is
+    unused: first-contact replay has no volume gates)."""
+    from .pathgen import bootstrap_tables
+
+    tabs = bootstrap_tables(hist_bars.open, hist_bars.high,
+                            hist_bars.low, hist_bars.close)
+    h = int(tabs[0].shape[0])
+    hp = -(-h // 128) * 128
+    return jnp.stack([jnp.pad(t, (0, hp - h)) for t in tabs[:4]], axis=0), h
+
+
+def _hist_slab_flat_batched(hist_bars):
+    """Per-symbol recorded histories as an (S, 4, h_tiles*128) slab — one
+    ``_hist_slab_flat`` layout per symbol row, indexed by the universe
+    kernel's symbol grid axis ([S, H] rectangular histories)."""
+    from .pathgen import bootstrap_tables
+
+    o = jnp.asarray(hist_bars.open, jnp.float32)
+    if o.ndim != 2:
+        raise ValueError("universe bootstrap needs [S, H]-batched hist_bars "
+                         "(one recorded history row per symbol)")
+    tabs = jax.vmap(bootstrap_tables)(
+        o, jnp.asarray(hist_bars.high, jnp.float32),
+        jnp.asarray(hist_bars.low, jnp.float32),
+        jnp.asarray(hist_bars.close, jnp.float32))
+    _n_sym, h = tabs[0].shape
+    hp = -(-h // 128) * 128
+    return jnp.stack([jnp.pad(t, ((0, 0), (0, hp - h)))
+                      for t in tabs[:4]], axis=1), h
+
+
 def _hist_slab(hist_bars, lanes: int):
     """Stack the bootstrap tables into a (HIST_CHANNELS*8, h_tiles*128) VMEM
     slab: each channel row sublane-broadcast so every (8, 128) chunk is a
@@ -591,14 +625,7 @@ def mc_paths_pallas(
     use_noise = noise is not None
     if sampler == "bootstrap":
         n_rows = num_bars + 1 + (4 if use_noise else 0)
-        from .pathgen import bootstrap_tables
-
-        tabs = bootstrap_tables(hist_bars.open, hist_bars.high,
-                                hist_bars.low, hist_bars.close)
-        hist_len = int(tabs[0].shape[0])
-        hp = -(-hist_len // 128) * 128
-        hist = jnp.stack(
-            [jnp.pad(t, (0, hp - hist_len)) for t in tabs[:4]], axis=0)
+        hist, hist_len = _hist_slab_flat(hist_bars)
     else:
         n_rows = 3 * num_bars + 1 + (4 if use_noise else 0)
         hist, hist_len = None, 0
@@ -667,23 +694,35 @@ def _universe_kernel(
                        #   [s0, sigma, prox, stop_pad, tp_pad, ...]
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
-    *refs,             # [u_ref (external rng, interpret tests only)], acc_ref
+    *refs,             # [hist_ref (bootstrap, THIS symbol's table slab)],
+                       # [u_ref (external rng, interpret tests only)], acc_ref
     num_bars: int,
     dt: float,
     max_levels: int,
     external_rng: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
 ):
     """Per-(symbol, block) grid step: the shared fused pipeline with the
     symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad) read from its
-    VMEM slab row, and a per-symbol accumulator row."""
+    VMEM slab row, and a per-symbol accumulator row.
+    ``sampler="bootstrap"`` resamples each symbol's OWN recorded history
+    (symbol-indexed table slab, :3353-3538)."""
     w, b = num_bars, LANES
     s0 = sym_ref[0, 0, 0]
     sigma = sym_ref[0, 0, 1]
     sig_dt = sigma * jnp.float32(dt) ** 0.5
     drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
 
-    offs = (0, w // 2, w, 2 * w, 3 * w)   # paired Box-Muller layout
-    lens = (w // 2, w // 2, w, w, 1)
+    if sampler == "bootstrap":
+        # uniform layout: u_idx w rows, tie one row
+        offs = (0, None, None, None, w)
+        lens = (w, None, None, None, 1)
+    else:
+        offs = (0, w // 2, w, 2 * w, 3 * w)   # paired Box-Muller layout
+        lens = (w // 2, w // 2, w, w, 1)
+    refs = list(refs)
+    hist_ref = refs.pop(0) if sampler == "bootstrap" else None
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -700,7 +739,15 @@ def _universe_kernel(
         def draw(k):
             return _uniform((lens[k], b))
 
-    bars = _gbm_block(draw, w=w, b=b, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0))
+    if sampler == "bootstrap":
+        bars = _bootstrap_block(
+            lambda: draw(0),
+            lambda ch, off, width: hist_ref[0, ch:ch + 1, off:off + width],
+            w=w, b=b, hist_len=hist_len, log_s0=jnp.log(s0),
+        )
+    else:
+        bars = _gbm_block(draw, w=w, b=b, drift=drift, sig_dt=sig_dt,
+                          log_s0=jnp.log(s0))
     ct = _first_contact(
         bars, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0]),
         max_levels, sym_ref[0, 0, 2], w=w, b=b,
@@ -716,7 +763,8 @@ def _universe_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("paths_per_symbol", "num_bars", "dt", "interpret"),
+    static_argnames=("paths_per_symbol", "num_bars", "dt", "sampler",
+                     "interpret"),
 )
 def mc_paths_pallas_universe(
     seed,
@@ -728,27 +776,43 @@ def mc_paths_pallas_universe(
     paths_per_symbol: int,
     num_bars: int = 40,
     dt: float = 1.0 / (390.0 * 252.0),
+    sampler: str = "gbm",     # "gbm" | "bootstrap" (per-symbol recorded bars)
+    hist_bars=None,           # PathBars-like [S, H] o/h/l/c histories
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 3*num_bars+1, LANES] (tests)
+                              # (bootstrap: num_bars+1 rows)
 ) -> PathStats:
     """Per-symbol fused MC over a (symbol, block) grid; returns [S]-batched
     PathStats (BASELINE config #4's hot path — ~20x the XLA universe pipeline).
     Engine knobs (prox, stop_pad, tp_pad) ride the per-symbol slab and may be
-    [S] vectors for per-symbol calibration."""
+    [S] vectors for per-symbol calibration.  ``sampler="bootstrap"`` streams
+    each symbol's OWN recorded bars (``hist_bars`` [S, H]-batched — the
+    reference MC is a per-symbol recorded-bar replay, :3353-3538)."""
     if paths_per_symbol % LANES != 0:
         raise ValueError(f"paths_per_symbol must be a multiple of {LANES}")
-    if num_bars % 2 != 0:
+    if sampler == "gbm" and num_bars % 2 != 0:
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     lv_price = jnp.asarray(levels.price)
     n_sym, n_lv = lv_price.shape
     if n_lv > 8:
         raise ValueError("pallas universe kernel supports up to 8 level slots")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
+                         "recorded o/h/l/c histories, one row per symbol)")
     n_blocks = paths_per_symbol // LANES
+    if sampler == "bootstrap":
+        n_rows = num_bars + 1
+        hist, hist_len = _hist_slab_flat_batched(hist_bars)
+    else:
+        n_rows = 3 * num_bars + 1
+        hist, hist_len = None, 0
 
     external_rng = external_uniforms is not None
     kernel = functools.partial(
         _universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
-        external_rng=external_rng,
+        external_rng=external_rng, sampler=sampler, hist_len=hist_len,
     )
     lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
     sym = _symbol_slab(params, s0, sigma, n_sym)
@@ -766,7 +830,10 @@ def mc_paths_pallas_universe(
             pl.BlockSpec((1, n_lv, 128), lambda s, b: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 1, 3 * num_bars + 1, LANES),
+            pl.BlockSpec((1,) + hist.shape[1:], lambda s, b: (s, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
+            pl.BlockSpec((1, 1, n_rows, LANES),
                          lambda s, b: (s, b, 0, 0), memory_space=pltpu.VMEM)
         ] if external_rng else []),
         out_specs=pl.BlockSpec((1, 8, 128), lambda s, b: (s, 0, 0),
@@ -774,6 +841,7 @@ def mc_paths_pallas_universe(
         out_shape=jax.ShapeDtypeStruct((n_sym, 8, 128), jnp.float32),
         interpret=interpret,
     )(*((seed_arr, sym, lp, lvv)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(external_uniforms, jnp.float32),)
             if external_rng else ())))
 
@@ -1535,31 +1603,48 @@ def _sweep_kernel(
     grid_ref,          # SMEM (G, 2) f32 rows: [stop_pad, tp_pad]
     level_price_ref,   # VMEM (8, 128) f32
     level_valid_ref,   # VMEM (8, 128) f32
-    acc_ref,           # VMEM (G, 8, 128) per-config accumulators
-    *,
+    *refs,             # [hist_ref (bootstrap)], acc_ref
     num_bars: int,
     s0: float,
     drift: float,
     sig_dt: float,
     max_levels: int,
     n_grid: int,
+    sampler: str = "gbm",
+    hist_len: int = 0,
 ):
     """One path block evaluated against the ENTIRE stop/target grid: path
     generation + first-contact detection run once, then each configuration
     replays against the same bars (common random numbers — the classic
-    variance-reduction layout for comparing configurations)."""
+    variance-reduction layout for comparing configurations).
+    ``sampler="bootstrap"`` generates the shared bars by recorded-bar
+    resampling instead (every grid row replays the same resampled
+    history walk, :3353-3538)."""
     w, b = num_bars, LANES
+    refs = list(refs)
+    hist_ref = refs.pop(0) if sampler == "bootstrap" else None
+    (acc_ref,) = refs
     pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
-    lens = (w // 2, w // 2, w, w, 1)   # paired Box-Muller layout
+    if sampler == "bootstrap":
+        lens = (w, None, None, None, 1)      # u_idx block + tie row
+    else:
+        lens = (w // 2, w // 2, w, w, 1)     # paired Box-Muller layout
 
     def draw(k):
         return _uniform((lens[k], b))
 
-    bars = _gbm_block(
-        draw, w=w, b=b, drift=jnp.float32(drift), sig_dt=jnp.float32(sig_dt),
-        log_s0=jnp.float32(np.log(s0)),
-    )
+    if sampler == "bootstrap":
+        bars = _bootstrap_block(
+            lambda: draw(0),
+            lambda ch, off, width: hist_ref[ch:ch + 1, off:off + width],
+            w=w, b=b, hist_len=hist_len, log_s0=jnp.float32(np.log(s0)),
+        )
+    else:
+        bars = _gbm_block(
+            draw, w=w, b=b, drift=jnp.float32(drift),
+            sig_dt=jnp.float32(sig_dt), log_s0=jnp.float32(np.log(s0)),
+        )
     ct = _first_contact(
         bars, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0]),
         max_levels, knobs_ref[0, 0], w=w, b=b,
@@ -1578,7 +1663,7 @@ def _sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "interpret"),
+                     "sampler", "interpret"),
 )
 def mc_paths_pallas_sweep(
     seed,
@@ -1593,17 +1678,26 @@ def mc_paths_pallas_sweep(
     mu: float = 0.0,
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
+    sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
+    hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     interpret=False,
 ) -> PathStats:
     """Whole stop/target grid per path block with shared path draws (CRN).
     Returns [G]-batched PathStats; path generation amortizes across the grid,
-    so G configs cost far less than G independent kernel runs."""
+    so G configs cost far less than G independent kernel runs.
+    ``sampler="bootstrap"`` sweeps the grid over recorded-bar resampled
+    paths (every row replays the same resampled history walk,
+    :3353-3538)."""
     if num_paths % LANES != 0:
         raise ValueError(f"num_paths must be a multiple of {LANES}")
-    if num_bars % 2 != 0:
+    if sampler == "gbm" and num_bars % 2 != 0:
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas kernel supports up to 8 level slots")
+    if sampler not in ("gbm", "bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap'")
+    if sampler == "bootstrap" and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars")
     grid_stops = jnp.asarray(grid_stops, jnp.float32).reshape(-1)
     grid_tps = jnp.asarray(grid_tps, jnp.float32).reshape(-1)
     g = grid_stops.shape[0]
@@ -1611,11 +1705,16 @@ def mc_paths_pallas_sweep(
         raise ValueError("grid_stops and grid_tps must have equal length")
     n_blocks = num_paths // LANES
 
+    if sampler == "bootstrap":
+        hist, hist_len = _hist_slab_flat(hist_bars)
+    else:
+        hist, hist_len = None, 0
     drift = (mu - 0.5 * sigma * sigma) * dt
     sig_dt = sigma * float(np.sqrt(dt))
     kernel = functools.partial(
         _sweep_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, n_grid=g,
+        sampler=sampler, hist_len=hist_len,
     )
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
@@ -1636,12 +1735,16 @@ def mc_paths_pallas_sweep(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((levels.max_levels, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([
+            pl.BlockSpec(hist.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []),
         out_specs=pl.BlockSpec((g, 8, 128), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
         interpret=interpret,
-    )(seed_arr, knobs, grid, lp, lv)
+    )(*((seed_arr, knobs, grid, lp, lv)
+         + ((hist,) if hist is not None else ())))
 
     return _unpack_acc(acc)
 

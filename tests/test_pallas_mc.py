@@ -437,3 +437,96 @@ def test_kernel_bootstrap_multi_tile_and_validation():
         interpret=pltpu.InterpretParams(), external_uniforms=u,
     )
     assert float(s.n) == LANES
+
+
+def _boot_history(seed, h):
+    """Recorded OHLC history with wick structure (first-contact bootstrap)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import PathBars
+
+    f = np.float32
+    rng = np.random.default_rng(seed)
+    steps = rng.normal(0, 0.1, h).astype(f)
+    c = f(100.0) + np.cumsum(steps, dtype=f)
+    o = np.concatenate([[f(100.0)], c[:-1]])
+    return PathBars(open=o, close=c,
+                    high=np.maximum(o, c) + rng.uniform(0, 0.1, h).astype(f),
+                    low=np.minimum(o, c) - rng.uniform(0, 0.1, h).astype(f),
+                    volume=np.ones(h, f))
+
+
+def test_universe_kernel_bootstrap_per_symbol_histories_exact():
+    """First-contact universe over per-symbol recorded bars: each symbol
+    resamples its OWN [S, H] history row (the reference MC is a per-symbol
+    recorded-bar replay, :3353-3538) and equals a single-config bootstrap
+    kernel run of that symbol under the same injected uniforms."""
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import PathBars
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    w = 16
+    rows = [[{"color": "blue", "type": "solid", "index": 0, "price": 100.2}],
+            [{"color": "teal", "type": "dashed", "index": 0, "price": 99.8}]]
+    levels2 = U.stack_levels(rows, max_levels=4)
+    s0 = np.array([100.0, 100.0], np.float32)
+    sigma = np.array([0.3, 0.5], np.float32)    # unused by bootstrap bars
+    hists = [_boot_history(11, 200), _boot_history(23, 200)]
+    hist2 = PathBars(*[np.stack([np.asarray(getattr(h, f)) for h in hists])
+                       for f in PathBars._fields])
+    rng = np.random.default_rng(31)
+    u = rng.uniform(1e-6, 1.0, (2, 1, w + 1, LANES)).astype(np.float32)
+
+    got = mc_paths_pallas_universe(
+        0, levels2, PARAMS, s0, sigma, paths_per_symbol=LANES, num_bars=w,
+        sampler="bootstrap", hist_bars=hist2, interpret=True,
+        external_uniforms=u,
+    )
+    assert got.n.shape == (2,)
+    for s in range(2):
+        levels_s = jax.tree_util.tree_map(lambda x: x[s], levels2)
+        want = mc_paths_pallas(
+            0, levels_s, PARAMS, num_paths=LANES, num_bars=w, lanes=LANES,
+            s0=float(s0[s]), sigma=float(sigma[s]), sampler="bootstrap",
+            hist_bars=hists[s], interpret=True, external_uniforms=u[s],
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_r"):
+            assert float(getattr(got, f)[s]) == float(getattr(want, f)), (s, f)
+        np.testing.assert_array_equal(np.asarray(got.hist[s]),
+                                      np.asarray(want.hist))
+    assert float(got.n_entered[0]) > 0
+
+
+def test_sweep_kernel_bootstrap_contract_interpret():
+    """Bootstrap sweep kernel contract (per-op interpret; PRNG-only kernel):
+    every grid row replays the SAME resampled history walk (CRN → identical
+    entered counts), accounting holds, and the rows exactly match
+    single-config kernel runs with the same seed (identical draw order)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_sweep,
+    )
+
+    hist = _boot_history(5, 150)
+    st = mc_paths_pallas_sweep(
+        0, LEVELS, PARAMS, [0.25, 0.35], [0.15, 0.25],
+        num_paths=LANES, num_bars=16, sigma=SIGMA, dt=DT,
+        sampler="bootstrap", hist_bars=hist,
+        interpret=pltpu.InterpretParams(),
+    )
+    assert st.n.shape == (2,)
+    np.testing.assert_array_equal(np.asarray(st.n), LANES)
+    np.testing.assert_allclose(
+        np.asarray(st.n_tp + st.n_stop + st.n_open), np.asarray(st.n_entered))
+    entered = np.asarray(st.n_entered)
+    assert entered[0] == entered[1]
+    for g, (sp, tp) in enumerate([(0.25, 0.15), (0.35, 0.25)]):
+        want = mc_paths_pallas(
+            0, LEVELS, PARAMS.replace(stop_padding=sp, tp_padding=tp),
+            num_paths=LANES, num_bars=16, lanes=LANES, sigma=SIGMA, dt=DT,
+            sampler="bootstrap", hist_bars=hist,
+            interpret=pltpu.InterpretParams(),
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "sum_r"):
+            assert float(getattr(st, f)[g]) == float(getattr(want, f)), (g, f)
