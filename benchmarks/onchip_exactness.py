@@ -314,6 +314,214 @@ def check_envelope():
     return ok
 
 
+def _slice_stats(st, *idx):
+    """Select one grid/symbol cell of a batched PathStats (hist_lo/hist_hi
+    are static, not pytree leaves, and pass through untouched)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda v: v[idx], st)
+
+
+def check_bootstrap():
+    """Round-4b: recorded-bar (bootstrap) streaming across ALL fused kernel
+    families pinned on-chip — engine sweep / universe / universe-sweep and
+    gated sweep / universe vs single-config kernel runs under the same
+    injected uniforms (identical resample indices), gated single vs the XLA
+    replay, first-contact universe vs the single kernel, and the PRNG-only
+    first-contact sweep vs same-seed single runs (identical draw order).
+    Set QMMX_EXACT_INTERPRET=1 to smoke the harness on CPU (interpret mode;
+    skips the PRNG-only check — prng_seed cannot lower there)."""
+    import os
+
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        ENGINE_SUB,
+        mc_paths_pallas_engine,
+        mc_paths_pallas_engine_sweep,
+        mc_paths_pallas_engine_universe,
+        mc_paths_pallas_engine_universe_sweep,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        LANES,
+        _gated_stride,
+        mc_paths_pallas,
+        mc_paths_pallas_gated,
+        mc_paths_pallas_gated_sweep,
+        mc_paths_pallas_gated_universe,
+        mc_paths_pallas_sweep,
+        mc_paths_pallas_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+    from tests.test_engine_bootstrap import (
+        BOOT_DRAWS_PER_PAIR as EBOOT,
+        _history,
+        _stacked_histories,
+    )
+    from tests.test_gated_bootstrap import (
+        _bars_from_boot_uniforms as mk_gated_boot_bars,
+        _xla_stats,
+    )
+
+    interp = bool(int(os.environ.get("QMMX_EXACT_INTERPRET", "0")))
+    rng = np.random.default_rng(77)
+    ok = True
+
+    # ---- engine family (lanes=256) over one shared recorded history ----
+    w, lanes = 24, 256
+    hist = _history(3, 300)
+    stop_g = np.array([0.18, 0.32], np.float32)
+    u = rng.uniform(1e-6, 1.0, (1, EBOOT * (w // 2), ENGINE_SUB, lanes),
+                    ).astype(np.float32)
+    lv3 = Levels.from_rows(
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+         {"color": "teal", "type": "dashed", "index": 0, "price": 100.35},
+         {"color": "orange", "type": "solid", "index": 0, "price": 99.65}],
+        max_levels=4)
+    kw = dict(num_paths=ENGINE_SUB * lanes, num_bars=w, dt=DT, lanes=lanes,
+              sampler="bootstrap", hist_bars=hist, interpret=interp,
+              external_uniforms=u)
+    singles = [mc_paths_pallas_engine(
+        0, lv3, EngineParams.default(stop_padding=float(sg)), **kw)
+        for sg in stop_g]
+    grid = EngineParams.default().replace(stop_padding=jnp.asarray(stop_g))
+    sw = mc_paths_pallas_engine_sweep(0, lv3, grid, **kw)
+    for g in range(2):
+        ok = _judge(f"engine-sweep-bootstrap[{g}]", _slice_stats(sw[0], g),
+                    singles[g][0],
+                    extra={"skips_equal": bool(np.array_equal(
+                        np.asarray(sw[1][g]), np.asarray(singles[g][1]))),
+                        "escal": [float(sw[2][g]), float(singles[g][2])],
+                    }) and ok
+
+    # per-symbol engine universe + [S, G] universe-sweep
+    rows2 = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+         {"color": "teal", "type": "dashed", "index": 0, "price": 100.4}],
+        [{"color": "orange", "type": "solid", "index": 0, "price": 50.1}],
+    ]
+    lv2 = U.stack_levels(rows2, max_levels=4)
+    s0v = np.array([100.0, 50.0], np.float32)
+    sgv = np.array([0.35, 0.5], np.float32)
+    hist2 = _stacked_histories([11, 23], 256)
+    uu = rng.uniform(1e-6, 1.0, (2, 1, EBOOT * (w // 2), ENGINE_SUB, lanes),
+                     ).astype(np.float32)
+    pars = EngineParams.default().replace(
+        stop_padding=jnp.asarray([0.20, 0.30], np.float32))
+    un = mc_paths_pallas_engine_universe(
+        0, lv2, pars, s0v, sgv, paths_per_symbol=ENGINE_SUB * lanes,
+        num_bars=w, dt=DT, lanes=lanes, sampler="bootstrap", hist_bars=hist2,
+        interpret=interp, external_uniforms=uu)
+    usw = mc_paths_pallas_engine_universe_sweep(
+        0, lv2, pars.replace(stop_padding=jnp.asarray(stop_g)), s0v, sgv,
+        paths_per_symbol=ENGINE_SUB * lanes, num_bars=w, dt=DT, lanes=lanes,
+        sampler="bootstrap", hist_bars=hist2, interpret=interp,
+        external_uniforms=uu)
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv2)
+        h_s = jax.tree_util.tree_map(lambda x: x[s], hist2)
+        single = mc_paths_pallas_engine(
+            0, lv_s, EngineParams.default(stop_padding=[0.20, 0.30][s]),
+            num_paths=ENGINE_SUB * lanes, num_bars=w, s0=float(s0v[s]),
+            sigma=float(sgv[s]), dt=DT, lanes=lanes, sampler="bootstrap",
+            hist_bars=h_s, interpret=interp, external_uniforms=uu[s])
+        ok = _judge(f"engine-universe-bootstrap[{s}]",
+                    _slice_stats(un[0], s), single[0],
+                    extra={"escal": [float(un[2][s]), float(single[2])]},
+                    ) and ok
+        for g in range(2):
+            sg_single = mc_paths_pallas_engine(
+                0, lv_s, EngineParams.default(stop_padding=float(stop_g[g])),
+                num_paths=ENGINE_SUB * lanes, num_bars=w, s0=float(s0v[s]),
+                sigma=float(sgv[s]), dt=DT, lanes=lanes, sampler="bootstrap",
+                hist_bars=h_s, interpret=interp, external_uniforms=uu[s])
+            ok = _judge(f"engine-universe-sweep-bootstrap[{s},{g}]",
+                        _slice_stats(usw[0], s, g), sg_single[0]) and ok
+
+    # ---- gated family (1024 lanes) ----
+    gb = _gated_stride("bootstrap", False)
+    ug = rng.uniform(1e-6, 1.0, (1, gb * (w // 2), GATED_SUB, GATED_LANES),
+                     ).astype(np.float32)
+    params = EngineParams.default(stop_padding=0.25, tp_padding=0.18)
+    got = mc_paths_pallas_gated(
+        0, lv3, params, num_paths=GATED_SUB * GATED_LANES, num_bars=w,
+        lanes=GATED_LANES, sampler="bootstrap", hist_bars=hist,
+        interpret=interp, external_uniforms=ug)
+    bars, tieu = mk_gated_boot_bars(ug[0], hist, w, lanes=GATED_LANES)
+    ok = _judge("gated-bootstrap", got,
+                _xla_stats(bars, tieu, lv3, params)) and ok
+    gsw = mc_paths_pallas_gated_sweep(
+        0, lv3, params, stop_g, np.array([0.15, 0.25], np.float32),
+        num_paths=GATED_SUB * GATED_LANES, num_bars=w, sampler="bootstrap",
+        hist_bars=hist, interpret=interp, external_uniforms=ug)
+    ugu = rng.uniform(
+        1e-6, 1.0, (2, 1, gb * (w // 2), GATED_SUB, GATED_LANES),
+    ).astype(np.float32)
+    gun = mc_paths_pallas_gated_universe(
+        0, lv2, pars, s0v, sgv, paths_per_symbol=GATED_SUB * GATED_LANES,
+        num_bars=w, sampler="bootstrap", hist_bars=hist2, interpret=interp,
+        external_uniforms=ugu)
+    for g, (sg, tg) in enumerate([(0.18, 0.15), (0.32, 0.25)]):
+        single = mc_paths_pallas_gated(
+            0, lv3, params.replace(stop_padding=sg, tp_padding=tg),
+            num_paths=GATED_SUB * GATED_LANES, num_bars=w, lanes=GATED_LANES,
+            sampler="bootstrap", hist_bars=hist, interpret=interp,
+            external_uniforms=ug)
+        ok = _judge(f"gated-sweep-bootstrap[{g}]", _slice_stats(gsw, g),
+                    single) and ok
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv2)
+        h_s = jax.tree_util.tree_map(lambda x: x[s], hist2)
+        single = mc_paths_pallas_gated(
+            0, lv_s, EngineParams.default(stop_padding=[0.20, 0.30][s]),
+            num_paths=GATED_SUB * GATED_LANES, num_bars=w, s0=float(s0v[s]),
+            sigma=float(sgv[s]), lanes=GATED_LANES, sampler="bootstrap",
+            hist_bars=h_s, interpret=interp, external_uniforms=ugu[s])
+        ok = _judge(f"gated-universe-bootstrap[{s}]", _slice_stats(gun, s),
+                    single) and ok
+
+    # ---- first-contact family ----
+    uf = rng.uniform(1e-6, 1.0, (2, 1, w + 1, LANES)).astype(np.float32)
+    hists_fc = [_history(41, 200), _history(43, 200)]
+    from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import PathBars
+
+    hist2_fc = PathBars(*[jnp.stack([jnp.asarray(getattr(h, f))
+                                     for h in hists_fc])
+                          for f in PathBars._fields])
+    fun = mc_paths_pallas_universe(
+        0, lv2, EngineParams.default(), s0v, sgv, paths_per_symbol=LANES,
+        num_bars=w, dt=DT, sampler="bootstrap", hist_bars=hist2_fc,
+        interpret=interp, external_uniforms=uf)
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv2)
+        single = mc_paths_pallas(
+            0, lv_s, EngineParams.default(), num_paths=LANES, num_bars=w,
+            lanes=LANES, s0=float(s0v[s]), sigma=float(sgv[s]), dt=DT,
+            sampler="bootstrap", hist_bars=hists_fc[s], interpret=interp,
+            external_uniforms=uf[s])
+        ok = _judge(f"fc-universe-bootstrap[{s}]", _slice_stats(fun, s),
+                    single, counts=("n", "n_entered", "n_tp", "n_stop",
+                                    "n_open")) and ok
+    if not interp:
+        # PRNG-only sweep kernel: same seed + same draw order == the single
+        # kernel's stream, so rows must match single runs bitwise on-chip
+        fsw = mc_paths_pallas_sweep(
+            7, lv3, EngineParams.default(), stop_g, [0.15, 0.25],
+            num_paths=LANES, num_bars=w, sigma=SIGMA, dt=DT,
+            sampler="bootstrap", hist_bars=hist)
+        for g, (sg, tg) in enumerate([(float(stop_g[0]), 0.15),
+                                      (float(stop_g[1]), 0.25)]):
+            single = mc_paths_pallas(
+                7, lv3, EngineParams.default().replace(
+                    stop_padding=sg, tp_padding=tg),
+                num_paths=LANES, num_bars=w, lanes=LANES, sigma=SIGMA, dt=DT,
+                sampler="bootstrap", hist_bars=hist)
+            ok = _judge(f"fc-sweep-bootstrap[{g}]", _slice_stats(fsw, g),
+                        single, counts=("n", "n_entered", "n_tp", "n_stop",
+                                        "n_open")) and ok
+    return ok
+
+
 def main(only=None):
     import jax
 
@@ -328,6 +536,7 @@ def main(only=None):
         "engine": check_engine,
         "engine_noise": check_engine_noise,
         "envelope": check_envelope,
+        "bootstrap": check_bootstrap,
     }
     ok = True
     for name, fn in checks.items():
