@@ -450,6 +450,41 @@ def check_bootstrap():
     bars, tieu = mk_gated_boot_bars(ug[0], hist, w, lanes=GATED_LANES)
     ok = _judge("gated-bootstrap", got,
                 _xla_stats(bars, tieu, lv3, params)) and ok
+
+    # block-bootstrap (contiguous runs): engine + gated singles vs the
+    # mirrored-oracle XLA replays under the same uniforms
+    from tests.test_engine_bootstrap import (
+        _bars_from_blockboot_uniforms as mk_eng_block_bars,
+    )
+    from tests.test_gated_bootstrap import (
+        _bars_from_blockboot_uniforms as mk_gated_block_bars,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim import enginepath as EP
+    from qmmx_monolithic_monte_carlo_tpu.sim.pathsim import (
+        PathStats as _PS,
+    )
+
+    bl = 5
+    eb = mc_paths_pallas_engine(
+        0, lv3, EngineParams.default(stop_padding=0.25, tp_padding=0.18),
+        num_paths=ENGINE_SUB * lanes, num_bars=w, dt=DT, lanes=lanes,
+        sampler="block_bootstrap", hist_bars=hist, block_len=bl,
+        interpret=interp, external_uniforms=u)
+    bbars, btie = mk_eng_block_bars(u[0], hist, w, bl, lanes=lanes)
+    bout = EP.engine_path_replay(
+        bbars, lv3, EngineParams.default(stop_padding=0.25, tp_padding=0.18),
+        btie)
+    ok = _judge("engine-block-bootstrap", eb[0], _PS.from_lifecycle(
+        equity=bout.equity, trades=bout.trades, wins=bout.wins,
+        losses=bout.losses, open_at_end=bout.open_at_end,
+        max_dd=bout.max_dd)) and ok
+    gblk = mc_paths_pallas_gated(
+        0, lv3, params, num_paths=GATED_SUB * GATED_LANES, num_bars=w,
+        lanes=GATED_LANES, sampler="block_bootstrap", hist_bars=hist,
+        block_len=bl, interpret=interp, external_uniforms=ug)
+    gbars, gtie = mk_gated_block_bars(ug[0], hist, w, bl, lanes=GATED_LANES)
+    ok = _judge("gated-block-bootstrap", gblk,
+                _xla_stats(gbars, gtie, lv3, params)) and ok
     gsw = mc_paths_pallas_gated_sweep(
         0, lv3, params, stop_g, np.array([0.15, 0.25], np.float32),
         num_paths=GATED_SUB * GATED_LANES, num_bars=w, sampler="bootstrap",

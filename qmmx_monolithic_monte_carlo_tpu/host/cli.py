@@ -261,7 +261,8 @@ def cmd_paths(args):
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     sampler = getattr(args, "sampler", "gbm")
     hist = _hist_paths_bars(args) if sampler != "gbm" else None
-    kernel_sampler = sampler in ("gbm", "bootstrap")
+    block_len = int(getattr(args, "block_len", 10))
+    kernel_sampler = sampler in ("gbm", "bootstrap", "block_bootstrap")
     if args.backend == "auto" and not kernel_sampler:
         backend = "xla"          # auto falls back when the kernels can't
     if sampler != "gbm" and getattr(args, "ckpt_dir", None):
@@ -328,7 +329,7 @@ def cmd_paths(args):
                 args.seed, small, params,
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, noise=noise,
-                sampler=sampler, hist_bars=hist,
+                sampler=sampler, hist_bars=hist, block_len=block_len,
             )
         else:
             stats, skips, escal = EPATH.mc_paths_engine(
@@ -336,6 +337,7 @@ def cmd_paths(args):
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
                 noise=noise, sampler=sampler, hist_bars=hist,
+                block_len=block_len,
             )
         out = {
             "paths": float(stats.n), "entered": float(stats.n_entered),
@@ -371,7 +373,8 @@ def cmd_paths(args):
                                  "use --backend xla")
             if not kernel_sampler:
                 raise SystemExit("pallas gated kernel samplers: gbm | "
-                                 "bootstrap; use --backend xla")
+                                 "bootstrap | block_bootstrap; use "
+                                 "--backend xla")
             if args.num_paths % GATED_BLOCK:
                 raise SystemExit(
                     f"--num-paths must be a multiple of {GATED_BLOCK} "
@@ -381,7 +384,7 @@ def cmd_paths(args):
                 args.seed, small, params, gate,
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, noise=noise,
-                sampler=sampler, hist_bars=hist,
+                sampler=sampler, hist_bars=hist, block_len=block_len,
             )
         else:
             stats = gatedpath.mc_paths_gated(
@@ -389,7 +392,7 @@ def cmd_paths(args):
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
                 antithetic=args.antithetic, noise=noise,
-                sampler=sampler, hist_bars=hist,
+                sampler=sampler, hist_bars=hist, block_len=block_len,
             )
     elif backend == "pallas":
         from ..ops.pallas_mc import mc_paths_pallas
@@ -399,13 +402,13 @@ def cmd_paths(args):
         if small is None:
             raise SystemExit("pallas backend supports up to 8 levels; use --backend xla")
         if not kernel_sampler:
-            raise SystemExit("pallas kernel samplers: gbm | bootstrap; "
-                             "use --backend xla")
+            raise SystemExit("pallas kernel samplers: gbm | bootstrap | "
+                             "block_bootstrap; use --backend xla")
         stats = mc_paths_pallas(
             args.seed, small, params,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, noise=noise,
-            sampler=sampler, hist_bars=hist,
+            sampler=sampler, hist_bars=hist, block_len=block_len,
         )
     else:
         stats = pathsim.mc_paths(
@@ -413,7 +416,7 @@ def cmd_paths(args):
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
             antithetic=args.antithetic, noise=noise,
-            sampler=sampler, hist_bars=hist,
+            sampler=sampler, hist_bars=hist, block_len=block_len,
         )
     out = {
         "paths": float(stats.n), "entered": float(stats.n_entered),
@@ -489,8 +492,9 @@ def _sweep_engine(args, rows, levels, params):
     combos = list(itertools.product(args.stops, args.tps, jitters or [None]))
     sampler = getattr(args, "sampler", "gbm")
     hist = _hist_paths_bars(args) if sampler != "gbm" else None
+    block_len = int(getattr(args, "block_len", 10))
     use_kernel = (jax.devices()[0].platform != "cpu" and len(rows) <= 32
-                  and sampler in ("gbm", "bootstrap"))
+                  and sampler in ("gbm", "bootstrap", "block_bootstrap"))
 
     def mk_noise(jit_stds):
         if jitters is None:
@@ -523,6 +527,7 @@ def _sweep_engine(args, rows, levels, params):
             args.seed, small, grid_params,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, sampler=sampler, hist_bars=hist,
+            block_len=block_len,
             noise=mk_noise(jnp.asarray([c[2] for c in combos], jnp.float32)
                            if jitters else None),
         )
@@ -536,7 +541,7 @@ def _sweep_engine(args, rows, levels, params):
                 stop_padding=jnp.float32(sp), tp_padding=jnp.float32(tp)),
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
-            sampler=sampler, hist_bars=hist,
+            sampler=sampler, hist_bars=hist, block_len=block_len,
             noise=mk_noise(jnp.float32(jit)) if jit is not None else None,
         ) for sp, tp, jit in combos]
         stats = jax.tree_util.tree_map(
@@ -891,10 +896,13 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--sampler",
                     choices=["gbm", "bootstrap", "block_bootstrap"],
                     default="gbm",
-                    help="path sampler: gbm generates; bootstrap resamples "
-                         "RECORDED bars (--bars-csv, real volumes — the "
-                         "reference MC walks recorded bars) and runs fused "
-                         "on TPU; block_bootstrap is XLA-only")
+                    help="path sampler: gbm generates; bootstrap/"
+                         "block_bootstrap resample RECORDED bars "
+                         "(--bars-csv, real volumes — the reference MC "
+                         "walks recorded bars; block_ preserves contiguous "
+                         "runs) — all three run fused on TPU")
+    pa.add_argument("--block-len", type=int, default=10,
+                    help="block_bootstrap: contiguous run length")
     pa.add_argument("--bars-csv", default=None,
                     help="recorded o/h/l/c/v history for bootstrap samplers "
                          "(default: synthetic 390-bar fixture)")
@@ -949,12 +957,16 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--engine", action="store_true",
                     help="sweep the FULL 12-gate engine lifecycle (CRN; "
                          "fused kernel on TPU, per-config XLA runs on CPU)")
-    sw.add_argument("--sampler", choices=["gbm", "bootstrap"], default="gbm",
+    sw.add_argument("--sampler",
+                    choices=["gbm", "bootstrap", "block_bootstrap"],
+                    default="gbm",
                     help="engine only: bootstrap sweeps the knob grid over "
                          "RECORDED bars (--bars-csv) with CRN — identical "
                          "resample indices per row")
     sw.add_argument("--bars-csv", default=None,
                     help="recorded o/h/l/c/v history for --sampler bootstrap")
+    sw.add_argument("--block-len", type=int, default=10,
+                    help="block_bootstrap: contiguous run length")
     sw.add_argument("--jitter-stds", type=float, nargs="+", default=None,
                     help="engine only: put level-jitter stds on the grid axis "
                          "(cartesian with stops/tps) — every row replays the "

@@ -124,7 +124,10 @@ def _young_bars(guard_params) -> int:
 
 
 def _draw_stride(sampler: str, use_noise: bool) -> int:
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
+        # block bootstrap keeps the iid layout (one index uniform per bar);
+        # non-block-start bars simply ignore theirs — CRN streams stay
+        # aligned across samplers of the same family
         return BOOT_DRAWS_PER_PAIR_NOISE if use_noise else BOOT_DRAWS_PER_PAIR
     return DRAWS_PER_PAIR_NOISE if use_noise else DRAWS_PER_PAIR
 
@@ -149,8 +152,8 @@ def _engine_lifecycle_loop(
     draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     eng, ml, pol_w, tm, gd, max_levels, lanes, vm, escalation: bool,
     noise=None, harvest: bool = False, sampler: str = "gbm", hist=None,
-    gen_only: bool = False, skip_d: bool = False, policy_off: bool = False,
-    young_bars: int = 0,
+    block_len: int = 0, gen_only: bool = False, skip_d: bool = False,
+    policy_off: bool = False, young_bars: int = 0,
 ):
     """The streaming generate+full-engine loop.
 
@@ -185,10 +188,14 @@ def _engine_lifecycle_loop(
     u_idx1, tie0, tie1) [+ 8 noise blocks at ks 4..11]."""
     s, b = ENGINE_SUB, lanes
     windowed_guard = num_bars > GUARD_WINDOW_BARS
-    bootstrap = sampler == "bootstrap"
+    bootstrap = sampler in ("bootstrap", "block_bootstrap")
+    block = sampler == "block_bootstrap"
     if bootstrap:
         get_hist_tile, hist_len = hist
         h_tiles = -(-int(hist_len) // 128)
+        if block and int(hist_len) <= int(block_len):
+            raise ValueError("block_bootstrap needs history longer than "
+                             f"block_len ({hist_len} <= {block_len})")
     (prox, stop_pad, tp_pad, qmin, cooldown_ms, enable_veto, veto_strong,
      veto_prox, disable_ml, use_blend, w_rules_raw, w_ml_raw, confl_within,
      overtouch_limit, policy_disabled, bar0_minute, has_levels) = eng
@@ -230,9 +237,10 @@ def _engine_lifecycle_loop(
     def ring_slot(ring, j):
         return ring[s * j:s * (j + 1)]
 
-    init = (
+    init = ((
         zero + log_s0,                 # log_s
         jnp.exp(zero + log_s0),        # prev_c (== open[0] bitwise)
+    ) + ((zero,) if block else ()) + (  # block-bootstrap current block start
         zero,                          # side
         zero, zero, zero, zero,        # entry / stop / target / risk0
         zero + _NEVER,                 # cooldown_until_ms (expired)
@@ -262,7 +270,7 @@ def _engine_lifecycle_loop(
         # features + per-(bucket, label) tally tiles, empty when off
         (zs(4) + zs(2 * HV.ML_BUCKETS) + zs(3 * 2 * HV.POL_BUCKETS)
          if harvest else ()),
-    )
+    ))
 
     def body(t2, st, young=False):
         if bootstrap:
@@ -306,6 +314,9 @@ def _engine_lifecycle_loop(
         return st
 
     def _one_bar(st, t_i, z, zv, u3, u4, tie, nz, young=False):
+        if block:
+            blk_start = st[2]
+            st = st[:2] + st[3:]
         (log_s, prev_c, side, entry, stop, target, risk0, cooldown_until,
          last_dir, equity, peak, dd, trades, wins, losses, escal,
          c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
@@ -328,7 +339,21 @@ def _engine_lifecycle_loop(
         if bootstrap:
             # ---- resample one RECORDED bar (relative geometry, :3353) ----
             hf = jnp.float32(hist_len)
-            idx_f = jnp.minimum(jnp.floor(z * hf), hf - 1.0)
+            if block:
+                # contiguous block_len-bar runs (ops/pathgen
+                # block_bootstrap_paths): one start uniform per block — the
+                # reference MC replays contiguous recorded sequences, so
+                # block resampling preserves the vol clustering / intraday
+                # momentum iid resampling destroys.  Non-start bars ignore
+                # their index uniform (same draw layout as iid).
+                bl = jnp.float32(block_len)
+                off = t_f - bl * jnp.floor(t_f / bl)
+                new_start = jnp.minimum(jnp.floor(z * (hf - bl)),
+                                        hf - bl - 1.0)
+                blk_start = jnp.where(off == 0.0, new_start, blk_start)
+                idx_f = blk_start + off
+            else:
+                idx_f = jnp.minimum(jnp.floor(z * hf), hf - 1.0)
             logc_t = _hist_gather(0, idx_f)
             logh_t = _hist_gather(1, idx_f)
             logl_t = _hist_gather(2, idx_f)
@@ -368,12 +393,15 @@ def _engine_lifecycle_loop(
             # --stage-split): consume the generated bar, skip the engine.
             # equity's dependency chain keeps generation + accumulation live.
             equity = equity + (c - h) + (low - c) * 0.5 + v * 1e-12
-            return (log_close, c, side, entry, stop, target, risk0,
-                    cooldown_until, last_dir, equity, peak, dd, trades, wins,
-                    losses, escal, c_counts, c_latch, tm_cnt, tm_ts, tm_px,
-                    tap_ts, tap_ratio, run_low, run_high, box_low, box_high,
-                    box_valid, regime, inside_cnt, ring_v, ring_c, skips,
-                    hstate)
+            ret = (log_close, c, side, entry, stop, target, risk0,
+                   cooldown_until, last_dir, equity, peak, dd, trades, wins,
+                   losses, escal, c_counts, c_latch, tm_cnt, tm_ts, tm_px,
+                   tap_ts, tap_ratio, run_low, run_high, box_low, box_high,
+                   box_valid, regime, inside_cnt, ring_v, ring_c, skips,
+                   hstate)
+            if block:
+                ret = ret[:2] + (blk_start,) + ret[2:]
+            return ret
 
         # ---- nearest-level scan at the close (shared by stage B's
         # escalation check and gate 6 — one pass instead of two) ----------
@@ -896,11 +924,14 @@ def _engine_lifecycle_loop(
         hstate = ((pend_mlb, pend_polb, pend_x1, pend_x6)
                   + tuple(hm) + tuple(hp_cnt) + tuple(hp_x1) + tuple(hp_x6)
                   ) if harvest else hstate
-        return (log_close, c, side, entry, stop, target, risk0, cooldown_until,
-                last_dir, equity, peak, dd, trades, wins, losses, escal,
-                c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
-                run_low, run_high, box_low, box_high, box_valid, regime,
-                inside_cnt, ring_v, ring_c, skips, hstate)
+        ret = (log_close, c, side, entry, stop, target, risk0, cooldown_until,
+               last_dir, equity, peak, dd, trades, wins, losses, escal,
+               c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
+               run_low, run_high, box_low, box_high, box_valid, regime,
+               inside_cnt, ring_v, ring_c, skips, hstate)
+        if block:
+            ret = ret[:2] + (blk_start,) + ret[2:]
+        return ret
 
     def _confluence_thresh(confl_d, within):
         cnt = zero
@@ -1083,6 +1114,8 @@ def _engine_lifecycle_loop(
             final = _one_bar(final, jnp.int32(num_bars - 1), z_last, zv_last,
                              draw(t2, 4), draw(t2, 5), draw(t2, 6), nz_last,
                              young=young_last)
+    if block:
+        final = final[:2] + final[3:]          # drop the blk_start carry
     (_, _, side, _, _, _, _, _, _, equity, _, dd, trades, wins, losses, escal,
      *_rest) = final
     skips = final[-2]
@@ -1168,6 +1201,7 @@ def _engine_kernel(
     use_harvest: bool = False,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
     gen_only: bool = False,
     skip_d: bool = False,
     policy_off: bool = False,
@@ -1176,7 +1210,7 @@ def _engine_kernel(
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
     refs = list(refs)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
                                         ti * 128:(ti + 1) * 128],
@@ -1209,7 +1243,7 @@ def _engine_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(eng_ref[0, 17 + k] for k in range(4))
                if use_noise else None),
-        harvest=use_harvest, sampler=sampler, hist=hist, gen_only=gen_only,
+        harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len, gen_only=gen_only,
         skip_d=skip_d, policy_off=policy_off, young_bars=young_bars,
     )
 
@@ -1355,6 +1389,7 @@ def mc_paths_pallas_engine(
     harvest: bool = False,    # collect flywheel label stats (models/harvest.py)
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c/v history (bootstrap)
+    block_len: int = 10,      # block_bootstrap: contiguous run length
     gen_only: bool = False,   # roofline mode: generate bars, skip the engine
     skip_d: bool = False,     # roofline mode: skip the minute-close pipeline
     interpret=False,
@@ -1396,9 +1431,10 @@ def mc_paths_pallas_engine(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError(
+            "engine kernel samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars (recorded "
                          "o/h/l/c/v history)")
     return _engine_impl(
@@ -1409,6 +1445,7 @@ def mc_paths_pallas_engine(
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
+        block_len=int(block_len),
         gen_only=bool(gen_only), skip_d=bool(skip_d),
         young_bars=_young_bars(guard_params), interpret=interpret,
     )
@@ -1422,14 +1459,15 @@ def mc_paths_pallas_engine(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "harvest", "sampler",
+                     "policy_gate_disabled", "harvest", "sampler", "block_len",
                      "gen_only", "skip_d", "young_bars", "interpret"),
 )
 def _engine_impl(
     seed, levels, params, policy, ml_model, touch_params, guard_params,
     noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
     sigma, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, harvest, sampler, gen_only, skip_d, young_bars, interpret,
+    volume_model, harvest, sampler, block_len, gen_only, skip_d, young_bars,
+    interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1443,7 +1481,7 @@ def _engine_impl(
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist, hist_len = _hist_slab(hist_bars, lanes)
     else:
         hist, hist_len = None, 0
@@ -1451,7 +1489,7 @@ def _engine_impl(
         _engine_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, external_rng=external_rng, use_noise=use_noise,
-        use_harvest=harvest, sampler=sampler, hist_len=hist_len,
+        use_harvest=harvest, sampler=sampler, hist_len=hist_len, block_len=block_len,
         gen_only=gen_only, skip_d=skip_d, policy_off=bool(policy_gate_disabled),
         young_bars=young_bars,
     )
@@ -1530,6 +1568,7 @@ def _engine_sweep_kernel(
     use_noise: bool = False,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -1546,7 +1585,7 @@ def _engine_sweep_kernel(
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
     refs = list(refs)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
                                         ti * 128:(ti + 1) * 128],
@@ -1590,7 +1629,7 @@ def _engine_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[g, 17 + k] for k in range(4))
                    if use_noise else None),
-            sampler=sampler, hist=hist,
+            sampler=sampler, hist=hist, block_len=block_len,
             policy_off=policy_off, young_bars=young_bars,
         )
         _engine_accumulate(acc_ref, (g,), final, n_paths=s * b)
@@ -1620,6 +1659,7 @@ def mc_paths_pallas_engine_sweep(
     n_grid: int | None = None,
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c/v history (bootstrap)
+    block_len: int = 10,      # block_bootstrap: contiguous run length
     interpret=False,
     external_uniforms=None,
 ):
@@ -1668,9 +1708,10 @@ def mc_paths_pallas_engine_sweep(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError(
+            "engine kernel samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars (recorded "
                          "o/h/l/c/v history)")
     return _engine_sweep_impl(
@@ -1680,7 +1721,7 @@ def mc_paths_pallas_engine_sweep(
         dt=dt, lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, sampler=sampler,
+        volume_model=volume_model, sampler=sampler, block_len=int(block_len),
         young_bars=_young_bars(guard_params),
         interpret=interpret,
     )
@@ -1690,14 +1731,14 @@ def mc_paths_pallas_engine_sweep(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "n_grid", "volume_model", "escalation",
-                     "bar0_minute", "policy_gate_disabled", "sampler",
+                     "bar0_minute", "policy_gate_disabled", "sampler", "block_len",
                      "young_bars", "interpret"),
 )
 def _engine_sweep_impl(
     seed, levels, grid_params, policy, ml_model, touch_params, guard_params,
     noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
     sigma, dt, lanes, n_grid, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, sampler, young_bars, interpret,
+    volume_model, sampler, block_len, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1711,7 +1752,7 @@ def _engine_sweep_impl(
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist, hist_len = _hist_slab(hist_bars, lanes)
     else:
         hist, hist_len = None, 0
@@ -1719,7 +1760,7 @@ def _engine_sweep_impl(
         _engine_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
         sig_dt=sig_dt, max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, n_grid=n_grid, external_rng=external_rng,
-        use_noise=use_noise, sampler=sampler, hist_len=hist_len,
+        use_noise=use_noise, sampler=sampler, hist_len=hist_len, block_len=block_len,
         policy_off=bool(policy_gate_disabled),
         young_bars=young_bars,
     )
@@ -1797,6 +1838,7 @@ def _engine_universe_kernel(
     use_harvest: bool = False,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -1809,7 +1851,7 @@ def _engine_universe_kernel(
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
     refs = list(refs)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
                                         ti * 128:(ti + 1) * 128],
@@ -1850,7 +1892,7 @@ def _engine_universe_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
                if use_noise else None),
-        harvest=use_harvest, sampler=sampler, hist=hist,
+        harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len,
         policy_off=policy_off, young_bars=young_bars,
     )
 
@@ -1884,6 +1926,7 @@ def mc_paths_pallas_engine_universe(
     harvest: bool = False,    # per-symbol flywheel label stats
     sampler: str = "gbm",     # "gbm" | "bootstrap" (per-symbol recorded bars)
     hist_bars=None,           # PathBars-like [S, H] o/h/l/c/v histories
+    block_len: int = 10,      # block_bootstrap: contiguous run length
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 5*num_bars (9* w/ noise), 8, lanes]
 ):
@@ -1924,9 +1967,10 @@ def mc_paths_pallas_engine_universe(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError(
+            "engine kernel samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c/v histories, one row per symbol)")
     return _engine_universe_impl(
@@ -1937,6 +1981,7 @@ def mc_paths_pallas_engine_universe(
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
+        block_len=int(block_len),
         young_bars=_young_bars(guard_params), interpret=interpret,
     )
 
@@ -1968,6 +2013,7 @@ def _engine_universe_sweep_kernel(
     use_noise: bool = False,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -1981,7 +2027,7 @@ def _engine_universe_sweep_kernel(
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
     refs = list(refs)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
                                         ti * 128:(ti + 1) * 128],
@@ -2034,7 +2080,7 @@ def _engine_universe_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[0, g, 17 + k] for k in range(4))
                    if use_noise else None),
-            sampler=sampler, hist=hist,
+            sampler=sampler, hist=hist, block_len=block_len,
             policy_off=policy_off, young_bars=young_bars,
         )
         _engine_accumulate(acc_ref, (0, g), final, n_paths=s * b)
@@ -2063,6 +2109,7 @@ def mc_paths_pallas_engine_universe_sweep(
     n_grid: int | None = None,
     sampler: str = "gbm",  # "gbm" | "bootstrap" (per-symbol recorded bars)
     hist_bars=None,        # PathBars-like [S, H] o/h/l/c/v histories
+    block_len: int = 10,   # block_bootstrap: contiguous run length
     interpret=False,
     external_uniforms=None,
 ):
@@ -2112,9 +2159,10 @@ def mc_paths_pallas_engine_universe_sweep(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError(
+            "engine kernel samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c/v histories, one row per symbol)")
     return _engine_universe_sweep_impl(
@@ -2125,7 +2173,7 @@ def mc_paths_pallas_engine_universe_sweep(
         lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, sampler=sampler,
+        volume_model=volume_model, sampler=sampler, block_len=int(block_len),
         young_bars=_young_bars(guard_params),
         interpret=interpret,
     )
@@ -2135,14 +2183,14 @@ def mc_paths_pallas_engine_universe_sweep(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes", "n_grid",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "sampler", "young_bars",
+                     "policy_gate_disabled", "sampler", "block_len", "young_bars",
                      "interpret"),
 )
 def _engine_universe_sweep_impl(
     seed, levels, grid_params, s0, sigma, policy, ml_model, touch_params,
     guard_params, noise, hist_bars, external_uniforms, *, paths_per_symbol,
     num_bars, dt, lanes, n_grid, policy_gate_disabled, escalation,
-    bar0_minute, volume_model, sampler, young_bars, interpret,
+    bar0_minute, volume_model, sampler, block_len, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2155,7 +2203,7 @@ def _engine_universe_sweep_impl(
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist, hist_len = _hist_slab_batched(hist_bars, lanes)
     else:
         hist, hist_len = None, 0
@@ -2163,7 +2211,7 @@ def _engine_universe_sweep_impl(
         _engine_universe_sweep_kernel, num_bars=num_bars, dt=dt,
         max_levels=n_lv, lanes=lanes, vm=vm, escalation=escalation,
         n_grid=n_grid, external_rng=external_rng, use_noise=use_noise,
-        sampler=sampler, hist_len=hist_len,
+        sampler=sampler, hist_len=hist_len, block_len=block_len,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     grid = _pack_eng_sg(grid_params, policy_gate_disabled, bar0_minute,
@@ -2232,14 +2280,14 @@ def _engine_universe_sweep_impl(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "harvest", "sampler",
+                     "policy_gate_disabled", "harvest", "sampler", "block_len",
                      "young_bars", "interpret"),
 )
 def _engine_universe_impl(
     seed, levels, params, s0, sigma, policy, ml_model, touch_params,
     guard_params, noise, hist_bars, external_uniforms, *, paths_per_symbol,
     num_bars, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, harvest, sampler, young_bars, interpret,
+    volume_model, harvest, sampler, block_len, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2252,7 +2300,7 @@ def _engine_universe_impl(
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist, hist_len = _hist_slab_batched(hist_bars, lanes)
     else:
         hist, hist_len = None, 0
@@ -2260,7 +2308,7 @@ def _engine_universe_impl(
         _engine_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         lanes=lanes, vm=vm, escalation=escalation, external_rng=external_rng,
         use_noise=use_noise, use_harvest=harvest, sampler=sampler,
-        hist_len=hist_len,
+        hist_len=hist_len, block_len=block_len,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,

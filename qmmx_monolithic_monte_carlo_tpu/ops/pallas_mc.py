@@ -152,7 +152,7 @@ def _gbm_block(draw: Callable, *, w: int, b: int, drift, sig_dt, log_s0) -> _Bar
 
 
 def _bootstrap_block(draw_idx, hist_row, *, w: int, b: int, hist_len: int,
-                     log_s0) -> _Bars:
+                     log_s0, block_len: int = 0) -> _Bars:
     """Recorded-bar resampling (the reference MC walks recorded bars,
     qmmx_monolithic.py:3353-3538; scaled analog ops/pathgen.bootstrap_paths):
     one uniform per (path, bar) → ``idx = floor(u·H)``; the four
@@ -162,7 +162,19 @@ def _bootstrap_block(draw_idx, hist_row, *, w: int, b: int, hist_len: int,
     channel ``ch``'s padded table."""
     u = draw_idx()                              # (w, b)
     hf = jnp.float32(hist_len)
-    idx_f = jnp.minimum(jnp.floor(u * hf), hf - 1.0)
+    if block_len:
+        # contiguous block_len-bar runs (block_bootstrap_paths): bar j's
+        # index = start-of-its-block + offset; the block structure is static
+        # here, so starts are just row-sliced from the uniform block
+        bl = jnp.float32(block_len)
+        starts = jnp.minimum(jnp.floor(u * (hf - bl)), hf - bl - 1.0)
+        rows = []
+        for j in range(w):
+            k = (j // block_len) * block_len
+            rows.append(starts[k:k + 1] + jnp.float32(j - k))
+        idx_f = jnp.concatenate(rows, axis=0)
+    else:
+        idx_f = jnp.minimum(jnp.floor(u * hf), hf - 1.0)
     idx = idx_f.astype(jnp.int32)
     h_tiles = -(-hist_len // 128)
 
@@ -506,9 +518,10 @@ def _mc_kernel(
     use_noise: bool = False,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
 ):
     w, b = num_bars, lanes
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         # uniform layout: u_idx w rows, tie one row (+4 noise rows)
         offs = (0, None, None, None, w, w + 1, w + 2, w + 3, w + 4)
         lens = (w, None, None, None, 1, 1, 1, 1, 1)
@@ -519,7 +532,7 @@ def _mc_kernel(
                 3 * w + 4)
         lens = (w // 2, w // 2, w, w, 1, 1, 1, 1, 1)
     refs = list(refs)
-    hist_ref = refs.pop(0) if sampler == "bootstrap" else None
+    hist_ref = refs.pop(0) if sampler in ("bootstrap", "block_bootstrap") else None
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -532,11 +545,12 @@ def _mc_kernel(
         def draw(k):
             return _uniform((lens[k], b))
 
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         bars = _bootstrap_block(
             lambda: draw(0),
             lambda ch, off, width: hist_ref[ch:ch + 1, off:off + width],
             w=w, b=b, hist_len=hist_len, log_s0=jnp.float32(np.log(s0)),
+            block_len=block_len,
         )
     else:
         bars = _gbm_block(
@@ -575,7 +589,7 @@ def _mc_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "lanes", "sampler", "interpret"),
+                     "lanes", "sampler", "block_len", "interpret"),
 )
 def mc_paths_pallas(
     seed,
@@ -592,6 +606,7 @@ def mc_paths_pallas(
     noise=None,               # montecarlo.McNoise — per-path execution noise
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
+    block_len: int = 10,      # block_bootstrap: contiguous run length
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 3*num_bars+1 (+4 with noise), lanes]
                               # (bootstrap: num_bars+1 (+4) rows)
@@ -612,9 +627,9 @@ def mc_paths_pallas(
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
     n_blocks = num_paths // lanes
 
@@ -623,7 +638,7 @@ def mc_paths_pallas(
 
     external_rng = external_uniforms is not None
     use_noise = noise is not None
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         n_rows = num_bars + 1 + (4 if use_noise else 0)
         hist, hist_len = _hist_slab_flat(hist_bars)
     else:
@@ -641,6 +656,7 @@ def mc_paths_pallas(
         use_noise=use_noise,
         sampler=sampler,
         hist_len=hist_len,
+        block_len=int(block_len),
     )
     zero = jnp.float32(0.0)
     knobs = jnp.stack([
@@ -702,6 +718,7 @@ def _universe_kernel(
     external_rng: bool = False,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
 ):
     """Per-(symbol, block) grid step: the shared fused pipeline with the
     symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad) read from its
@@ -714,7 +731,7 @@ def _universe_kernel(
     sig_dt = sigma * jnp.float32(dt) ** 0.5
     drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
 
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         # uniform layout: u_idx w rows, tie one row
         offs = (0, None, None, None, w)
         lens = (w, None, None, None, 1)
@@ -722,7 +739,7 @@ def _universe_kernel(
         offs = (0, w // 2, w, 2 * w, 3 * w)   # paired Box-Muller layout
         lens = (w // 2, w // 2, w, w, 1)
     refs = list(refs)
-    hist_ref = refs.pop(0) if sampler == "bootstrap" else None
+    hist_ref = refs.pop(0) if sampler in ("bootstrap", "block_bootstrap") else None
     if external_rng:
         u_ref, acc_ref = refs
 
@@ -739,11 +756,12 @@ def _universe_kernel(
         def draw(k):
             return _uniform((lens[k], b))
 
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         bars = _bootstrap_block(
             lambda: draw(0),
             lambda ch, off, width: hist_ref[0, ch:ch + 1, off:off + width],
             w=w, b=b, hist_len=hist_len, log_s0=jnp.log(s0),
+            block_len=block_len,
         )
     else:
         bars = _gbm_block(draw, w=w, b=b, drift=drift, sig_dt=sig_dt,
@@ -764,7 +782,7 @@ def _universe_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "sampler",
-                     "interpret"),
+                     "block_len", "interpret"),
 )
 def mc_paths_pallas_universe(
     seed,
@@ -778,6 +796,7 @@ def mc_paths_pallas_universe(
     dt: float = 1.0 / (390.0 * 252.0),
     sampler: str = "gbm",     # "gbm" | "bootstrap" (per-symbol recorded bars)
     hist_bars=None,           # PathBars-like [S, H] o/h/l/c histories
+    block_len: int = 10,      # block_bootstrap: contiguous run length
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 3*num_bars+1, LANES] (tests)
                               # (bootstrap: num_bars+1 rows)
@@ -796,13 +815,13 @@ def mc_paths_pallas_universe(
     n_sym, n_lv = lv_price.shape
     if n_lv > 8:
         raise ValueError("pallas universe kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c histories, one row per symbol)")
     n_blocks = paths_per_symbol // LANES
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         n_rows = num_bars + 1
         hist, hist_len = _hist_slab_flat_batched(hist_bars)
     else:
@@ -812,7 +831,7 @@ def mc_paths_pallas_universe(
     external_rng = external_uniforms is not None
     kernel = functools.partial(
         _universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
-        external_rng=external_rng, sampler=sampler, hist_len=hist_len,
+        external_rng=external_rng, sampler=sampler, hist_len=hist_len, block_len=int(block_len),
     )
     lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
     sym = _symbol_slab(params, s0, sigma, n_sym)
@@ -868,8 +887,10 @@ def _gated_stride(sampler: str, use_noise: bool) -> int:
     """Uniform blocks consumed per double-bar step by the gated loop.
 
     GBM: (u1, u2) Box-Muller pair + 2×(u3, u4, tie) bridge/tie draws = 8
-    (+8 noise blocks).  Bootstrap: (u_idx0, u_idx1, tie0, tie1) = 4 (+8)."""
-    if sampler == "bootstrap":
+    (+8 noise blocks).  Bootstrap: (u_idx0, u_idx1, tie0, tie1) = 4 (+8);
+    block bootstrap keeps the same layout (non-start bars ignore their
+    index uniform) so CRN streams align across the bootstrap family."""
+    if sampler in ("bootstrap", "block_bootstrap"):
         return 12 if use_noise else 4
     return 16 if use_noise else 8
 
@@ -895,6 +916,7 @@ def _gated_kernel(
     use_noise: bool = False,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
 ):
     """The QMMX engine per path, entirely on-chip: bars are generated
     bar-by-bar inside the loop (no (W,B) residency, no cumsum matmul — the
@@ -913,7 +935,7 @@ def _gated_kernel(
     s, b = GATED_SUB, lanes
     stride = _gated_stride(sampler, use_noise)
     refs = list(refs)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
                                         ti * 128:(ti + 1) * 128],
@@ -946,7 +968,7 @@ def _gated_kernel(
         max_levels=max_levels, lanes=lanes,
         noise=(tuple(knobs_ref[0, 4 + k] for k in range(4))
                if use_noise else None),
-        sampler=sampler, hist=hist,
+        sampler=sampler, hist=hist, block_len=block_len,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -958,7 +980,8 @@ def _gated_kernel(
 
 def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                           knobs, gates, max_levels, lanes=GATED_LANES,
-                          noise=None, sampler="gbm", hist=None):
+                          noise=None, sampler="gbm", hist=None,
+                          block_len=0):
     """The streaming generate+trade loop shared by the gated kernels.
 
     Each ``fori_loop`` iteration processes TWO bars from one paired
@@ -988,10 +1011,14 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     tie1) [+ 8 noise blocks at ks 4..11].  Returns the final
     (side, equity, dd, trades, wins, losses)."""
     s, b = GATED_SUB, lanes
-    bootstrap = sampler == "bootstrap"
+    bootstrap = sampler in ("bootstrap", "block_bootstrap")
+    block = sampler == "block_bootstrap"
     if bootstrap:
         get_hist_tile, hist_len = hist
         h_tiles = -(-int(hist_len) // 128)
+        if block and int(hist_len) <= int(block_len):
+            raise ValueError("block_bootstrap needs history longer than "
+                             f"block_len ({hist_len} <= {block_len})")
 
         def _hgather(ch, idx_f):
             return _hist_gather_tiles(
@@ -1007,6 +1034,7 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         # s0 instead flips direction for paths whose first close lands in
         # the ~1-ulp gap between s0 and exp(log(s0))
         jnp.exp(zero + log_s0),        # prev_c
+    ) + ((zero,) if block else ()) + (  # block-bootstrap current block start
         zero, zero, zero, zero,       # side / entry / stop / target
         zero,                          # cooldown (bars remaining)
         zero, zero, zero,              # equity / peak / dd
@@ -1052,13 +1080,26 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         return st
 
     def _one_bar(st, t_f, z, u3, u4, tie, nz, bar0=False):
+        if block:
+            blk_start = st[2]
+            st = st[:2] + st[3:]
         (log_s, prev_c, side, entry, stop, target, cooldown,
          equity, peak, dd, trades, wins, losses, touch, last_tb) = st
 
         if bootstrap:
             # ---- resample one RECORDED bar (relative geometry, :3353) ----
             hf = jnp.float32(hist_len)
-            idx_f = jnp.minimum(jnp.floor(z * hf), hf - 1.0)
+            if block:
+                # contiguous block_len-bar runs (block_bootstrap_paths):
+                # one start uniform per block, non-start bars reuse it
+                bl = jnp.float32(block_len)
+                off = t_f - bl * jnp.floor(t_f / bl)
+                new_start = jnp.minimum(jnp.floor(z * (hf - bl)),
+                                        hf - bl - 1.0)
+                blk_start = jnp.where(off == 0.0, new_start, blk_start)
+                idx_f = blk_start + off
+            else:
+                idx_f = jnp.minimum(jnp.floor(z * hf), hf - 1.0)
             log_close = log_s + _hgather(0, idx_f)
             c = jnp.exp(log_close)
             high = jnp.exp(log_s + _hgather(1, idx_f))
@@ -1194,8 +1235,11 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         target = jnp.where(enter, new_tgt, target)
         trades = trades + enter.astype(jnp.float32)
 
-        return (log_close, c, side, entry, stop, target, cooldown,
-                equity, peak, dd, trades, wins, losses, touch, last_tb)
+        ret = (log_close, c, side, entry, stop, target, cooldown,
+               equity, peak, dd, trades, wins, losses, touch, last_tb)
+        if block:
+            ret = ret[:2] + (blk_start,) + ret[2:]
+        return ret
 
     if bootstrap:
         # static peel of the first double-bar step (bar-0 logo gather)
@@ -1203,6 +1247,8 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         st = jax.lax.fori_loop(1, num_bars // 2, body, st)
     else:
         st = jax.lax.fori_loop(0, num_bars // 2, body, init)
+    if block:
+        st = st[:2] + st[3:]                   # drop the blk_start carry
     (_, _, side, _, _, _, _, equity, _, dd, trades, wins, losses, _, _) = st
     return side, equity, dd, trades, wins, losses
 
@@ -1267,6 +1313,7 @@ def _gated_universe_kernel(
     use_noise: bool = False,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
 ):
     """Per-(symbol, block) gated lifecycle: the shared streaming loop with the
     symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad — plus its own
@@ -1276,7 +1323,7 @@ def _gated_universe_kernel(
     s, b = GATED_SUB, GATED_LANES
     stride = _gated_stride(sampler, use_noise)
     refs = list(refs)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
                                         ti * 128:(ti + 1) * 128],
@@ -1313,7 +1360,7 @@ def _gated_universe_kernel(
         max_levels=max_levels,
         noise=(tuple(sym_ref[0, 0, 5 + k] for k in range(4))
                if use_noise else None),
-        sampler=sampler, hist=hist,
+        sampler=sampler, hist=hist, block_len=block_len,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -1349,7 +1396,7 @@ def _symbol_slab(params: EngineParams, s0, sigma, n_sym: int, noise=None):
 @functools.partial(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "sampler",
-                     "interpret"),
+                     "block_len", "interpret"),
 )
 def mc_paths_pallas_gated_universe(
     seed,
@@ -1365,6 +1412,7 @@ def mc_paths_pallas_gated_universe(
     noise=None,               # montecarlo.McNoise; leaves may be [S]
     sampler: str = "gbm",     # "gbm" | "bootstrap" (per-symbol recorded bars)
     hist_bars=None,           # PathBars-like [S, H] o/h/l/c histories
+    block_len: int = 10,      # block_bootstrap: contiguous run length
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 4*num_bars (8* w/ noise), 8, GATED_LANES]
                               # (bootstrap: 2*num_bars (6*) rows)
@@ -1388,15 +1436,15 @@ def mc_paths_pallas_gated_universe(
     n_sym, n_lv = lv_price.shape
     if n_lv > 8:
         raise ValueError("pallas gated universe kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c histories, one row per symbol)")
     n_blocks = paths_per_symbol // GATED_BLOCK
     use_noise = noise is not None
     u_rows = _gated_stride(sampler, use_noise) * (num_bars // 2)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist, hist_len = _hist_slab_batched(hist_bars, GATED_LANES)
     else:
         hist, hist_len = None, 0
@@ -1405,7 +1453,7 @@ def mc_paths_pallas_gated_universe(
     kernel = functools.partial(
         _gated_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         external_rng=external_rng, use_noise=use_noise,
-        sampler=sampler, hist_len=hist_len,
+        sampler=sampler, hist_len=hist_len, block_len=int(block_len),
     )
     gvec = jnp.stack([
         jnp.asarray(gate.q_min_prob, jnp.float32),
@@ -1476,7 +1524,7 @@ def _unpack_acc_gated(acc) -> PathStats:
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "lanes", "sampler", "interpret"),
+                     "lanes", "sampler", "block_len", "interpret"),
 )
 def mc_paths_pallas_gated(
     seed,
@@ -1494,6 +1542,7 @@ def mc_paths_pallas_gated(
     noise=None,               # montecarlo.McNoise — per-entry execution noise
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
+    block_len: int = 10,      # block_bootstrap: contiguous run length
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 4*num_bars (8* with noise), 8, lanes]
                               # (bootstrap: 2*num_bars (6*) rows)
@@ -1517,9 +1566,9 @@ def mc_paths_pallas_gated(
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas gated kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
     n_blocks = num_paths // block
 
@@ -1528,14 +1577,14 @@ def mc_paths_pallas_gated(
     external_rng = external_uniforms is not None
     use_noise = noise is not None
     u_rows = _gated_stride(sampler, use_noise) * (num_bars // 2)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist, hist_len = _hist_slab(hist_bars, lanes)
     else:
         hist, hist_len = None, 0
     kernel = functools.partial(
         _gated_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, external_rng=external_rng,
-        use_noise=use_noise, sampler=sampler, hist_len=hist_len,
+        use_noise=use_noise, sampler=sampler, hist_len=hist_len, block_len=int(block_len),
     )
     zero = jnp.float32(0.0)
     knobs = jnp.stack([
@@ -1612,6 +1661,7 @@ def _sweep_kernel(
     n_grid: int,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
 ):
     """One path block evaluated against the ENTIRE stop/target grid: path
     generation + first-contact detection run once, then each configuration
@@ -1622,11 +1672,11 @@ def _sweep_kernel(
     history walk, :3353-3538)."""
     w, b = num_bars, LANES
     refs = list(refs)
-    hist_ref = refs.pop(0) if sampler == "bootstrap" else None
+    hist_ref = refs.pop(0) if sampler in ("bootstrap", "block_bootstrap") else None
     (acc_ref,) = refs
     pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         lens = (w, None, None, None, 1)      # u_idx block + tie row
     else:
         lens = (w // 2, w // 2, w, w, 1)     # paired Box-Muller layout
@@ -1634,11 +1684,12 @@ def _sweep_kernel(
     def draw(k):
         return _uniform((lens[k], b))
 
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         bars = _bootstrap_block(
             lambda: draw(0),
             lambda ch, off, width: hist_ref[ch:ch + 1, off:off + width],
             w=w, b=b, hist_len=hist_len, log_s0=jnp.float32(np.log(s0)),
+            block_len=block_len,
         )
     else:
         bars = _gbm_block(
@@ -1663,7 +1714,7 @@ def _sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "sampler", "interpret"),
+                     "sampler", "block_len", "interpret"),
 )
 def mc_paths_pallas_sweep(
     seed,
@@ -1680,6 +1731,7 @@ def mc_paths_pallas_sweep(
     dt: float = 1.0 / (390.0 * 252.0),
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
+    block_len: int = 10,      # block_bootstrap: contiguous run length
     interpret=False,
 ) -> PathStats:
     """Whole stop/target grid per path block with shared path draws (CRN).
@@ -1694,9 +1746,9 @@ def mc_paths_pallas_sweep(
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
     grid_stops = jnp.asarray(grid_stops, jnp.float32).reshape(-1)
     grid_tps = jnp.asarray(grid_tps, jnp.float32).reshape(-1)
@@ -1705,7 +1757,7 @@ def mc_paths_pallas_sweep(
         raise ValueError("grid_stops and grid_tps must have equal length")
     n_blocks = num_paths // LANES
 
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist, hist_len = _hist_slab_flat(hist_bars)
     else:
         hist, hist_len = None, 0
@@ -1714,7 +1766,7 @@ def mc_paths_pallas_sweep(
     kernel = functools.partial(
         _sweep_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, n_grid=g,
-        sampler=sampler, hist_len=hist_len,
+        sampler=sampler, hist_len=hist_len, block_len=int(block_len),
     )
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
@@ -1775,6 +1827,7 @@ def _gated_sweep_kernel(
     use_noise: bool = False,
     sampler: str = "gbm",
     hist_len: int = 0,
+    block_len: int = 0,
 ):
     """One path block replayed through the FULL gated lifecycle for every
     grid configuration.  Common random numbers come from RESEEDING: the
@@ -1791,7 +1844,7 @@ def _gated_sweep_kernel(
     s, b = GATED_SUB, GATED_LANES
     stride = _gated_stride(sampler, use_noise)
     refs = list(refs)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
                                         ti * 128:(ti + 1) * 128],
@@ -1831,7 +1884,7 @@ def _gated_sweep_kernel(
             max_levels=max_levels,
             noise=(tuple(grid_ref[g, 8 + k] for k in range(4))
                    if use_noise else None),
-            sampler=sampler, hist=hist,
+            sampler=sampler, hist=hist, block_len=block_len,
         )
         _gated_accumulate(acc_ref, (g,), final, n_paths=s * b)
 
@@ -1839,7 +1892,7 @@ def _gated_sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "sampler", "interpret"),
+                     "sampler", "block_len", "interpret"),
 )
 def mc_paths_pallas_gated_sweep(
     seed,
@@ -1858,6 +1911,7 @@ def mc_paths_pallas_gated_sweep(
     noise=None,               # montecarlo.McNoise; leaves may be [G]
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
+    block_len: int = 10,      # block_bootstrap: contiguous run length
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 4*num_bars (8* w/ noise), 8, GATED_LANES]
                               # (bootstrap: 2*num_bars (6*) rows)
@@ -1882,9 +1936,9 @@ def mc_paths_pallas_gated_sweep(
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas gated sweep supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap'")
-    if sampler == "bootstrap" and hist_bars is None:
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
+        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
     grid_stops = jnp.asarray(grid_stops, jnp.float32).reshape(-1)
     grid_tps = jnp.asarray(grid_tps, jnp.float32).reshape(-1)
@@ -1894,7 +1948,7 @@ def mc_paths_pallas_gated_sweep(
     n_blocks = num_paths // GATED_BLOCK
     use_noise = noise is not None
     u_rows = _gated_stride(sampler, use_noise) * (num_bars // 2)
-    if sampler == "bootstrap":
+    if sampler in ("bootstrap", "block_bootstrap"):
         hist, hist_len = _hist_slab(hist_bars, GATED_LANES)
     else:
         hist, hist_len = None, 0
@@ -1921,7 +1975,7 @@ def mc_paths_pallas_gated_sweep(
         _gated_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
         sig_dt=sig_dt, max_levels=levels.max_levels, n_grid=g,
         external_rng=external_rng, use_noise=use_noise,
-        sampler=sampler, hist_len=hist_len,
+        sampler=sampler, hist_len=hist_len, block_len=int(block_len),
     )
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),

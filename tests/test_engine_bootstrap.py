@@ -354,3 +354,124 @@ def test_engine_universe_bootstrap_requires_batched_history():
             0, levels2, EngineParams.default(), s0, sig,
             paths_per_symbol=BLOCK, num_bars=8, lanes=LANES,
             sampler="bootstrap", hist_bars=_history(3, 100), interpret=True)
+
+
+def _bars_from_blockboot_uniforms(u, hist, w, block_len, lanes=LANES,
+                                  s0=100.0):
+    """Mirror the kernel's BLOCK-bootstrap stream (ops/pathgen
+    block_bootstrap_paths semantics): one start uniform per contiguous
+    ``block_len``-bar run (non-start bars ignore their index uniform),
+    idx = start + offset, channels gather, sequential log chaining."""
+    logc, logh, logl, logo, vol = PG.bootstrap_tables(
+        hist.open, hist.high, hist.low, hist.close, hist.volume)
+    hf = jnp.float32(logc.shape[0])
+    bl = jnp.float32(block_len)
+    stride = BOOT_DRAWS_PER_PAIR
+    log_s = jnp.full((ENGINE_SUB, lanes), jnp.float32(np.log(s0)))
+    cur = jnp.zeros((ENGINE_SUB, lanes), jnp.float32)
+    opens, closes, highs, lows, vols, ties = [], [], [], [], [], []
+    for t in range(w):
+        t2, half = divmod(t, 2)
+        uu = jnp.asarray(u[stride * t2 + half], jnp.float32)
+        tie = jnp.asarray(u[stride * t2 + 2 + half], jnp.float32)
+        off = t % block_len
+        if off == 0:
+            cur = jnp.minimum(jnp.floor(uu * (hf - bl)), hf - bl - 1.0)
+        idx = (cur + jnp.float32(off)).astype(jnp.int32)
+        opens.append(jnp.exp(log_s + logo[idx]))
+        closes.append(jnp.exp(log_s + logc[idx]))
+        highs.append(jnp.exp(log_s + logh[idx]))
+        lows.append(jnp.exp(log_s + logl[idx]))
+        vols.append(vol[idx])
+        ties.append(tie)
+        log_s = log_s + logc[idx]
+
+    def flat(rows):
+        return jnp.stack(rows, axis=-1).reshape(ENGINE_SUB * lanes, w)
+
+    return PG.PathBars(open=flat(opens), high=flat(highs), low=flat(lows),
+                       close=flat(closes), volume=flat(vols)), flat(ties)
+
+
+def test_engine_kernel_block_bootstrap_matches_xla_exact():
+    """Kernel block-bootstrap streaming == XLA full-engine pipeline on bars
+    reconstructed from the same injected uniforms: contiguous block runs
+    (vol clustering preserved), exact counts / skip table / histogram."""
+    w, bl = 24, 5
+    hist = _history(7, 260)
+    params = EngineParams.default(stop_padding=0.25, tp_padding=0.18)
+    rng = np.random.default_rng(19)
+    u = rng.uniform(
+        1e-6, 1.0,
+        (1, BOOT_DRAWS_PER_PAIR * ((w + 1) // 2), ENGINE_SUB, LANES),
+    ).astype(np.float32)
+
+    got, got_skips, got_escal = mc_paths_pallas_engine(
+        0, LEVELS, params, num_paths=BLOCK, num_bars=w, dt=DT, lanes=LANES,
+        sampler="block_bootstrap", hist_bars=hist, block_len=bl,
+        interpret=True, external_uniforms=u,
+    )
+    bars, tie = _bars_from_blockboot_uniforms(u[0], hist, w, bl)
+    out = EP.engine_path_replay(bars, LEVELS, params, tie)
+    want = PathStats.from_lifecycle(
+        equity=out.equity, trades=out.trades, wins=out.wins, losses=out.losses,
+        open_at_end=out.open_at_end, max_dd=out.max_dd,
+    )
+    for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+        assert float(getattr(got, f)) == float(getattr(want, f)), f
+    assert float(got_escal) == float(jnp.sum(out.escalations))
+    np.testing.assert_array_equal(np.asarray(got_skips),
+                                  np.asarray(out.skip_counts))
+    np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
+    assert float(got.n_entered) > 0
+    # blocks actually span bars: an off-boundary bar reuses its block start,
+    # so the same uniforms under iid bootstrap give a DIFFERENT surface
+    iid, _s, _e = mc_paths_pallas_engine(
+        0, LEVELS, params, num_paths=BLOCK, num_bars=w, dt=DT, lanes=LANES,
+        sampler="bootstrap", hist_bars=hist, interpret=True,
+        external_uniforms=u,
+    )
+    assert float(iid.sum_trades) != float(got.sum_trades)
+
+
+def test_engine_sweep_kernel_block_bootstrap_crn_exact():
+    """Block-bootstrap CRN sweep: every grid row equals an independent
+    single-config block-bootstrap kernel run under the same uniforms."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        mc_paths_pallas_engine_sweep,
+    )
+
+    w, bl = 12, 4
+    hist = _history(9, 180)
+    stop_g = np.array([0.15, 0.35], np.float32)
+    grid = EngineParams.default().replace(stop_padding=jnp.asarray(stop_g))
+    rng = np.random.default_rng(23)
+    u = rng.uniform(
+        1e-6, 1.0, (1, BOOT_DRAWS_PER_PAIR * (w // 2), ENGINE_SUB, LANES),
+    ).astype(np.float32)
+
+    got, got_skips, _e = mc_paths_pallas_engine_sweep(
+        0, LEVELS, grid, num_paths=BLOCK, num_bars=w, dt=DT, lanes=LANES,
+        sampler="block_bootstrap", hist_bars=hist, block_len=bl,
+        interpret=True, external_uniforms=u,
+    )
+    for g in range(2):
+        cfg = EngineParams.default(stop_padding=float(stop_g[g]))
+        want, wskips, _we = mc_paths_pallas_engine(
+            0, LEVELS, cfg, num_paths=BLOCK, num_bars=w, dt=DT, lanes=LANES,
+            sampler="block_bootstrap", hist_bars=hist, block_len=bl,
+            interpret=True, external_uniforms=u,
+        )
+        for f in ("n", "n_entered", "n_tp", "n_stop", "sum_trades"):
+            assert float(getattr(got, f)[g]) == float(getattr(want, f)), (g, f)
+        np.testing.assert_array_equal(np.asarray(got_skips[g]),
+                                      np.asarray(wskips))
+
+
+def test_engine_block_bootstrap_validation():
+    hist = _history(3, 30)
+    with pytest.raises(ValueError, match="block_len"):
+        mc_paths_pallas_engine(
+            0, LEVELS, EngineParams.default(), num_paths=BLOCK, num_bars=8,
+            lanes=LANES, sampler="block_bootstrap", hist_bars=hist,
+            block_len=40, interpret=True)

@@ -188,3 +188,92 @@ def test_gated_bootstrap_validation():
         mc_paths_pallas_gated(
             0, LEVELS, params, num_paths=BLOCK, num_bars=8, lanes=LANES,
             sampler="heston")
+
+
+def _bars_from_blockboot_uniforms(u, hist, w, block_len, lanes=LANES,
+                                  s0=100.0):
+    """Mirror the gated kernel's BLOCK-bootstrap stream: one start uniform
+    per contiguous block_len-bar run, idx = start + offset."""
+    logc, logh, logl, logo, _vol = PG.bootstrap_tables(
+        hist.open, hist.high, hist.low, hist.close, hist.volume)
+    hf = jnp.float32(logc.shape[0])
+    bl = jnp.float32(block_len)
+    log_s = jnp.full((GATED_SUB, lanes), jnp.float32(np.log(s0)))
+    cur = jnp.zeros((GATED_SUB, lanes), jnp.float32)
+    opens, closes, highs, lows, ties = [], [], [], [], []
+    for t in range(w):
+        t2, half = divmod(t, 2)
+        uu = jnp.asarray(u[BOOT * t2 + half], jnp.float32)
+        tie = jnp.asarray(u[BOOT * t2 + 2 + half], jnp.float32)
+        off = t % block_len
+        if off == 0:
+            cur = jnp.minimum(jnp.floor(uu * (hf - bl)), hf - bl - 1.0)
+        idx = (cur + jnp.float32(off)).astype(jnp.int32)
+        opens.append(jnp.exp(log_s + logo[idx]))
+        closes.append(jnp.exp(log_s + logc[idx]))
+        highs.append(jnp.exp(log_s + logh[idx]))
+        lows.append(jnp.exp(log_s + logl[idx]))
+        ties.append(tie)
+        log_s = log_s + logc[idx]
+
+    def flat(rows):
+        return jnp.stack(rows, axis=-1).reshape(GATED_SUB * lanes, w)
+
+    return PG.PathBars(open=flat(opens), high=flat(highs), low=flat(lows),
+                       close=flat(closes), volume=None), flat(ties)
+
+
+def test_gated_kernel_block_bootstrap_matches_xla_exact():
+    """Gated kernel block-bootstrap == XLA gated lifecycle on bars
+    reconstructed from the same uniforms (contiguous runs; bar-0 prev-close
+    still open[0])."""
+    w, bl = 16, 5
+    hist = _history(3, 260)
+    params = EngineParams.default(stop_padding=0.25, tp_padding=0.18)
+    rng = np.random.default_rng(37)
+    u = rng.uniform(
+        1e-6, 1.0, (1, BOOT * (w // 2), GATED_SUB, LANES)).astype(np.float32)
+
+    got = mc_paths_pallas_gated(
+        0, LEVELS, params, num_paths=BLOCK, num_bars=w, lanes=LANES,
+        sampler="block_bootstrap", hist_bars=hist, block_len=bl,
+        interpret=True, external_uniforms=u)
+    bars, tieu = _bars_from_blockboot_uniforms(u[0], hist, w, bl)
+    want = _xla_stats(bars, tieu, LEVELS, params)
+    for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+        assert float(getattr(got, f)) == float(getattr(want, f)), f
+    np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
+    assert float(got.n_entered) > 0
+    # same uniforms under iid bootstrap give a different surface
+    iid = mc_paths_pallas_gated(
+        0, LEVELS, params, num_paths=BLOCK, num_bars=w, lanes=LANES,
+        sampler="bootstrap", hist_bars=hist, interpret=True,
+        external_uniforms=u)
+    assert float(iid.sum_trades) != float(got.sum_trades)
+
+
+def test_gated_sweep_kernel_block_bootstrap_crn_exact():
+    """Block-bootstrap gated CRN sweep rows == single-config runs under the
+    same uniforms."""
+    w, bl = 8, 3
+    hist = _history(7, 150)
+    params = EngineParams.default()
+    stops = np.array([0.15, 0.35], np.float32)
+    tps = np.array([0.10, 0.28], np.float32)
+    rng = np.random.default_rng(43)
+    u = rng.uniform(
+        1e-6, 1.0, (1, BOOT * (w // 2), GATED_SUB, 1024)).astype(np.float32)
+
+    got = mc_paths_pallas_gated_sweep(
+        0, LEVELS, params, stops, tps, num_paths=GATED_SUB * 1024,
+        num_bars=w, sampler="block_bootstrap", hist_bars=hist, block_len=bl,
+        interpret=True, external_uniforms=u)
+    for g in range(2):
+        cfg = params.replace(stop_padding=float(stops[g]),
+                             tp_padding=float(tps[g]))
+        want = mc_paths_pallas_gated(
+            0, LEVELS, cfg, num_paths=GATED_SUB * 1024, num_bars=w,
+            lanes=1024, sampler="block_bootstrap", hist_bars=hist,
+            block_len=bl, interpret=True, external_uniforms=u)
+        for f in ("n", "n_entered", "n_tp", "n_stop", "sum_trades"):
+            assert float(getattr(got, f)[g]) == float(getattr(want, f)), (g, f)

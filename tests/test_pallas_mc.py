@@ -530,3 +530,49 @@ def test_sweep_kernel_bootstrap_contract_interpret():
         )
         for f in ("n", "n_entered", "n_tp", "n_stop", "sum_r"):
             assert float(getattr(st, f)[g]) == float(getattr(want, f)), (g, f)
+
+
+def test_kernel_block_bootstrap_matches_numpy_oracle_exact_uniforms():
+    """Contiguous-block resampling in the first-contact kernel
+    (ops/pathgen.block_bootstrap_paths semantics): bar j's index =
+    start-of-its-block + offset, one start uniform per block (non-start
+    rows ignored) — vs a numpy oracle building the same bars."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import bootstrap_tables
+
+    f = np.float32
+    h, bl = 300, 6
+    hist = _boot_history(9, h)
+    rng = np.random.default_rng(15)
+    nb = 2
+    u = rng.uniform(1e-9, 1.0, (nb, W + 1, LANES)).astype(f)
+    s = mc_paths_pallas(
+        0, LEVELS, PARAMS, num_paths=nb * LANES, num_bars=W, dt=DT,
+        lanes=LANES, sampler="block_bootstrap", hist_bars=hist, block_len=bl,
+        interpret=pltpu.InterpretParams(), external_uniforms=u,
+    )
+
+    logc, logh, logl, logo, _v = (np.asarray(t, f) for t in bootstrap_tables(
+        hist.open, hist.high, hist.low, hist.close))
+    tot = dict(entered=0, tp=0, stop=0, open=0, sum_r=0.0,
+               min_r=np.inf, max_r=-np.inf)
+    for blk in range(nb):
+        ub = u[blk].astype(f)
+        starts = np.minimum(np.floor(ub[:W] * f(h - bl)), f(h - bl - 1))
+        idx = np.stack([starts[(j // bl) * bl] + f(j - (j // bl) * bl)
+                        for j in range(W)]).astype(np.int32)
+        tie = ub[W]
+        lc = logc[idx]
+        log_close = f(np.log(100.0)) + np.cumsum(lc, axis=0, dtype=f)
+        log_prev = log_close - lc
+        close = np.exp(log_close)
+        opens = np.exp(log_prev + logo[idx])
+        high = np.exp(log_prev + logh[idx])
+        low = np.exp(log_prev + logl[idx])
+        _replay_block_oracle(tot, close, opens, high, low, tie,
+                             [100.0, 100.4], 0.05, 0.35, 0.25, None)
+
+    assert float(s.n) == nb * LANES
+    assert abs(float(s.n_entered) - tot["entered"]) <= 2
+    assert abs(float(s.n_tp) - tot["tp"]) <= 3
+    assert abs(float(s.n_stop) - tot["stop"]) <= 3
+    assert float(s.sum_r) == pytest.approx(tot["sum_r"], abs=3.0)
