@@ -485,6 +485,51 @@ def check_bootstrap():
     gbars, gtie = mk_gated_block_bars(ug[0], hist, w, bl, lanes=GATED_LANES)
     ok = _judge("gated-block-bootstrap", gblk,
                 _xla_stats(gbars, gtie, lv3, params)) and ok
+
+    # heston stochastic vol: engine + gated singles vs mirrored-oracle
+    # XLA replays under the same uniforms
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        HESTON_DRAWS_PER_PAIR,
+        _heston_tuple,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import _gated_stride
+    from tests.test_engine_heston import (
+        HPARAMS,
+        _bars_from_heston_uniforms,
+        _gated_bars_from_heston_uniforms,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import VolumeModel
+
+    hp = _heston_tuple(HPARAMS, 0.0, DT)
+    uh = rng.uniform(
+        1e-6, 1.0, (1, HESTON_DRAWS_PER_PAIR * (w // 2), ENGINE_SUB, lanes),
+    ).astype(np.float32)
+    he = mc_paths_pallas_engine(
+        0, lv3, EngineParams.default(stop_padding=0.25, tp_padding=0.18),
+        num_paths=ENGINE_SUB * lanes, num_bars=w, dt=DT, lanes=lanes,
+        sampler="heston", heston=HPARAMS, interpret=interp,
+        external_uniforms=uh)
+    hbars, htie = _bars_from_heston_uniforms(uh[0], hp, w, lanes=lanes,
+                                             vm=VolumeModel())
+    hout = EP.engine_path_replay(
+        hbars, lv3, EngineParams.default(stop_padding=0.25, tp_padding=0.18),
+        htie)
+    ok = _judge("engine-heston", he[0], _PS.from_lifecycle(
+        equity=hout.equity, trades=hout.trades, wins=hout.wins,
+        losses=hout.losses, open_at_end=hout.open_at_end,
+        max_dd=hout.max_dd)) and ok
+    gh_stride = _gated_stride("heston", False)
+    ugh = rng.uniform(
+        1e-6, 1.0, (1, gh_stride * (w // 2), GATED_SUB, GATED_LANES),
+    ).astype(np.float32)
+    ghes = mc_paths_pallas_gated(
+        0, lv3, params, num_paths=GATED_SUB * GATED_LANES, num_bars=w,
+        lanes=GATED_LANES, dt=DT, sampler="heston", heston=HPARAMS,
+        interpret=interp, external_uniforms=ugh)
+    ghbars, ghtie = _gated_bars_from_heston_uniforms(ugh[0], hp, w,
+                                                     GATED_LANES)
+    ok = _judge("gated-heston", ghes,
+                _xla_stats(ghbars, ghtie, lv3, params)) and ok
     gsw = mc_paths_pallas_gated_sweep(
         0, lv3, params, stop_g, np.array([0.15, 0.25], np.float32),
         num_paths=GATED_SUB * GATED_LANES, num_bars=w, sampler="bootstrap",

@@ -249,6 +249,12 @@ def _hist_paths_bars(args):
                     close=col("c"), volume=col("v"))
 
 
+def _heston_dict(args):
+    return {k: float(getattr(args, f"heston_{k}"))
+            for k in ("v0", "kappa", "theta", "xi", "rho")
+            if hasattr(args, f"heston_{k}")}
+
+
 def cmd_paths(args):
     import jax
 
@@ -260,9 +266,14 @@ def cmd_paths(args):
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     sampler = getattr(args, "sampler", "gbm")
-    hist = _hist_paths_bars(args) if sampler != "gbm" else None
+    hist = (_hist_paths_bars(args)
+            if sampler in ("bootstrap", "block_bootstrap") else None)
     block_len = int(getattr(args, "block_len", 10))
-    kernel_sampler = sampler in ("gbm", "bootstrap", "block_bootstrap")
+    heston = _heston_dict(args) if sampler == "heston" else None
+    # engine/gated kernels run all four samplers; the block-form
+    # first-contact kernel cannot carry the heston variance chain
+    lifecycle = getattr(args, "engine", False) or getattr(args, "gated", False)
+    kernel_sampler = (sampler != "heston") or lifecycle
     if args.backend == "auto" and not kernel_sampler:
         backend = "xla"          # auto falls back when the kernels can't
     if sampler != "gbm" and getattr(args, "ckpt_dir", None):
@@ -330,6 +341,7 @@ def cmd_paths(args):
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, noise=noise,
                 sampler=sampler, hist_bars=hist, block_len=block_len,
+                heston=heston,
             )
         else:
             stats, skips, escal = EPATH.mc_paths_engine(
@@ -337,7 +349,7 @@ def cmd_paths(args):
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
                 noise=noise, sampler=sampler, hist_bars=hist,
-                block_len=block_len,
+                block_len=block_len, heston=heston,
             )
         out = {
             "paths": float(stats.n), "entered": float(stats.n_entered),
@@ -385,6 +397,7 @@ def cmd_paths(args):
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, noise=noise,
                 sampler=sampler, hist_bars=hist, block_len=block_len,
+                heston=heston,
             )
         else:
             stats = gatedpath.mc_paths_gated(
@@ -393,6 +406,7 @@ def cmd_paths(args):
                 sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
                 antithetic=args.antithetic, noise=noise,
                 sampler=sampler, hist_bars=hist, block_len=block_len,
+                heston=heston,
             )
     elif backend == "pallas":
         from ..ops.pallas_mc import mc_paths_pallas
@@ -417,6 +431,7 @@ def cmd_paths(args):
             sigma=args.sigma, block_paths=min(args.num_paths, 1 << 17),
             antithetic=args.antithetic, noise=noise,
             sampler=sampler, hist_bars=hist, block_len=block_len,
+            heston=heston,
         )
     out = {
         "paths": float(stats.n), "entered": float(stats.n_entered),
@@ -894,7 +909,8 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--antithetic", action="store_true")
     pa.add_argument("--qmin", type=float, default=None)
     pa.add_argument("--sampler",
-                    choices=["gbm", "bootstrap", "block_bootstrap"],
+                    choices=["gbm", "bootstrap", "block_bootstrap",
+                             "heston"],
                     default="gbm",
                     help="path sampler: gbm generates; bootstrap/"
                          "block_bootstrap resample RECORDED bars "
@@ -903,6 +919,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "runs) — all three run fused on TPU")
     pa.add_argument("--block-len", type=int, default=10,
                     help="block_bootstrap: contiguous run length")
+    for k, dv in (("v0", 0.04), ("kappa", 3.0), ("theta", 0.04),
+                  ("xi", 0.6), ("rho", -0.7)):
+        pa.add_argument(f"--heston-{k}", type=float, default=dv,
+                        help=f"heston sampler: {k} (default {dv})")
     pa.add_argument("--bars-csv", default=None,
                     help="recorded o/h/l/c/v history for bootstrap samplers "
                          "(default: synthetic 390-bar fixture)")

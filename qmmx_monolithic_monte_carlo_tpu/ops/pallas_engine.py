@@ -63,6 +63,7 @@ from ..sim.pathsim import HIST_BINS, LIFE_HIST_HI, LIFE_HIST_LO, PathStats
 from ..types import Levels
 from .pallas_mc import (
     HIST_CHANNELS,
+    _heston_tuple,
     ROW_HIST,
     ROW_MAX,
     ROW_MAXDD,
@@ -109,6 +110,9 @@ DRAWS_PER_PAIR_NOISE = 18
 # (+ 8 noise blocks at ks 4..11) — recorded bars need no price/volume normals
 BOOT_DRAWS_PER_PAIR = 4
 BOOT_DRAWS_PER_PAIR_NOISE = 12
+# heston layout: price pair, volume pair, vol-shock pair, 2x(u3, u4, tie)
+HESTON_DRAWS_PER_PAIR = 12
+HESTON_DRAWS_PER_PAIR_NOISE = 20
 # HIST_CHANNELS (bootstrap table channels) re-exported from pallas_mc
 
 
@@ -124,6 +128,9 @@ def _young_bars(guard_params) -> int:
 
 
 def _draw_stride(sampler: str, use_noise: bool) -> int:
+    if sampler == "heston":
+        return (HESTON_DRAWS_PER_PAIR_NOISE if use_noise
+                else HESTON_DRAWS_PER_PAIR)
     if sampler in ("bootstrap", "block_bootstrap"):
         # block bootstrap keeps the iid layout (one index uniform per bar);
         # non-block-start bars simply ignore theirs — CRN streams stay
@@ -152,8 +159,8 @@ def _engine_lifecycle_loop(
     draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     eng, ml, pol_w, tm, gd, max_levels, lanes, vm, escalation: bool,
     noise=None, harvest: bool = False, sampler: str = "gbm", hist=None,
-    block_len: int = 0, gen_only: bool = False, skip_d: bool = False,
-    policy_off: bool = False, young_bars: int = 0,
+    block_len: int = 0, heston=None, gen_only: bool = False,
+    skip_d: bool = False, policy_off: bool = False, young_bars: int = 0,
 ):
     """The streaming generate+full-engine loop.
 
@@ -190,6 +197,14 @@ def _engine_lifecycle_loop(
     windowed_guard = num_bars > GUARD_WINDOW_BARS
     bootstrap = sampler in ("bootstrap", "block_bootstrap")
     block = sampler == "block_bootstrap"
+    hes = sampler == "heston"
+    carry_x = block or hes        # one extra sampler-state tile in the carry
+    if hes:
+        # (v0, kappa, theta, xi, rho, mu, dt) — full-truncation Euler
+        # (ops/pathgen.heston_paths mirror); rho_perp precomputed statically
+        h_v0, h_kap, h_th, h_xi, h_rho, h_mu, h_dt = [
+            float(x) for x in heston]
+        h_rho_perp = float(np.sqrt(max(0.0, 1.0 - h_rho * h_rho)))
     if bootstrap:
         get_hist_tile, hist_len = hist
         h_tiles = -(-int(hist_len) // 128)
@@ -241,6 +256,8 @@ def _engine_lifecycle_loop(
         zero + log_s0,                 # log_s
         jnp.exp(zero + log_s0),        # prev_c (== open[0] bitwise)
     ) + ((zero,) if block else ()) + (  # block-bootstrap current block start
+    ) + ((zero + jnp.float32(h_v0),) if hes else (  # heston variance v_t
+    )) + (
         zero,                          # side
         zero, zero, zero, zero,        # entry / stop / target / risk0
         zero + _NEVER,                 # cooldown_until_ms (expired)
@@ -291,6 +308,14 @@ def _engine_lifecycle_loop(
             zv_pair = (vradius * jnp.cos(vangle), vradius * jnp.sin(vangle))
             ties = None
             noise_k0 = 10
+            if hes:
+                uq1 = draw(t2, 4)
+                uq2 = draw(t2, 5)
+                qradius = jnp.sqrt(-2.0 * jnp.log(uq1))
+                qangle = _TWO_PI * uq2
+                zq_pair = (qradius * jnp.cos(qangle),
+                           qradius * jnp.sin(qangle))
+                noise_k0 = 12
         for half in range(2):
             t_i = 2 * t2 + half
             if noise is not None:
@@ -305,6 +330,13 @@ def _engine_lifecycle_loop(
             if bootstrap:
                 st = _one_bar(st, t_i, z_pair[half], None, None, None,
                               ties[half], nz, young=young)
+            elif hes:
+                st = _one_bar(
+                    st, t_i, z_pair[half], zv_pair[half],
+                    draw(t2, 6 + 3 * half), draw(t2, 7 + 3 * half),
+                    draw(t2, 8 + 3 * half), nz, young=young,
+                    zq=zq_pair[half],
+                )
             else:
                 st = _one_bar(
                     st, t_i, z_pair[half], zv_pair[half],
@@ -313,10 +345,12 @@ def _engine_lifecycle_loop(
                 )
         return st
 
-    def _one_bar(st, t_i, z, zv, u3, u4, tie, nz, young=False):
-        if block:
-            blk_start = st[2]
+    def _one_bar(st, t_i, z, zv, u3, u4, tie, nz, young=False, zq=None):
+        if carry_x:
+            samp_st = st[2]               # block start / heston variance
             st = st[:2] + st[3:]
+        if block:
+            blk_start = samp_st
         (log_s, prev_c, side, entry, stop, target, risk0, cooldown_until,
          last_dir, equity, peak, dd, trades, wins, losses, escal,
          c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
@@ -351,6 +385,7 @@ def _engine_lifecycle_loop(
                 new_start = jnp.minimum(jnp.floor(z * (hf - bl)),
                                         hf - bl - 1.0)
                 blk_start = jnp.where(off == 0.0, new_start, blk_start)
+                samp_st = blk_start
                 idx_f = blk_start + off
             else:
                 idx_f = jnp.minimum(jnp.floor(z * hf), hf - 1.0)
@@ -363,12 +398,29 @@ def _engine_lifecycle_loop(
             low = jnp.exp(log_s + logl_t)
             v = _hist_gather(4, idx_f)      # REAL recorded volume
         else:
-            # ---- generate this bar (streaming GBM + bridge + volume) ----
-            incr = drift + sig_dt * z
+            # ---- generate this bar (streaming GBM/Heston + bridge + volume)
             log_open = log_s
-            log_close = log_s + incr
+            if hes:
+                # full-truncation Euler (ops/pathgen.heston_paths mirror):
+                # the bar's LOCAL vol drives both the close move and the
+                # bridge extremes; the vol shock correlates with the price
+                # shock through rho
+                dtf = jnp.float32(h_dt)
+                v_pos = jnp.maximum(samp_st, 0.0)
+                sig_bar = jnp.sqrt(v_pos * dtf)
+                log_close = (log_s + (jnp.float32(h_mu) - 0.5 * v_pos) * dtf
+                             + sig_bar * z)
+                sig2dt = v_pos * dtf
+                samp_st = (samp_st
+                           + jnp.float32(h_kap) * (jnp.float32(h_th) - v_pos)
+                           * dtf
+                           + jnp.float32(h_xi) * sig_bar
+                           * (jnp.float32(h_rho) * z
+                              + jnp.float32(h_rho_perp) * zq))
+            else:
+                log_close = log_s + (drift + sig_dt * z)
+                sig2dt = sig_dt * sig_dt
             c = jnp.exp(log_close)
-            sig2dt = sig_dt * sig_dt
             d2 = (log_close - log_open) ** 2
             h = jnp.exp(0.5 * (log_open + log_close
                                + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
@@ -399,8 +451,8 @@ def _engine_lifecycle_loop(
                    tap_ts, tap_ratio, run_low, run_high, box_low, box_high,
                    box_valid, regime, inside_cnt, ring_v, ring_c, skips,
                    hstate)
-            if block:
-                ret = ret[:2] + (blk_start,) + ret[2:]
+            if carry_x:
+                ret = ret[:2] + (samp_st,) + ret[2:]
             return ret
 
         # ---- nearest-level scan at the close (shared by stage B's
@@ -929,8 +981,8 @@ def _engine_lifecycle_loop(
                c_counts, c_latch, tm_cnt, tm_ts, tm_px, tap_ts, tap_ratio,
                run_low, run_high, box_low, box_high, box_valid, regime,
                inside_cnt, ring_v, ring_c, skips, hstate)
-        if block:
-            ret = ret[:2] + (blk_start,) + ret[2:]
+        if carry_x:
+            ret = ret[:2] + (samp_st,) + ret[2:]
         return ret
 
     def _confluence_thresh(confl_d, within):
@@ -1091,7 +1143,7 @@ def _engine_lifecycle_loop(
     if num_bars % 2:
         # final half step: first Box-Muller branch of one extra draw block
         t2 = jnp.int32(num_bars // 2)
-        nk0 = 4 if bootstrap else 10
+        nk0 = 4 if bootstrap else (12 if hes else 10)
         if noise is not None:
             r1 = jnp.sqrt(-2.0 * jnp.log(draw(t2, nk0)))
             a1 = _TWO_PI * draw(t2, nk0 + 1)
@@ -1106,6 +1158,16 @@ def _engine_lifecycle_loop(
             final = _one_bar(final, jnp.int32(num_bars - 1), draw(t2, 0),
                              None, None, None, draw(t2, 2), nz_last,
                              young=young_last)
+        elif hes:
+            z_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 0))) * jnp.cos(
+                _TWO_PI * draw(t2, 1))
+            zv_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 2))) * jnp.cos(
+                _TWO_PI * draw(t2, 3))
+            zq_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 4))) * jnp.cos(
+                _TWO_PI * draw(t2, 5))
+            final = _one_bar(final, jnp.int32(num_bars - 1), z_last, zv_last,
+                             draw(t2, 6), draw(t2, 7), draw(t2, 8), nz_last,
+                             young=young_last, zq=zq_last)
         else:
             z_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 0))) * jnp.cos(
                 _TWO_PI * draw(t2, 1))
@@ -1114,8 +1176,8 @@ def _engine_lifecycle_loop(
             final = _one_bar(final, jnp.int32(num_bars - 1), z_last, zv_last,
                              draw(t2, 4), draw(t2, 5), draw(t2, 6), nz_last,
                              young=young_last)
-    if block:
-        final = final[:2] + final[3:]          # drop the blk_start carry
+    if carry_x:
+        final = final[:2] + final[3:]          # drop the sampler-state carry
     (_, _, side, _, _, _, _, _, _, equity, _, dd, trades, wins, losses, escal,
      *_rest) = final
     skips = final[-2]
@@ -1202,6 +1264,7 @@ def _engine_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
     gen_only: bool = False,
     skip_d: bool = False,
     policy_off: bool = False,
@@ -1243,7 +1306,7 @@ def _engine_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(eng_ref[0, 17 + k] for k in range(4))
                if use_noise else None),
-        harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len, gen_only=gen_only,
+        harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len, heston=heston, gen_only=gen_only,
         skip_d=skip_d, policy_off=policy_off, young_bars=young_bars,
     )
 
@@ -1390,6 +1453,7 @@ def mc_paths_pallas_engine(
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c/v history (bootstrap)
     block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
     gen_only: bool = False,   # roofline mode: generate bars, skip the engine
     skip_d: bool = False,     # roofline mode: skip the minute-close pipeline
     interpret=False,
@@ -1431,9 +1495,9 @@ def mc_paths_pallas_engine(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError(
-            "engine kernel samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap' | "
+                         "'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars (recorded "
                          "o/h/l/c/v history)")
@@ -1445,7 +1509,7 @@ def mc_paths_pallas_engine(
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
-        block_len=int(block_len),
+        block_len=int(block_len), heston=_heston_tuple(heston, mu, dt),
         gen_only=bool(gen_only), skip_d=bool(skip_d),
         young_bars=_young_bars(guard_params), interpret=interpret,
     )
@@ -1460,14 +1524,15 @@ def mc_paths_pallas_engine(
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "volume_model", "escalation", "bar0_minute",
                      "policy_gate_disabled", "harvest", "sampler", "block_len",
-                     "gen_only", "skip_d", "young_bars", "interpret"),
+                     "heston", "gen_only", "skip_d", "young_bars",
+                     "interpret"),
 )
 def _engine_impl(
     seed, levels, params, policy, ml_model, touch_params, guard_params,
     noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
     sigma, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, harvest, sampler, block_len, gen_only, skip_d, young_bars,
-    interpret,
+    volume_model, harvest, sampler, block_len, heston, gen_only, skip_d,
+    young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1489,7 +1554,7 @@ def _engine_impl(
         _engine_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, external_rng=external_rng, use_noise=use_noise,
-        use_harvest=harvest, sampler=sampler, hist_len=hist_len, block_len=block_len,
+        use_harvest=harvest, sampler=sampler, hist_len=hist_len, block_len=block_len, heston=heston,
         gen_only=gen_only, skip_d=skip_d, policy_off=bool(policy_gate_disabled),
         young_bars=young_bars,
     )
@@ -1569,6 +1634,7 @@ def _engine_sweep_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -1629,7 +1695,7 @@ def _engine_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[g, 17 + k] for k in range(4))
                    if use_noise else None),
-            sampler=sampler, hist=hist, block_len=block_len,
+            sampler=sampler, hist=hist, block_len=block_len, heston=heston,
             policy_off=policy_off, young_bars=young_bars,
         )
         _engine_accumulate(acc_ref, (g,), final, n_paths=s * b)
@@ -1660,6 +1726,7 @@ def mc_paths_pallas_engine_sweep(
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c/v history (bootstrap)
     block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
     interpret=False,
     external_uniforms=None,
 ):
@@ -1708,9 +1775,9 @@ def mc_paths_pallas_engine_sweep(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError(
-            "engine kernel samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap' | "
+                         "'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars (recorded "
                          "o/h/l/c/v history)")
@@ -1722,6 +1789,7 @@ def mc_paths_pallas_engine_sweep(
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, sampler=sampler, block_len=int(block_len),
+        heston=_heston_tuple(heston, mu, dt),
         young_bars=_young_bars(guard_params),
         interpret=interpret,
     )
@@ -1732,13 +1800,13 @@ def mc_paths_pallas_engine_sweep(
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "n_grid", "volume_model", "escalation",
                      "bar0_minute", "policy_gate_disabled", "sampler", "block_len",
-                     "young_bars", "interpret"),
+                     "heston", "young_bars", "interpret"),
 )
 def _engine_sweep_impl(
     seed, levels, grid_params, policy, ml_model, touch_params, guard_params,
     noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
     sigma, dt, lanes, n_grid, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, sampler, block_len, young_bars, interpret,
+    volume_model, sampler, block_len, heston, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1760,7 +1828,7 @@ def _engine_sweep_impl(
         _engine_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
         sig_dt=sig_dt, max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, n_grid=n_grid, external_rng=external_rng,
-        use_noise=use_noise, sampler=sampler, hist_len=hist_len, block_len=block_len,
+        use_noise=use_noise, sampler=sampler, hist_len=hist_len, block_len=block_len, heston=heston,
         policy_off=bool(policy_gate_disabled),
         young_bars=young_bars,
     )
@@ -1839,6 +1907,7 @@ def _engine_universe_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -1892,7 +1961,7 @@ def _engine_universe_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
                if use_noise else None),
-        harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len,
+        harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len, heston=heston,
         policy_off=policy_off, young_bars=young_bars,
     )
 
@@ -1927,6 +1996,7 @@ def mc_paths_pallas_engine_universe(
     sampler: str = "gbm",     # "gbm" | "bootstrap" (per-symbol recorded bars)
     hist_bars=None,           # PathBars-like [S, H] o/h/l/c/v histories
     block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 5*num_bars (9* w/ noise), 8, lanes]
 ):
@@ -1967,9 +2037,9 @@ def mc_paths_pallas_engine_universe(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError(
-            "engine kernel samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap' | "
+                         "'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c/v histories, one row per symbol)")
@@ -1981,7 +2051,7 @@ def mc_paths_pallas_engine_universe(
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
-        block_len=int(block_len),
+        block_len=int(block_len), heston=_heston_tuple(heston, 0.0, dt),
         young_bars=_young_bars(guard_params), interpret=interpret,
     )
 
@@ -2014,6 +2084,7 @@ def _engine_universe_sweep_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -2080,7 +2151,7 @@ def _engine_universe_sweep_kernel(
             max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
             noise=(tuple(grid_ref[0, g, 17 + k] for k in range(4))
                    if use_noise else None),
-            sampler=sampler, hist=hist, block_len=block_len,
+            sampler=sampler, hist=hist, block_len=block_len, heston=heston,
             policy_off=policy_off, young_bars=young_bars,
         )
         _engine_accumulate(acc_ref, (0, g), final, n_paths=s * b)
@@ -2110,6 +2181,7 @@ def mc_paths_pallas_engine_universe_sweep(
     sampler: str = "gbm",  # "gbm" | "bootstrap" (per-symbol recorded bars)
     hist_bars=None,        # PathBars-like [S, H] o/h/l/c/v histories
     block_len: int = 10,   # block_bootstrap: contiguous run length
+    heston=None,           # heston: dict(v0, kappa, theta, xi, rho)
     interpret=False,
     external_uniforms=None,
 ):
@@ -2159,9 +2231,9 @@ def mc_paths_pallas_engine_universe_sweep(
         raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
     if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError(
-            "engine kernel samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap' | "
+                         "'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c/v histories, one row per symbol)")
@@ -2174,6 +2246,7 @@ def mc_paths_pallas_engine_universe_sweep(
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, sampler=sampler, block_len=int(block_len),
+        heston=_heston_tuple(heston, 0.0, dt),
         young_bars=_young_bars(guard_params),
         interpret=interpret,
     )
@@ -2183,14 +2256,15 @@ def mc_paths_pallas_engine_universe_sweep(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes", "n_grid",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "sampler", "block_len", "young_bars",
-                     "interpret"),
+                     "policy_gate_disabled", "sampler", "block_len", "heston",
+                     "young_bars", "interpret"),
 )
 def _engine_universe_sweep_impl(
     seed, levels, grid_params, s0, sigma, policy, ml_model, touch_params,
     guard_params, noise, hist_bars, external_uniforms, *, paths_per_symbol,
     num_bars, dt, lanes, n_grid, policy_gate_disabled, escalation,
-    bar0_minute, volume_model, sampler, block_len, young_bars, interpret,
+    bar0_minute, volume_model, sampler, block_len, heston, young_bars,
+    interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2211,7 +2285,7 @@ def _engine_universe_sweep_impl(
         _engine_universe_sweep_kernel, num_bars=num_bars, dt=dt,
         max_levels=n_lv, lanes=lanes, vm=vm, escalation=escalation,
         n_grid=n_grid, external_rng=external_rng, use_noise=use_noise,
-        sampler=sampler, hist_len=hist_len, block_len=block_len,
+        sampler=sampler, hist_len=hist_len, block_len=block_len, heston=heston,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     grid = _pack_eng_sg(grid_params, policy_gate_disabled, bar0_minute,
@@ -2281,13 +2355,14 @@ def _engine_universe_sweep_impl(
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
                      "volume_model", "escalation", "bar0_minute",
                      "policy_gate_disabled", "harvest", "sampler", "block_len",
-                     "young_bars", "interpret"),
+                     "heston", "young_bars", "interpret"),
 )
 def _engine_universe_impl(
     seed, levels, params, s0, sigma, policy, ml_model, touch_params,
     guard_params, noise, hist_bars, external_uniforms, *, paths_per_symbol,
     num_bars, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, harvest, sampler, block_len, young_bars, interpret,
+    volume_model, harvest, sampler, block_len, heston, young_bars,
+    interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2308,7 +2383,7 @@ def _engine_universe_impl(
         _engine_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         lanes=lanes, vm=vm, escalation=escalation, external_rng=external_rng,
         use_noise=use_noise, use_harvest=harvest, sampler=sampler,
-        hist_len=hist_len, block_len=block_len,
+        hist_len=hist_len, block_len=block_len, heston=heston,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,

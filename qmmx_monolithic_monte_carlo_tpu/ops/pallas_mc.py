@@ -883,6 +883,15 @@ GATED_BLOCK = GATED_SUB * GATED_LANES
 ROW_MAXDD = 4        # worst per-path drawdown — 'max' combine, zero identity
 
 
+def _heston_tuple(heston, mu, dt):
+    """Static (v0, kappa, theta, xi, rho, mu, dt) floats for the kernels
+    (defaults = ops/pathgen.heston_paths); hashable for jit static args."""
+    h = dict(v0=0.04, kappa=3.0, theta=0.04, xi=0.6, rho=-0.7)
+    h.update(heston or {})
+    return (float(h["v0"]), float(h["kappa"]), float(h["theta"]),
+            float(h["xi"]), float(h["rho"]), float(mu), float(dt))
+
+
 def _gated_stride(sampler: str, use_noise: bool) -> int:
     """Uniform blocks consumed per double-bar step by the gated loop.
 
@@ -892,6 +901,9 @@ def _gated_stride(sampler: str, use_noise: bool) -> int:
     index uniform) so CRN streams align across the bootstrap family."""
     if sampler in ("bootstrap", "block_bootstrap"):
         return 12 if use_noise else 4
+    if sampler == "heston":
+        # price pair + vol-shock pair + 2x(u3, u4, tie)
+        return 18 if use_noise else 10
     return 16 if use_noise else 8
 
 
@@ -917,6 +929,7 @@ def _gated_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
 ):
     """The QMMX engine per path, entirely on-chip: bars are generated
     bar-by-bar inside the loop (no (W,B) residency, no cumsum matmul — the
@@ -969,6 +982,7 @@ def _gated_kernel(
         noise=(tuple(knobs_ref[0, 4 + k] for k in range(4))
                if use_noise else None),
         sampler=sampler, hist=hist, block_len=block_len,
+        heston=heston,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -981,7 +995,7 @@ def _gated_kernel(
 def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                           knobs, gates, max_levels, lanes=GATED_LANES,
                           noise=None, sampler="gbm", hist=None,
-                          block_len=0):
+                          block_len=0, heston=None):
     """The streaming generate+trade loop shared by the gated kernels.
 
     Each ``fori_loop`` iteration processes TWO bars from one paired
@@ -1013,6 +1027,12 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     s, b = GATED_SUB, lanes
     bootstrap = sampler in ("bootstrap", "block_bootstrap")
     block = sampler == "block_bootstrap"
+    hes = sampler == "heston"
+    carry_x = block or hes        # one extra sampler-state tile in the carry
+    if hes:
+        h_v0, h_kap, h_th, h_xi, h_rho, h_mu, h_dt = [
+            float(x) for x in heston]
+        h_rho_perp = float(np.sqrt(max(0.0, 1.0 - h_rho * h_rho)))
     if bootstrap:
         get_hist_tile, hist_len = hist
         h_tiles = -(-int(hist_len) // 128)
@@ -1035,6 +1055,8 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         # the ~1-ulp gap between s0 and exp(log(s0))
         jnp.exp(zero + log_s0),        # prev_c
     ) + ((zero,) if block else ()) + (  # block-bootstrap current block start
+    ) + ((zero + jnp.float32(h_v0),) if hes else (  # heston variance v_t
+    )) + (
         zero, zero, zero, zero,       # side / entry / stop / target
         zero,                          # cooldown (bars remaining)
         zero, zero, zero,              # equity / peak / dd
@@ -1057,6 +1079,12 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
             z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
             ties = None
             noise_k0 = 8
+            if hes:
+                qradius = jnp.sqrt(-2.0 * jnp.log(draw(t2, 2)))
+                qangle = _TWO_PI * draw(t2, 3)
+                zq_pair = (qradius * jnp.cos(qangle),
+                           qradius * jnp.sin(qangle))
+                noise_k0 = 10
         for half in range(2):
             t_f = (2 * t2 + half).astype(jnp.float32)
             if noise is not None:
@@ -1071,6 +1099,12 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
             if bootstrap:
                 st = _one_bar(st, t_f, z_pair[half], None, None,
                               ties[half], nz, bar0=first and half == 0)
+            elif hes:
+                st = _one_bar(
+                    st, t_f, z_pair[half],
+                    draw(t2, 4 + 3 * half), draw(t2, 5 + 3 * half),
+                    draw(t2, 6 + 3 * half), nz, zq=zq_pair[half],
+                )
             else:
                 st = _one_bar(
                     st, t_f, z_pair[half],
@@ -1079,10 +1113,12 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                 )
         return st
 
-    def _one_bar(st, t_f, z, u3, u4, tie, nz, bar0=False):
-        if block:
-            blk_start = st[2]
+    def _one_bar(st, t_f, z, u3, u4, tie, nz, bar0=False, zq=None):
+        if carry_x:
+            samp_st = st[2]               # block start / heston variance
             st = st[:2] + st[3:]
+        if block:
+            blk_start = samp_st
         (log_s, prev_c, side, entry, stop, target, cooldown,
          equity, peak, dd, trades, wins, losses, touch, last_tb) = st
 
@@ -1097,6 +1133,7 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                 new_start = jnp.minimum(jnp.floor(z * (hf - bl)),
                                         hf - bl - 1.0)
                 blk_start = jnp.where(off == 0.0, new_start, blk_start)
+                samp_st = blk_start
                 idx_f = blk_start + off
             else:
                 idx_f = jnp.minimum(jnp.floor(z * hf), hf - 1.0)
@@ -1110,12 +1147,27 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
             if bar0:
                 prev_c = jnp.exp(log_s + _hgather(3, idx_f))
         else:
-            # ---- generate this bar (streaming GBM + bridge extremes) ----
-            incr = drift + sig_dt * z
+            # ---- generate this bar (streaming GBM/Heston + bridge) ----
             log_open = log_s                  # open == previous close, exact
-            log_close = log_s + incr
+            if hes:
+                # full-truncation Euler (ops/pathgen.heston_paths mirror)
+                dtf = jnp.float32(h_dt)
+                v_pos = jnp.maximum(samp_st, 0.0)
+                sig_bar = jnp.sqrt(v_pos * dtf)
+                log_close = (log_s
+                             + (jnp.float32(h_mu) - 0.5 * v_pos) * dtf
+                             + sig_bar * z)
+                sig2dt = v_pos * dtf
+                samp_st = (samp_st
+                           + jnp.float32(h_kap)
+                           * (jnp.float32(h_th) - v_pos) * dtf
+                           + jnp.float32(h_xi) * sig_bar
+                           * (jnp.float32(h_rho) * z
+                              + jnp.float32(h_rho_perp) * zq))
+            else:
+                log_close = log_s + (drift + sig_dt * z)
+                sig2dt = sig_dt * sig_dt
             c = jnp.exp(log_close)
-            sig2dt = sig_dt * sig_dt
             d2 = (log_close - log_open) ** 2
             high = jnp.exp(0.5 * (log_open + log_close
                                   + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
@@ -1237,8 +1289,8 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
 
         ret = (log_close, c, side, entry, stop, target, cooldown,
                equity, peak, dd, trades, wins, losses, touch, last_tb)
-        if block:
-            ret = ret[:2] + (blk_start,) + ret[2:]
+        if carry_x:
+            ret = ret[:2] + (samp_st,) + ret[2:]
         return ret
 
     if bootstrap:
@@ -1247,8 +1299,8 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         st = jax.lax.fori_loop(1, num_bars // 2, body, st)
     else:
         st = jax.lax.fori_loop(0, num_bars // 2, body, init)
-    if block:
-        st = st[:2] + st[3:]                   # drop the blk_start carry
+    if carry_x:
+        st = st[:2] + st[3:]                   # drop the sampler-state carry
     (_, _, side, _, _, _, _, equity, _, dd, trades, wins, losses, _, _) = st
     return side, equity, dd, trades, wins, losses
 
@@ -1314,6 +1366,7 @@ def _gated_universe_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
 ):
     """Per-(symbol, block) gated lifecycle: the shared streaming loop with the
     symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad — plus its own
@@ -1361,6 +1414,7 @@ def _gated_universe_kernel(
         noise=(tuple(sym_ref[0, 0, 5 + k] for k in range(4))
                if use_noise else None),
         sampler=sampler, hist=hist, block_len=block_len,
+        heston=heston,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -1396,9 +1450,9 @@ def _symbol_slab(params: EngineParams, s0, sigma, n_sym: int, noise=None):
 @functools.partial(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "sampler",
-                     "block_len", "interpret"),
+                     "block_len", "heston", "interpret"),
 )
-def mc_paths_pallas_gated_universe(
+def _mc_paths_pallas_gated_universe_jit(
     seed,
     levels: Levels,        # batched [S, L<=8]
     params: EngineParams,  # contact_prox/stop_padding/tp_padding: scalar or [S]
@@ -1413,6 +1467,7 @@ def mc_paths_pallas_gated_universe(
     sampler: str = "gbm",     # "gbm" | "bootstrap" (per-symbol recorded bars)
     hist_bars=None,           # PathBars-like [S, H] o/h/l/c histories
     block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 4*num_bars (8* w/ noise), 8, GATED_LANES]
                               # (bootstrap: 2*num_bars (6*) rows)
@@ -1436,8 +1491,9 @@ def mc_paths_pallas_gated_universe(
     n_sym, n_lv = lv_price.shape
     if n_lv > 8:
         raise ValueError("pallas gated universe kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError(
+            "samplers: 'gbm' | 'bootstrap' | 'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c histories, one row per symbol)")
@@ -1454,6 +1510,7 @@ def mc_paths_pallas_gated_universe(
         _gated_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         external_rng=external_rng, use_noise=use_noise,
         sampler=sampler, hist_len=hist_len, block_len=int(block_len),
+        heston=heston,
     )
     gvec = jnp.stack([
         jnp.asarray(gate.q_min_prob, jnp.float32),
@@ -1524,9 +1581,9 @@ def _unpack_acc_gated(acc) -> PathStats:
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "lanes", "sampler", "block_len", "interpret"),
+                     "lanes", "sampler", "block_len", "heston", "interpret"),
 )
-def mc_paths_pallas_gated(
+def _mc_paths_pallas_gated_jit(
     seed,
     levels: Levels,
     params: EngineParams,
@@ -1543,6 +1600,7 @@ def mc_paths_pallas_gated(
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 4*num_bars (8* with noise), 8, lanes]
                               # (bootstrap: 2*num_bars (6*) rows)
@@ -1566,8 +1624,9 @@ def mc_paths_pallas_gated(
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas gated kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError(
+            "samplers: 'gbm' | 'bootstrap' | 'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
     n_blocks = num_paths // block
@@ -1585,6 +1644,7 @@ def mc_paths_pallas_gated(
         _gated_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, external_rng=external_rng,
         use_noise=use_noise, sampler=sampler, hist_len=hist_len, block_len=int(block_len),
+        heston=heston,
     )
     zero = jnp.float32(0.0)
     knobs = jnp.stack([
@@ -1828,6 +1888,7 @@ def _gated_sweep_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
 ):
     """One path block replayed through the FULL gated lifecycle for every
     grid configuration.  Common random numbers come from RESEEDING: the
@@ -1885,6 +1946,7 @@ def _gated_sweep_kernel(
             noise=(tuple(grid_ref[g, 8 + k] for k in range(4))
                    if use_noise else None),
             sampler=sampler, hist=hist, block_len=block_len,
+        heston=heston,
         )
         _gated_accumulate(acc_ref, (g,), final, n_paths=s * b)
 
@@ -1892,9 +1954,9 @@ def _gated_sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "sampler", "block_len", "interpret"),
+                     "sampler", "block_len", "heston", "interpret"),
 )
-def mc_paths_pallas_gated_sweep(
+def _mc_paths_pallas_gated_sweep_jit(
     seed,
     levels: Levels,
     params: EngineParams,
@@ -1912,6 +1974,7 @@ def mc_paths_pallas_gated_sweep(
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 4*num_bars (8* w/ noise), 8, GATED_LANES]
                               # (bootstrap: 2*num_bars (6*) rows)
@@ -1936,8 +1999,9 @@ def mc_paths_pallas_gated_sweep(
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas gated sweep supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError(
+            "samplers: 'gbm' | 'bootstrap' | 'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
     grid_stops = jnp.asarray(grid_stops, jnp.float32).reshape(-1)
@@ -1976,6 +2040,7 @@ def mc_paths_pallas_gated_sweep(
         sig_dt=sig_dt, max_levels=levels.max_levels, n_grid=g,
         external_rng=external_rng, use_noise=use_noise,
         sampler=sampler, hist_len=hist_len, block_len=int(block_len),
+        heston=heston,
     )
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
@@ -2016,3 +2081,37 @@ def mc_paths_pallas_gated_sweep(
             if external_rng else ())))
 
     return _unpack_acc_gated(acc)
+
+
+def mc_paths_pallas_gated(seed, levels, params, gate=None, *, sampler="gbm",
+                          heston=None, mu=0.0,
+                          dt=1.0 / (390.0 * 252.0), **kw):
+    """Public gated-kernel entry (see ``_mc_paths_pallas_gated_jit``): thin
+    unjitted shim that freezes the heston dict into the static float tuple
+    the kernel is specialized on (dicts are unhashable for jit statics)."""
+    hes = _heston_tuple(heston, mu, dt) if sampler == "heston" else None
+    return _mc_paths_pallas_gated_jit(
+        seed, levels, params, gate, sampler=sampler, heston=hes, mu=mu,
+        dt=dt, **kw)
+
+
+def mc_paths_pallas_gated_sweep(seed, levels, params, grid_stops, grid_tps,
+                                grid_gate=None, *, sampler="gbm",
+                                heston=None, mu=0.0,
+                                dt=1.0 / (390.0 * 252.0), **kw):
+    """Public gated-sweep entry (see ``_mc_paths_pallas_gated_sweep_jit``)."""
+    hes = _heston_tuple(heston, mu, dt) if sampler == "heston" else None
+    return _mc_paths_pallas_gated_sweep_jit(
+        seed, levels, params, grid_stops, grid_tps, grid_gate,
+        sampler=sampler, heston=hes, mu=mu, dt=dt, **kw)
+
+
+def mc_paths_pallas_gated_universe(seed, levels, params, s0, sigma,
+                                   gate=None, *, sampler="gbm", heston=None,
+                                   dt=1.0 / (390.0 * 252.0), **kw):
+    """Public gated-universe entry (see
+    ``_mc_paths_pallas_gated_universe_jit``)."""
+    hes = _heston_tuple(heston, 0.0, dt) if sampler == "heston" else None
+    return _mc_paths_pallas_gated_universe_jit(
+        seed, levels, params, s0, sigma, gate, sampler=sampler, heston=hes,
+        dt=dt, **kw)

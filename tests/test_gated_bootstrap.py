@@ -187,7 +187,7 @@ def test_gated_bootstrap_validation():
     with pytest.raises(ValueError, match="samplers"):
         mc_paths_pallas_gated(
             0, LEVELS, params, num_paths=BLOCK, num_bars=8, lanes=LANES,
-            sampler="heston")
+            sampler="garch")
 
 
 def _bars_from_blockboot_uniforms(u, hist, w, block_len, lanes=LANES,
