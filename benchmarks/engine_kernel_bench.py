@@ -51,7 +51,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--levels", type=int, default=2,
                     help="level-slot count (cost-curve runs: 8/16/30)")
-    ap.add_argument("--sampler", default="gbm", choices=["gbm", "bootstrap"])
+    ap.add_argument("--sampler", default="gbm",
+                    choices=["gbm", "bootstrap", "block_bootstrap",
+                             "heston"])
+    ap.add_argument("--block-len", type=int, default=10)
     ap.add_argument("--hist", type=int, default=390,
                     help="bootstrap history length (bars)")
     ap.add_argument("--harvest", action="store_true",
@@ -71,7 +74,7 @@ def main():
     print(f"# device={dev.device_kind} paths=2^{args.paths} bars={args.bars} "
           f"levels={args.levels} sampler={args.sampler}", file=sys.stderr)
     hist = None
-    if args.sampler == "bootstrap":
+    if args.sampler in ("bootstrap", "block_bootstrap"):
         import numpy as np
 
         from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import PathBars
@@ -100,6 +103,9 @@ def main():
                     num_bars=args.bars, sigma=0.3,
                     dt=1.0 / (390.0 * 252.0), lanes=lanes,
                     sampler=args.sampler, hist_bars=hist,
+                    block_len=args.block_len,
+                    heston=(dict(v0=0.09, xi=0.9)
+                            if args.sampler == "heston" else None),
                     harvest=args.harvest, **mkw,
                 )
 

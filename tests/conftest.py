@@ -19,3 +19,19 @@ import jax  # noqa: E402
 # interpreter start; override it so tests run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The suite compiles hundreds of large interpret-mode kernel programs;
+    with the jit cache holding every one of them, the XLA CPU compiler
+    eventually segfaults partway through a full run (reproduced at ~25%
+    on the 1-core CI box).  Cross-module cache reuse is ~nil, so clearing
+    per module costs little and keeps the compiler healthy."""
+    yield
+    jax.clear_caches()
