@@ -1509,7 +1509,7 @@ def mc_paths_pallas_engine(
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
-        block_len=int(block_len), heston=_heston_tuple(heston, mu, dt),
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0, heston=_heston_tuple(heston, mu, dt),
         gen_only=bool(gen_only), skip_d=bool(skip_d),
         young_bars=_young_bars(guard_params), interpret=interpret,
     )
@@ -1788,7 +1788,7 @@ def mc_paths_pallas_engine_sweep(
         dt=dt, lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, sampler=sampler, block_len=int(block_len),
+        volume_model=volume_model, sampler=sampler, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
         heston=_heston_tuple(heston, mu, dt),
         young_bars=_young_bars(guard_params),
         interpret=interpret,
@@ -2051,7 +2051,7 @@ def mc_paths_pallas_engine_universe(
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
-        block_len=int(block_len), heston=_heston_tuple(heston, 0.0, dt),
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0, heston=_heston_tuple(heston, 0.0, dt),
         young_bars=_young_bars(guard_params), interpret=interpret,
     )
 
@@ -2245,7 +2245,7 @@ def mc_paths_pallas_engine_universe_sweep(
         lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, sampler=sampler, block_len=int(block_len),
+        volume_model=volume_model, sampler=sampler, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
         heston=_heston_tuple(heston, 0.0, dt),
         young_bars=_young_bars(guard_params),
         interpret=interpret,

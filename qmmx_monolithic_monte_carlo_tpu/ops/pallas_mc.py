@@ -656,7 +656,7 @@ def mc_paths_pallas(
         use_noise=use_noise,
         sampler=sampler,
         hist_len=hist_len,
-        block_len=int(block_len),
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0,
     )
     zero = jnp.float32(0.0)
     knobs = jnp.stack([
@@ -831,7 +831,7 @@ def mc_paths_pallas_universe(
     external_rng = external_uniforms is not None
     kernel = functools.partial(
         _universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
-        external_rng=external_rng, sampler=sampler, hist_len=hist_len, block_len=int(block_len),
+        external_rng=external_rng, sampler=sampler, hist_len=hist_len, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
     )
     lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
     sym = _symbol_slab(params, s0, sigma, n_sym)
@@ -1509,7 +1509,7 @@ def _mc_paths_pallas_gated_universe_jit(
     kernel = functools.partial(
         _gated_universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
         external_rng=external_rng, use_noise=use_noise,
-        sampler=sampler, hist_len=hist_len, block_len=int(block_len),
+        sampler=sampler, hist_len=hist_len, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
         heston=heston,
     )
     gvec = jnp.stack([
@@ -1643,7 +1643,7 @@ def _mc_paths_pallas_gated_jit(
     kernel = functools.partial(
         _gated_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, external_rng=external_rng,
-        use_noise=use_noise, sampler=sampler, hist_len=hist_len, block_len=int(block_len),
+        use_noise=use_noise, sampler=sampler, hist_len=hist_len, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
         heston=heston,
     )
     zero = jnp.float32(0.0)
@@ -1826,7 +1826,7 @@ def mc_paths_pallas_sweep(
     kernel = functools.partial(
         _sweep_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, n_grid=g,
-        sampler=sampler, hist_len=hist_len, block_len=int(block_len),
+        sampler=sampler, hist_len=hist_len, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
     )
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
@@ -2039,7 +2039,7 @@ def _mc_paths_pallas_gated_sweep_jit(
         _gated_sweep_kernel, num_bars=num_bars, s0=s0, drift=drift,
         sig_dt=sig_dt, max_levels=levels.max_levels, n_grid=g,
         external_rng=external_rng, use_noise=use_noise,
-        sampler=sampler, hist_len=hist_len, block_len=int(block_len),
+        sampler=sampler, hist_len=hist_len, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
         heston=heston,
     )
     knobs = jnp.stack([
