@@ -96,7 +96,38 @@ def main():
     )
 
 
+def _tunnel_alive(deadline_s: float = 300.0) -> bool:
+    """Probe TPU backend init in a SUBPROCESS with a hard deadline.
+
+    When the axon tunnel is down, ``jax.devices()`` blocks forever inside
+    backend init while holding the backend-registry lock — no in-process
+    fallback (thread watchdog, platform flip) can recover after that, so
+    the probe must happen in a disposable process BEFORE this one touches
+    jax.devices()."""
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=deadline_s, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    elif not _tunnel_alive():
+        # wedged tunnel: fall back to the XLA pipeline on CPU so the driver
+        # still records a real (if slow) number instead of hanging forever
+        print("# TPU tunnel unresponsive — falling back to CPU XLA",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
     # the axon remote-compile tunnel occasionally throws a transient
     # FAILED_PRECONDITION; retry in-process before giving up
     for attempt in range(3):
