@@ -151,6 +151,10 @@ def sharded_mc_paths_pallas(
     gate=None,
     engine: bool = False,
     noise=None,
+    sampler: str = "gbm",     # gbm | bootstrap | block_bootstrap | heston
+    hist_bars=None,           # recorded o/h/l/c/v history (bootstrap family)
+    block_len: int = 10,
+    heston=None,              # dict(v0, kappa, theta, xi, rho)
     axis: str = "paths",
     interpret=False,
     external_uniforms=None,   # f32[total_blocks, ...] (interpret tests)
@@ -179,14 +183,23 @@ def sharded_mc_paths_pallas(
         # wrapper's int()-validation of freshly-built params would see
         # tracers; closured concrete params stay concrete
         kern = partial(mc_paths_pallas_engine, noise=noise,
+                       sampler=sampler, hist_bars=hist_bars,
+                       block_len=block_len, heston=heston,
                        touch_params=T.TouchMemoryParams.default(),
                        guard_params=G.GuardParams.default())
     elif gate is not None:
         lanes = PK.GATED_LANES if lanes is None else lanes
-        kern = partial(PK.mc_paths_pallas_gated, gate=gate, noise=noise)
+        kern = partial(PK.mc_paths_pallas_gated, gate=gate, noise=noise,
+                       sampler=sampler, hist_bars=hist_bars,
+                       block_len=block_len, heston=heston)
     else:
         lanes = PK.SINGLE_LANES if lanes is None else lanes
-        kern = partial(PK.mc_paths_pallas, noise=noise)
+        if sampler == "heston":
+            raise ValueError("the first-contact kernel runs gbm/bootstrap "
+                             "samplers only (no variance chain)")
+        kern = partial(PK.mc_paths_pallas, noise=noise,
+                       sampler=sampler, hist_bars=hist_bars,
+                       block_len=block_len)
     block = (8 * lanes) if (engine or gate is not None) else lanes
 
     n_dev = mesh.shape[axis]

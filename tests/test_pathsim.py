@@ -329,3 +329,41 @@ def test_sharded_pallas_gated_kernel_matches_single_device():
     assert float(sharded.max_dd) == float(single.max_dd)
     np.testing.assert_allclose(float(sharded.sum_r), float(single.sum_r),
                                rtol=1e-5)
+
+
+def test_sharded_pallas_engine_bootstrap_matches_single_device():
+    """Recorded-bar (bootstrap) FULL-engine kernel on the mesh: a 2-device
+    shard_map run equals the single-device kernel exactly (injected
+    uniforms, replicated history slab)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        BOOT_DRAWS_PER_PAIR,
+        ENGINE_SUB,
+        mc_paths_pallas_engine,
+    )
+    from tests.test_engine_bootstrap import _history
+
+    lanes, w = 128, 12
+    block = ENGINE_SUB * lanes
+    hist = _history(3, 220)
+    rng = np.random.default_rng(47)
+    u = rng.uniform(
+        1e-6, 1.0, (2, BOOT_DRAWS_PER_PAIR * (w // 2), ENGINE_SUB, lanes),
+    ).astype(np.float32)
+
+    mesh = PM.make_mesh(2)
+    sh_stats, sh_skips, sh_escal = PM.sharded_mc_paths_pallas(
+        mesh, 0, LEVELS, PARAMS, num_paths=2 * block, num_bars=w,
+        sigma=0.3, lanes=lanes, engine=True, sampler="bootstrap",
+        hist_bars=hist, interpret=True, external_uniforms=u,
+    )
+    single, skips, escal = mc_paths_pallas_engine(
+        0, LEVELS, PARAMS, num_paths=2 * block, num_bars=w, sigma=0.3,
+        lanes=lanes, sampler="bootstrap", hist_bars=hist, interpret=True,
+        external_uniforms=u,
+    )
+    for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+        assert float(getattr(sh_stats, f)) == float(getattr(single, f)), f
+    np.testing.assert_array_equal(np.asarray(sh_skips), np.asarray(skips))
+    assert float(sh_escal) == float(escal)
+    np.testing.assert_array_equal(np.asarray(sh_stats.hist),
+                                  np.asarray(single.hist))
