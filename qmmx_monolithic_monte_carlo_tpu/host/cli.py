@@ -591,10 +591,13 @@ def cmd_sweep(args):
     qmin_grid = getattr(args, "qmins", None)
     if not gated and (touch_grid or qmin_grid):
         raise SystemExit("--touch-limits/--qmins require --gated")
-    if getattr(args, "sampler", "gbm") != "gbm" and not engine:
-        raise SystemExit("sweep --sampler bootstrap requires --engine")
     if engine:
         return _sweep_engine(args, rows, levels, params)
+    sampler = getattr(args, "sampler", "gbm")
+    hist = (_hist_paths_bars(args)
+            if sampler in ("bootstrap", "block_bootstrap") else None)
+    samp_kw = dict(sampler=sampler, hist_bars=hist,
+                   block_len=int(getattr(args, "block_len", 10)))
     if gated:
         from ..sim.gatedpath import GateConfig
 
@@ -609,7 +612,7 @@ def cmd_sweep(args):
         stats = PS.sweep_paths_gated(
             jax.random.key(args.seed), levels, grid, gate=gate_g,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-            sigma=args.sigma, block_paths=block,
+            sigma=args.sigma, block_paths=block, **samp_kw,
         )
     else:
         grid = PS.grid_params(
@@ -617,7 +620,7 @@ def cmd_sweep(args):
         stats = PS.sweep_paths(
             jax.random.key(args.seed), levels, grid,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
-            sigma=args.sigma, block_paths=block,
+            sigma=args.sigma, block_paths=block, **samp_kw,
         )
     import itertools
 
@@ -980,9 +983,10 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--sampler",
                     choices=["gbm", "bootstrap", "block_bootstrap"],
                     default="gbm",
-                    help="engine only: bootstrap sweeps the knob grid over "
+                    help="bootstrap family sweeps the knob grid over "
                          "RECORDED bars (--bars-csv) with CRN — identical "
-                         "resample indices per row")
+                         "resample indices/paths per row (engine: fused "
+                         "kernel on TPU; plain/gated: XLA)")
     sw.add_argument("--bars-csv", default=None,
                     help="recorded o/h/l/c/v history for --sampler bootstrap")
     sw.add_argument("--block-len", type=int, default=10,

@@ -83,7 +83,8 @@ def _broadcast_gate(gate, g: int):
     return jax.tree_util.tree_map(tile, gate)
 
 
-@partial(jax.jit, static_argnames=("num_paths", "num_bars", "block_paths"))
+@partial(jax.jit, static_argnames=("num_paths", "num_bars", "block_paths",
+                                   "sampler", "block_len"))
 def sweep_paths(
     key,
     levels: Levels,
@@ -96,8 +97,13 @@ def sweep_paths(
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
     block_paths: int = 1 << 14,
+    sampler: str = "gbm",
+    hist_bars=None,
+    block_len: int = 10,
+    heston=None,
 ) -> pathsim.PathStats:
-    """All grid points on one device: [G] PathStats, common random paths."""
+    """All grid points on one device: [G] PathStats, common random paths
+    from any sampler (gbm / bootstrap / block_bootstrap / heston)."""
     if num_paths % block_paths != 0 or num_paths < block_paths:
         raise ValueError(
             f"num_paths ({num_paths}) must be a positive multiple of "
@@ -106,8 +112,10 @@ def sweep_paths(
 
     def body(carry, b):
         bkey = prng.key_for(key, prng.STREAM_PATH, b)
-        paths = PG.gbm_paths(bkey, num_paths=block_paths, num_bars=num_bars,
-                             s0=s0, mu=mu, sigma=sigma, dt=dt)
+        paths = pathsim.sample_block(
+            bkey, block_paths=block_paths, num_bars=num_bars, s0=s0, mu=mu,
+            sigma=sigma, dt=dt, sampler=sampler, hist_bars=hist_bars,
+            antithetic=False, block_len=block_len, heston=heston)
         tie = jax.random.uniform(
             prng.key_for(bkey, prng.STREAM_TIE_COIN), (block_paths,), jnp.float32
         )
@@ -126,7 +134,8 @@ def sweep_paths(
     return out
 
 
-@partial(jax.jit, static_argnames=("num_paths", "num_bars", "block_paths"))
+@partial(jax.jit, static_argnames=("num_paths", "num_bars", "block_paths",
+                                   "sampler", "block_len"))
 def sweep_paths_gated(
     key,
     levels: Levels,
@@ -140,6 +149,10 @@ def sweep_paths_gated(
     sigma: float = 0.15,
     dt: float = 1.0 / (390.0 * 252.0),
     block_paths: int = 1 << 14,
+    sampler: str = "gbm",
+    hist_bars=None,
+    block_len: int = 10,
+    heston=None,
 ) -> pathsim.PathStats:
     """Grid sweep of the engine-gated multi-trade lifecycle: each block's
     paths and per-bar tie coins are generated ONCE and every configuration
@@ -162,8 +175,10 @@ def sweep_paths_gated(
 
     def body(carry, b):
         bkey = prng.key_for(key, prng.STREAM_PATH, b)
-        paths = PG.gbm_paths(bkey, num_paths=block_paths, num_bars=num_bars,
-                             s0=s0, mu=mu, sigma=sigma, dt=dt)
+        paths = pathsim.sample_block(
+            bkey, block_paths=block_paths, num_bars=num_bars, s0=s0, mu=mu,
+            sigma=sigma, dt=dt, sampler=sampler, hist_bars=hist_bars,
+            antithetic=False, block_len=block_len, heston=heston)
         tie = jax.random.uniform(
             prng.key_for(bkey, prng.STREAM_TIE_COIN),
             (block_paths, num_bars), jnp.float32,
