@@ -276,8 +276,7 @@ def cmd_paths(args):
     kernel_sampler = (sampler != "heston") or lifecycle
     if args.backend == "auto" and not kernel_sampler:
         backend = "xla"          # auto falls back when the kernels can't
-    if sampler != "gbm" and getattr(args, "ckpt_dir", None):
-        raise SystemExit("--ckpt-dir runs use the gbm sampler")
+
     noise = None
     stds = (getattr(args, "entry_slip_std", 0.0),
             getattr(args, "level_jitter_std", 0.0),
@@ -307,6 +306,8 @@ def cmd_paths(args):
             num_paths=args.num_paths, ckpt_dir=args.ckpt_dir,
             num_bars=args.num_bars, s0=args.s0, sigma=args.sigma,
             block_paths=min(args.num_paths, 1 << 17), gate=gate,
+            sampler=sampler, hist_bars=hist, block_len=block_len,
+            heston=heston,
         )
     elif getattr(args, "engine", False):
         # the FULL 12-gate engine over generated paths (sim/enginepath.py);
@@ -326,6 +327,8 @@ def cmd_paths(args):
                 num_paths=args.num_paths, ckpt_dir=args.ckpt_dir,
                 num_bars=args.num_bars, s0=args.s0, sigma=args.sigma,
                 block_paths=min(args.num_paths, 1 << 13), engine=True,
+                sampler=sampler, hist_bars=hist, block_len=block_len,
+                heston=heston,
             )
         elif use_kernel:
             from ..ops.pallas_engine import ENGINE_BLOCK, mc_paths_pallas_engine

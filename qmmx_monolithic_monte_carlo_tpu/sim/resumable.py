@@ -30,7 +30,8 @@ STATS_FILE = "mc_stats.npz"
 
 
 def _fingerprint(key, *, num_paths, num_bars, s0, sigma, dt, block_paths,
-                 gate, engine=False) -> str:
+                 gate, engine=False, sampler="gbm", hist_bars=None,
+                 block_len=10, heston=None) -> str:
     """Run-config hash stored in mc_state.json: resuming with different flags
     (engine vs gated vs first-contact, gate knobs, shapes, seed) is refused
     instead of silently merging incompatible stats."""
@@ -45,6 +46,24 @@ def _fingerprint(key, *, num_paths, num_bars, s0, sigma, dt, block_paths,
     }
     if engine:   # only when set, so pre-engine checkpoints keep their hash
         d["engine"] = True
+    if sampler != "gbm":   # same back-compat rule for pre-sampler checkpoints
+        d["sampler"] = sampler
+        if hist_bars is not None:
+            # the recorded history IS part of the run's identity: resuming a
+            # bootstrap run against different bars would merge incompatible
+            # stats silently
+            h = hashlib.sha256()
+            for f in ("open", "high", "low", "close", "volume"):
+                v = getattr(hist_bars, f, None)
+                if v is not None:
+                    h.update(np.ascontiguousarray(
+                        np.asarray(v, np.float32)).tobytes())
+            d["hist_sha"] = h.hexdigest()[:16]
+        if sampler == "block_bootstrap":
+            d["block_len"] = int(block_len)
+        if sampler == "heston":
+            d["heston"] = {k: float(v)
+                           for k, v in sorted((heston or {}).items())}
     blob = json.dumps(d, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
@@ -119,6 +138,10 @@ def run_resumable(
     blocks_per_chunk: int = 8,
     gate=None,                              # GateConfig → gated lifecycle MC
     engine: bool = False,                   # FULL 12-gate engine lifecycle
+    sampler: str = "gbm",                   # | bootstrap | block_bootstrap
+    hist_bars=None,                         #   | heston (any sim sampler)
+    block_len: int = 10,
+    heston=None,
     fail_after_chunks: int | None = None,   # fault injection for tests
 ):
     """Run (or resume) a chunked MC; checkpoint after every chunk.
@@ -153,6 +176,8 @@ def run_resumable(
     config = _fingerprint(
         key, num_paths=num_paths, num_bars=num_bars, s0=s0, sigma=sigma,
         dt=dt, block_paths=block_paths, gate=gate, engine=engine,
+        sampler=sampler, hist_bars=hist_bars, block_len=block_len,
+        heston=heston,
     )
     if engine or gate is not None:
         zero = pathsim.PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)
@@ -182,7 +207,8 @@ def run_resumable(
                 key, (start + i).astype(jnp.uint32),
                 levels=levels, params=params, block_paths=block_paths,
                 num_bars=num_bars, s0=s0, mu=0.0, sigma=sigma, dt=dt,
-                sampler="gbm", hist_bars=None, antithetic=False,
+                sampler=sampler, hist_bars=hist_bars, antithetic=False,
+                block_len=block_len, heston=heston,
             )
             return _merge(c[0], c[1], out), None
 

@@ -136,3 +136,58 @@ def test_engine_resume_bitwise_identical(tmp_path):
             num_paths=kw["num_paths"], num_bars=kw["num_bars"],
             sigma=kw["sigma"], block_paths=kw["block_paths"],
             blocks_per_chunk=2)
+
+
+def test_bootstrap_resume_bitwise_and_history_fingerprint(tmp_path):
+    """Recorded-bar (bootstrap) runs checkpoint/resume bitwise, and the
+    history is part of the run fingerprint: resuming against different
+    recorded bars is refused (a fresh run starts instead of silently
+    merging incompatible stats)."""
+    from tests.test_engine_bootstrap import _history
+
+    hist = _history(3, 200)
+    kw = dict(num_paths=1 << 12, num_bars=16, sigma=0.3,
+              block_paths=1 << 10, blocks_per_chunk=2, engine=True,
+              sampler="bootstrap", hist_bars=hist)
+    key = jax.random.key(7)
+
+    straight, sk_s, esc_s = resumable.run_resumable(
+        key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "a"), **kw)
+    with pytest.raises(RuntimeError):
+        resumable.run_resumable(
+            key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "b"),
+            fail_after_chunks=1, **kw)
+    resumed, sk_r, esc_r = resumable.run_resumable(
+        key, LEVELS, PARAMS, ckpt_dir=str(tmp_path / "b"), **kw)
+    for f in ("n", "n_entered", "n_tp", "n_stop", "sum_r", "sum_trades"):
+        assert float(getattr(resumed, f)) == float(getattr(straight, f)), f
+    np.testing.assert_array_equal(np.asarray(resumed.hist),
+                                  np.asarray(straight.hist))
+    np.testing.assert_array_equal(np.asarray(sk_r), np.asarray(sk_s))
+    assert float(esc_r) == float(esc_s)
+
+    # different recorded history → different fingerprint → fresh run, not a
+    # resume of b's watermark
+    kw2 = dict(kw, hist_bars=_history(11, 200))
+    from qmmx_monolithic_monte_carlo_tpu.sim.resumable import _fingerprint
+
+    fp1 = _fingerprint(key, num_paths=kw["num_paths"], num_bars=16, s0=100.0,
+                       sigma=0.3, dt=1.0 / (390.0 * 252.0),
+                       block_paths=kw["block_paths"], gate=None, engine=True,
+                       sampler="bootstrap", hist_bars=hist)
+    fp2 = _fingerprint(key, num_paths=kw["num_paths"], num_bars=16, s0=100.0,
+                       sigma=0.3, dt=1.0 / (390.0 * 252.0),
+                       block_paths=kw["block_paths"], gate=None, engine=True,
+                       sampler="bootstrap", hist_bars=kw2["hist_bars"])
+    assert fp1 != fp2
+    # and the gbm fingerprint is untouched by the new fields (back-compat)
+    fp_gbm = _fingerprint(key, num_paths=kw["num_paths"], num_bars=16,
+                          s0=100.0, sigma=0.3, dt=1.0 / (390.0 * 252.0),
+                          block_paths=kw["block_paths"], gate=None,
+                          engine=True)
+    assert "sampler" not in fp_gbm  # it's a hash — just check determinism
+    assert fp_gbm == _fingerprint(key, num_paths=kw["num_paths"], num_bars=16,
+                                  s0=100.0, sigma=0.3,
+                                  dt=1.0 / (390.0 * 252.0),
+                                  block_paths=kw["block_paths"], gate=None,
+                                  engine=True, sampler="gbm")
