@@ -344,7 +344,7 @@ def cmd_paths(args):
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, noise=noise,
                 sampler=sampler, hist_bars=hist, block_len=block_len,
-                heston=heston,
+                heston=heston, antithetic=args.antithetic,
             )
         else:
             stats, skips, escal = EPATH.mc_paths_engine(
@@ -353,6 +353,7 @@ def cmd_paths(args):
                 sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
                 noise=noise, sampler=sampler, hist_bars=hist,
                 block_len=block_len, heston=heston,
+                antithetic=args.antithetic,
             )
         out = {
             "paths": float(stats.n), "entered": float(stats.n_entered),
@@ -400,7 +401,7 @@ def cmd_paths(args):
                 num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
                 sigma=args.sigma, noise=noise,
                 sampler=sampler, hist_bars=hist, block_len=block_len,
-                heston=heston,
+                heston=heston, antithetic=args.antithetic,
             )
         else:
             stats = gatedpath.mc_paths_gated(
@@ -426,6 +427,7 @@ def cmd_paths(args):
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, noise=noise,
             sampler=sampler, hist_bars=hist, block_len=block_len,
+            antithetic=args.antithetic,
         )
     else:
         stats = pathsim.mc_paths(

@@ -159,8 +159,9 @@ def _engine_lifecycle_loop(
     draw, get_level, *, num_bars, drift, sig_dt, log_s0,
     eng, ml, pol_w, tm, gd, max_levels, lanes, vm, escalation: bool,
     noise=None, harvest: bool = False, sampler: str = "gbm", hist=None,
-    block_len: int = 0, heston=None, gen_only: bool = False,
-    skip_d: bool = False, policy_off: bool = False, young_bars: int = 0,
+    block_len: int = 0, heston=None, antithetic: bool = False,
+    gen_only: bool = False, skip_d: bool = False, policy_off: bool = False,
+    young_bars: int = 0,
 ):
     """The streaming generate+full-engine loop.
 
@@ -199,6 +200,15 @@ def _engine_lifecycle_loop(
     block = sampler == "block_bootstrap"
     hes = sampler == "heston"
     carry_x = block or hes        # one extra sampler-state tile in the carry
+
+    def _anti(z):
+        """Antithetic lane pairing (ops/pathgen.gbm_paths semantics mapped
+        onto the tile): the right half-lanes reuse the left half's normals
+        negated; bridge/tie/volume draws stay fresh per lane.  The right
+        half's z draws are consumed-but-unused so the stream layout (and
+        CRN alignment) is identical to the plain run."""
+        half = z[:, :z.shape[1] // 2]
+        return jnp.concatenate([half, -half], axis=1)
     if hes:
         # (v0, kappa, theta, xi, rho, mu, dt) — full-truncation Euler
         # (ops/pathgen.heston_paths mirror); rho_perp precomputed statically
@@ -301,6 +311,8 @@ def _engine_lifecycle_loop(
             radius = jnp.sqrt(-2.0 * jnp.log(u1))
             angle = _TWO_PI * u2
             z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+            if antithetic:
+                z_pair = (_anti(z_pair[0]), _anti(z_pair[1]))
             uv1 = draw(t2, 2)
             uv2 = draw(t2, 3)
             vradius = jnp.sqrt(-2.0 * jnp.log(uv1))
@@ -1171,6 +1183,8 @@ def _engine_lifecycle_loop(
         else:
             z_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 0))) * jnp.cos(
                 _TWO_PI * draw(t2, 1))
+            if antithetic:
+                z_last = _anti(z_last)
             zv_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 2))) * jnp.cos(
                 _TWO_PI * draw(t2, 3))
             final = _one_bar(final, jnp.int32(num_bars - 1), z_last, zv_last,
@@ -1265,6 +1279,7 @@ def _engine_kernel(
     hist_len: int = 0,
     block_len: int = 0,
     heston=None,
+    antithetic: bool = False,
     gen_only: bool = False,
     skip_d: bool = False,
     policy_off: bool = False,
@@ -1306,7 +1321,8 @@ def _engine_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(eng_ref[0, 17 + k] for k in range(4))
                if use_noise else None),
-        harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len, heston=heston, gen_only=gen_only,
+        harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len,
+        heston=heston, antithetic=antithetic, gen_only=gen_only,
         skip_d=skip_d, policy_off=policy_off, young_bars=young_bars,
     )
 
@@ -1454,6 +1470,7 @@ def mc_paths_pallas_engine(
     hist_bars=None,           # PathBars-like 1-D o/h/l/c/v history (bootstrap)
     block_len: int = 10,      # block_bootstrap: contiguous run length
     heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
+    antithetic: bool = False, # lane-paired sign-flipped normals (gbm only)
     gen_only: bool = False,   # roofline mode: generate bars, skip the engine
     skip_d: bool = False,     # roofline mode: skip the minute-close pipeline
     interpret=False,
@@ -1498,6 +1515,10 @@ def mc_paths_pallas_engine(
     if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
         raise ValueError("engine kernel samplers: 'gbm' | 'bootstrap' | "
                          "'block_bootstrap' | 'heston'")
+    if antithetic and sampler != "gbm":
+        raise ValueError("kernel antithetic pairs gbm normals only")
+    if antithetic and lanes % 256 != 0:
+        raise ValueError("antithetic needs lanes % 256 == 0 (half-tile pairs)")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars (recorded "
                          "o/h/l/c/v history)")
@@ -1509,7 +1530,8 @@ def mc_paths_pallas_engine(
         policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
-        block_len=int(block_len) if sampler == "block_bootstrap" else 0, heston=_heston_tuple(heston, mu, dt),
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        heston=_heston_tuple(heston, mu, dt), antithetic=bool(antithetic),
         gen_only=bool(gen_only), skip_d=bool(skip_d),
         young_bars=_young_bars(guard_params), interpret=interpret,
     )
@@ -1524,15 +1546,15 @@ def mc_paths_pallas_engine(
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "volume_model", "escalation", "bar0_minute",
                      "policy_gate_disabled", "harvest", "sampler", "block_len",
-                     "heston", "gen_only", "skip_d", "young_bars",
-                     "interpret"),
+                     "heston", "antithetic", "gen_only", "skip_d",
+                     "young_bars", "interpret"),
 )
 def _engine_impl(
     seed, levels, params, policy, ml_model, touch_params, guard_params,
     noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
     sigma, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, harvest, sampler, block_len, heston, gen_only, skip_d,
-    young_bars, interpret,
+    volume_model, harvest, sampler, block_len, heston, antithetic, gen_only,
+    skip_d, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1554,7 +1576,8 @@ def _engine_impl(
         _engine_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, vm=vm,
         escalation=escalation, external_rng=external_rng, use_noise=use_noise,
-        use_harvest=harvest, sampler=sampler, hist_len=hist_len, block_len=block_len, heston=heston,
+        use_harvest=harvest, sampler=sampler, hist_len=hist_len,
+        block_len=block_len, heston=heston, antithetic=antithetic,
         gen_only=gen_only, skip_d=skip_d, policy_off=bool(policy_gate_disabled),
         young_bars=young_bars,
     )

@@ -118,7 +118,8 @@ class _Replay(NamedTuple):
     blk_max: jnp.ndarray   # scalar max R over entered lanes (-_BIG if none)
 
 
-def _gbm_block(draw: Callable, *, w: int, b: int, drift, sig_dt, log_s0) -> _Bars:
+def _gbm_block(draw: Callable, *, w: int, b: int, drift, sig_dt, log_s0,
+               antithetic: bool = False) -> _Bars:
     """Stages 1-3: Box-Muller normals → MXU-cumsum GBM closes → bridge extremes.
 
     Both Box-Muller branches are used — draws 0/1 are (w//2, b) uniforms and
@@ -132,6 +133,12 @@ def _gbm_block(draw: Callable, *, w: int, b: int, drift, sig_dt, log_s0) -> _Bar
     angle = _TWO_PI * u2
     z = jnp.concatenate([radius * jnp.cos(angle), radius * jnp.sin(angle)],
                         axis=0)        # (w, b)
+    if antithetic:
+        # lane-paired sign-flip (ops/pathgen.gbm_paths antithetic analog);
+        # the right half-lanes' z draws are consumed-but-unused, so the
+        # stream layout matches the plain run (CRN alignment)
+        zh = z[:, :b // 2]
+        z = jnp.concatenate([zh, -zh], axis=1)
     incr = jnp.float32(1.0) * drift + sig_dt * z
     row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
@@ -519,6 +526,7 @@ def _mc_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    antithetic: bool = False,
 ):
     w, b = num_bars, lanes
     if sampler in ("bootstrap", "block_bootstrap"):
@@ -556,6 +564,7 @@ def _mc_kernel(
         bars = _gbm_block(
             draw, w=w, b=b, drift=jnp.float32(drift),
             sig_dt=jnp.float32(sig_dt), log_s0=jnp.float32(np.log(s0)),
+            antithetic=antithetic,
         )
     ct = _first_contact(
         bars, lambda i: (level_price_ref[i, 0], level_valid_ref[i, 0]),
@@ -589,7 +598,7 @@ def _mc_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "lanes", "sampler", "block_len", "interpret"),
+                     "lanes", "sampler", "block_len", "antithetic", "interpret"),
 )
 def mc_paths_pallas(
     seed,
@@ -604,6 +613,7 @@ def mc_paths_pallas(
     dt: float = 1.0 / (390.0 * 252.0),
     lanes: int = SINGLE_LANES,
     noise=None,               # montecarlo.McNoise — per-path execution noise
+    antithetic: bool = False, # lane-paired sign-flipped normals (gbm only)
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     block_len: int = 10,      # block_bootstrap: contiguous run length
@@ -631,6 +641,10 @@ def mc_paths_pallas(
         raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
+    if antithetic and sampler != "gbm":
+        raise ValueError("kernel antithetic pairs gbm normals only")
+    if antithetic and lanes % 256 != 0:
+        raise ValueError("antithetic needs lanes % 256 == 0 (half-tile pairs)")
     n_blocks = num_paths // lanes
 
     drift = (mu - 0.5 * sigma * sigma) * dt
@@ -656,6 +670,7 @@ def mc_paths_pallas(
         use_noise=use_noise,
         sampler=sampler,
         hist_len=hist_len,
+        antithetic=bool(antithetic),
         block_len=int(block_len) if sampler == "block_bootstrap" else 0,
     )
     zero = jnp.float32(0.0)
@@ -930,6 +945,7 @@ def _gated_kernel(
     hist_len: int = 0,
     block_len: int = 0,
     heston=None,
+    antithetic: bool = False,
 ):
     """The QMMX engine per path, entirely on-chip: bars are generated
     bar-by-bar inside the loop (no (W,B) residency, no cumsum matmul — the
@@ -982,7 +998,7 @@ def _gated_kernel(
         noise=(tuple(knobs_ref[0, 4 + k] for k in range(4))
                if use_noise else None),
         sampler=sampler, hist=hist, block_len=block_len,
-        heston=heston,
+        heston=heston, antithetic=antithetic,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -995,7 +1011,7 @@ def _gated_kernel(
 def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                           knobs, gates, max_levels, lanes=GATED_LANES,
                           noise=None, sampler="gbm", hist=None,
-                          block_len=0, heston=None):
+                          block_len=0, heston=None, antithetic=False):
     """The streaming generate+trade loop shared by the gated kernels.
 
     Each ``fori_loop`` iteration processes TWO bars from one paired
@@ -1033,6 +1049,14 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         h_v0, h_kap, h_th, h_xi, h_rho, h_mu, h_dt = [
             float(x) for x in heston]
         h_rho_perp = float(np.sqrt(max(0.0, 1.0 - h_rho * h_rho)))
+
+    def _anti(z):
+        """Antithetic lane pairing (gbm only): right half-lanes reuse the
+        left half's normals negated; bridge/tie draws stay fresh, and the
+        right half's z draws are consumed-but-unused so the stream layout
+        matches the plain run (CRN alignment)."""
+        half = z[:, :z.shape[1] // 2]
+        return jnp.concatenate([half, -half], axis=1)
     if bootstrap:
         get_hist_tile, hist_len = hist
         h_tiles = -(-int(hist_len) // 128)
@@ -1077,6 +1101,8 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
             radius = jnp.sqrt(-2.0 * jnp.log(u1))
             angle = _TWO_PI * u2
             z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+            if antithetic:
+                z_pair = (_anti(z_pair[0]), _anti(z_pair[1]))
             ties = None
             noise_k0 = 8
             if hes:
@@ -1581,7 +1607,8 @@ def _unpack_acc_gated(acc) -> PathStats:
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "lanes", "sampler", "block_len", "heston", "interpret"),
+                     "lanes", "sampler", "block_len", "heston", "antithetic",
+                     "interpret"),
 )
 def _mc_paths_pallas_gated_jit(
     seed,
@@ -1601,6 +1628,7 @@ def _mc_paths_pallas_gated_jit(
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     block_len: int = 10,      # block_bootstrap: contiguous run length
     heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
+    antithetic: bool = False, # lane-paired sign-flipped normals (gbm only)
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 4*num_bars (8* with noise), 8, lanes]
                               # (bootstrap: 2*num_bars (6*) rows)
@@ -1629,6 +1657,10 @@ def _mc_paths_pallas_gated_jit(
             "samplers: 'gbm' | 'bootstrap' | 'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
+    if antithetic and sampler != "gbm":
+        raise ValueError("kernel antithetic pairs gbm normals only")
+    if antithetic and lanes % 256 != 0:
+        raise ValueError("antithetic needs lanes % 256 == 0 (half-tile pairs)")
     n_blocks = num_paths // block
 
     drift = (mu - 0.5 * sigma * sigma) * dt
@@ -1643,8 +1675,9 @@ def _mc_paths_pallas_gated_jit(
     kernel = functools.partial(
         _gated_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, lanes=lanes, external_rng=external_rng,
-        use_noise=use_noise, sampler=sampler, hist_len=hist_len, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
-        heston=heston,
+        use_noise=use_noise, sampler=sampler, hist_len=hist_len,
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        heston=heston, antithetic=bool(antithetic),
     )
     zero = jnp.float32(0.0)
     knobs = jnp.stack([

@@ -38,7 +38,7 @@ VM = VolumeModel()
 
 
 def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False,
-                        w=W, s0=100.0):
+                        w=W, s0=100.0, antithetic=False):
     """Regenerate the kernel's streaming bars AND volumes with the same jnp
     f32 ops from the injected uniform layout (10 blocks per double-bar step:
     price-normal pair, volume-normal pair, then (u_high, u_low, tie) per
@@ -60,6 +60,12 @@ def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False,
         radius = jnp.sqrt(-2.0 * jnp.log(blk(0)))
         angle = 6.283185307179586 * blk(1)
         z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
+        if antithetic:
+            # kernel antithetic: right half-lanes = left's normals negated
+            half_l = lanes // 2
+            z_pair = tuple(
+                jnp.concatenate([z[:, :half_l], -z[:, :half_l]], axis=1)
+                for z in z_pair)
         vradius = jnp.sqrt(-2.0 * jnp.log(blk(2)))
         vangle = 6.283185307179586 * blk(3)
         zv_pair = (vradius * jnp.cos(vangle), vradius * jnp.sin(vangle))
