@@ -599,6 +599,41 @@ def check_bootstrap():
             ok = _judge(f"fc-sweep-bootstrap[{g}]", _slice_stats(fsw, g),
                         single, counts=("n", "n_entered", "n_tp", "n_stop",
                                         "n_open")) and ok
+
+    # first-contact heston (`_heston_block`): universe vs single on the same
+    # injected uniforms, and the PRNG-only sweep vs single runs (identical
+    # draw order u1, u2, uq1, uq2, u3, u4, tie)
+    from tests.test_pallas_mc import HPARAMS as FC_HPARAMS
+
+    ufh = rng.uniform(1e-6, 1.0, (2, 1, 4 * w + 1, LANES)).astype(np.float32)
+    fhun = mc_paths_pallas_universe(
+        0, lv2, EngineParams.default(), s0v, sgv, paths_per_symbol=LANES,
+        num_bars=w, dt=DT, sampler="heston", heston=FC_HPARAMS,
+        interpret=interp, external_uniforms=ufh)
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv2)
+        single = mc_paths_pallas(
+            0, lv_s, EngineParams.default(), num_paths=LANES, num_bars=w,
+            lanes=LANES, s0=float(s0v[s]), dt=DT, sampler="heston",
+            heston=FC_HPARAMS, interpret=interp, external_uniforms=ufh[s])
+        ok = _judge(f"fc-universe-heston[{s}]", _slice_stats(fhun, s),
+                    single, counts=("n", "n_entered", "n_tp", "n_stop",
+                                    "n_open")) and ok
+    if not interp:
+        fhsw = mc_paths_pallas_sweep(
+            9, lv3, EngineParams.default(), stop_g, [0.15, 0.25],
+            num_paths=LANES, num_bars=w, dt=DT, sampler="heston",
+            heston=FC_HPARAMS)
+        for g, (sg, tg) in enumerate([(float(stop_g[0]), 0.15),
+                                      (float(stop_g[1]), 0.25)]):
+            single = mc_paths_pallas(
+                9, lv3, EngineParams.default().replace(
+                    stop_padding=sg, tp_padding=tg),
+                num_paths=LANES, num_bars=w, lanes=LANES, dt=DT,
+                sampler="heston", heston=FC_HPARAMS)
+            ok = _judge(f"fc-sweep-heston[{g}]", _slice_stats(fhsw, g),
+                        single, counts=("n", "n_entered", "n_tp", "n_stop",
+                                        "n_open")) and ok
     return ok
 
 

@@ -270,12 +270,8 @@ def cmd_paths(args):
             if sampler in ("bootstrap", "block_bootstrap") else None)
     block_len = int(getattr(args, "block_len", 10))
     heston = _heston_dict(args) if sampler == "heston" else None
-    # engine/gated kernels run all four samplers; the block-form
-    # first-contact kernel cannot carry the heston variance chain
-    lifecycle = getattr(args, "engine", False) or getattr(args, "gated", False)
-    kernel_sampler = (sampler != "heston") or lifecycle
-    if args.backend == "auto" and not kernel_sampler:
-        backend = "xla"          # auto falls back when the kernels can't
+    # every fused kernel family (engine, gated, first-contact) runs all four
+    # samplers — heston rides `_heston_block` in the block-form kernels
 
     noise = None
     stds = (getattr(args, "entry_slip_std", 0.0),
@@ -317,7 +313,6 @@ def cmd_paths(args):
 
         use_kernel = (backend == "pallas"
                       and not getattr(args, "ckpt_dir", None)
-                      and kernel_sampler
                       and len(rows) <= 32)
         if getattr(args, "ckpt_dir", None):
             from ..sim import resumable
@@ -387,10 +382,6 @@ def cmd_paths(args):
             if len(rows) > 8:
                 raise SystemExit("pallas backend supports up to 8 levels; "
                                  "use --backend xla")
-            if not kernel_sampler:
-                raise SystemExit("pallas gated kernel samplers: gbm | "
-                                 "bootstrap | block_bootstrap; use "
-                                 "--backend xla")
             if args.num_paths % GATED_BLOCK:
                 raise SystemExit(
                     f"--num-paths must be a multiple of {GATED_BLOCK} "
@@ -419,15 +410,12 @@ def cmd_paths(args):
         small = Levels.from_rows(rows[:8], max_levels=8) if len(rows) <= 8 else None
         if small is None:
             raise SystemExit("pallas backend supports up to 8 levels; use --backend xla")
-        if not kernel_sampler:
-            raise SystemExit("pallas kernel samplers: gbm | bootstrap | "
-                             "block_bootstrap; use --backend xla")
         stats = mc_paths_pallas(
             args.seed, small, params,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, noise=noise,
             sampler=sampler, hist_bars=hist, block_len=block_len,
-            antithetic=args.antithetic,
+            heston=heston, antithetic=args.antithetic,
         )
     else:
         stats = pathsim.mc_paths(
@@ -513,8 +501,8 @@ def _sweep_engine(args, rows, levels, params):
     sampler = getattr(args, "sampler", "gbm")
     hist = _hist_paths_bars(args) if sampler != "gbm" else None
     block_len = int(getattr(args, "block_len", 10))
-    use_kernel = (jax.devices()[0].platform != "cpu" and len(rows) <= 32
-                  and sampler in ("gbm", "bootstrap", "block_bootstrap"))
+    heston = _heston_dict(args) if sampler == "heston" else None
+    use_kernel = jax.devices()[0].platform != "cpu" and len(rows) <= 32
 
     def mk_noise(jit_stds):
         if jitters is None:
@@ -547,7 +535,7 @@ def _sweep_engine(args, rows, levels, params):
             args.seed, small, grid_params,
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, sampler=sampler, hist_bars=hist,
-            block_len=block_len,
+            block_len=block_len, heston=heston,
             noise=mk_noise(jnp.asarray([c[2] for c in combos], jnp.float32)
                            if jitters else None),
         )
@@ -562,6 +550,7 @@ def _sweep_engine(args, rows, levels, params):
             num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
             sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
             sampler=sampler, hist_bars=hist, block_len=block_len,
+            heston=heston,
             noise=mk_noise(jnp.float32(jit)) if jit is not None else None,
         ) for sp, tp, jit in combos]
         stats = jax.tree_util.tree_map(
@@ -602,7 +591,8 @@ def cmd_sweep(args):
     hist = (_hist_paths_bars(args)
             if sampler in ("bootstrap", "block_bootstrap") else None)
     samp_kw = dict(sampler=sampler, hist_bars=hist,
-                   block_len=int(getattr(args, "block_len", 10)))
+                   block_len=int(getattr(args, "block_len", 10)),
+                   heston=_heston_dict(args) if sampler == "heston" else None)
     if gated:
         from ..sim.gatedpath import GateConfig
 

@@ -63,6 +63,7 @@ from ..sim.pathsim import HIST_BINS, LIFE_HIST_HI, LIFE_HIST_LO, PathStats
 from ..types import Levels
 from .pallas_mc import (
     HIST_CHANNELS,
+    _derived_consts,
     _heston_tuple,
     ROW_HIST,
     ROW_MAX,
@@ -1950,10 +1951,12 @@ def _engine_universe_kernel(
                 hist_len)
     else:
         hist = None
-    s0 = sym_ref[0, 0, 0]
-    sigma = sym_ref[0, 0, 1]
-    sig_dt = sigma * jnp.float32(dt) ** 0.5
-    drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
+    # host-derived constants (cols 2+ENG_COLS..+2, pallas_mc._derived_consts):
+    # bit-identical to the single-config kernel's static baking — on-device
+    # log/sqrt diverge from host libm by ulps
+    log_s0 = sym_ref[0, 0, 2 + ENG_COLS]
+    sig_dt = sym_ref[0, 0, 2 + ENG_COLS + 1]
+    drift = sym_ref[0, 0, 2 + ENG_COLS + 2]
 
     if external_rng:
         u_ref, acc_ref = refs
@@ -1974,7 +1977,7 @@ def _engine_universe_kernel(
     final = _engine_lifecycle_loop(
         draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
                          level_kind_ref[0, i, 0]),
-        num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0),
+        num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=log_s0,
         eng=tuple(sym_ref[0, 0, 2 + k] for k in range(17)),
         ml=tuple(ml_ref[0, k] for k in range(6)),
         pol_w=tuple(tuple(pol_ref[a, d] for d in range(POLICY_FEATURE_DIM))
@@ -2070,6 +2073,7 @@ def mc_paths_pallas_engine_universe(
         seed, levels, params, jnp.asarray(s0, jnp.float32),
         jnp.asarray(sigma, jnp.float32), policy, ml_model, touch_params,
         guard_params, noise, hist_bars, external_uniforms,
+        _derived_consts(s0, sigma, dt),
         paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
@@ -2128,10 +2132,11 @@ def _engine_universe_sweep_kernel(
                 hist_len)
     else:
         hist = None
-    s0 = sym_ref[0, 0, 0]
-    sigma = sym_ref[0, 0, 1]
-    sig_dt = sigma * jnp.float32(dt) ** 0.5
-    drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
+    # host-derived constants (cols 3-5, pallas_mc._derived_consts): the sym
+    # row is [s0, sigma, has_levels, log_s0, sig_dt, drift]
+    log_s0 = sym_ref[0, 0, 3]
+    sig_dt = sym_ref[0, 0, 4]
+    drift = sym_ref[0, 0, 5]
 
     if external_rng:
         u_ref, acc_ref = refs
@@ -2163,7 +2168,7 @@ def _engine_universe_sweep_kernel(
         final = _engine_lifecycle_loop(
             draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
                              level_kind_ref[0, i, 0]),
-            num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0),
+            num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=log_s0,
             eng=(tuple(grid_ref[0, g, k] for k in range(16))
                  + (sym_ref[0, 0, 2],)),
             ml=tuple(ml_ref[0, k] for k in range(6)),
@@ -2264,6 +2269,7 @@ def mc_paths_pallas_engine_universe_sweep(
         seed, levels, grid_params, jnp.asarray(s0, jnp.float32),
         jnp.asarray(sigma, jnp.float32), policy, ml_model, touch_params,
         guard_params, noise, hist_bars, external_uniforms,
+        _derived_consts(s0, sigma, dt),
         paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
         lanes=lanes, n_grid=int(n_grid),
         policy_gate_disabled=bool(policy_gate_disabled),
@@ -2284,7 +2290,8 @@ def mc_paths_pallas_engine_universe_sweep(
 )
 def _engine_universe_sweep_impl(
     seed, levels, grid_params, s0, sigma, policy, ml_model, touch_params,
-    guard_params, noise, hist_bars, external_uniforms, *, paths_per_symbol,
+    guard_params, noise, hist_bars, external_uniforms, derived, *,
+    paths_per_symbol,
     num_bars, dt, lanes, n_grid, policy_gate_disabled, escalation,
     bar0_minute, volume_model, sampler, block_len, heston, young_bars,
     interpret,
@@ -2318,7 +2325,8 @@ def _engine_universe_sweep_impl(
         jnp.broadcast_to(s0.reshape(-1), (n_sym,)),
         jnp.broadcast_to(sigma.reshape(-1), (n_sym,)),
         (levels.count > 0).astype(jnp.float32),
-    ], axis=1)
+    ] + [jnp.broadcast_to(jnp.asarray(d, jnp.float32).reshape(-1), (n_sym,))
+         for d in derived], axis=1)
     sym = jnp.pad(sym, ((0, 0), (0, 128 - sym.shape[1])))[:, None, :]
     mlv, polv, tmv, gdv = _pack_shared(policy, ml_model, touch_params,
                                        guard_params)
@@ -2382,7 +2390,8 @@ def _engine_universe_sweep_impl(
 )
 def _engine_universe_impl(
     seed, levels, params, s0, sigma, policy, ml_model, touch_params,
-    guard_params, noise, hist_bars, external_uniforms, *, paths_per_symbol,
+    guard_params, noise, hist_bars, external_uniforms, derived, *,
+    paths_per_symbol,
     num_bars, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
     volume_model, harvest, sampler, block_len, heston, young_bars,
     interpret,
@@ -2415,7 +2424,8 @@ def _engine_universe_impl(
         jnp.broadcast_to(s0.reshape(-1), (n_sym,))[:, None],
         jnp.broadcast_to(sigma.reshape(-1), (n_sym,))[:, None],
         eng,
-    ], axis=1)
+    ] + [jnp.broadcast_to(jnp.asarray(d, jnp.float32).reshape(-1),
+                          (n_sym,))[:, None] for d in derived], axis=1)
     sym = jnp.pad(sym, ((0, 0), (0, 128 - sym.shape[1])))[:, None, :]
     mlv, polv, tmv, gdv = _pack_shared(policy, ml_model, touch_params,
                                        guard_params)

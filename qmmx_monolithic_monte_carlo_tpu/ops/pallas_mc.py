@@ -158,6 +158,62 @@ def _gbm_block(draw: Callable, *, w: int, b: int, drift, sig_dt, log_s0,
     return _Bars(opens=opens, close=close, high=high, low=low)
 
 
+def _heston_block(draw, draw_q, *, w: int, b: int, hes, log_s0) -> _Bars:
+    """Heston stochastic-vol bars in block form (ops/pathgen.heston_paths
+    mirror; full-truncation Euler).  The variance chain is the ONLY serial
+    part — price shocks z and vol shocks zq are drawn up front as paired
+    Box-Muller blocks, the v_t recursion walks (1, b) rows, and the
+    log-price cumsum still rides the MXU tril matmul like `_gbm_block`
+    (the increments are elementwise once each bar's sigma row is known).
+    Bridge extremes use each bar's LOCAL variance ``v_pos·dt``."""
+    h_v0, h_kap, h_th, h_xi, h_rho, h_mu, h_dt = [float(x) for x in hes]
+    rho_perp = float(np.sqrt(max(0.0, 1.0 - h_rho * h_rho)))
+    u1 = draw(0)                       # (w//2, b)
+    u2 = draw(1)
+    radius = jnp.sqrt(-2.0 * jnp.log(u1))
+    angle = _TWO_PI * u2
+    z = jnp.concatenate([radius * jnp.cos(angle), radius * jnp.sin(angle)],
+                        axis=0)        # (w, b)
+    uq1 = draw_q(0)
+    uq2 = draw_q(1)
+    qrad = jnp.sqrt(-2.0 * jnp.log(uq1))
+    qang = _TWO_PI * uq2
+    zq = jnp.concatenate([qrad * jnp.cos(qang), qrad * jnp.sin(qang)], axis=0)
+    z2 = jnp.float32(h_rho) * z + jnp.float32(rho_perp) * zq  # vol shock
+
+    dtf = jnp.float32(h_dt)
+    v = jnp.full((1, b), jnp.float32(h_v0), jnp.float32)
+    incr_rows = []
+    sig2_rows = []
+    for t in range(w):
+        v_pos = jnp.maximum(v, 0.0)
+        sig_bar = jnp.sqrt(v_pos * dtf)
+        incr_rows.append((jnp.float32(h_mu) - 0.5 * v_pos) * dtf
+                         + sig_bar * z[t:t + 1])
+        sig2_rows.append(v_pos * dtf)
+        v = (v + jnp.float32(h_kap) * (jnp.float32(h_th) - v_pos) * dtf
+             + jnp.float32(h_xi) * sig_bar * z2[t:t + 1])
+    incr = jnp.concatenate(incr_rows, axis=0)       # (w, b)
+    sig2dt = jnp.concatenate(sig2_rows, axis=0)     # per-bar local variance
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    tril = (col <= row).astype(jnp.float32)
+    log_rel = jnp.dot(tril, incr, preferred_element_type=jnp.float32)
+    log_close = log_s0 + log_rel
+    log_open = log_close - incr
+
+    u3 = draw(2)
+    u4 = draw(3)
+    d2 = (log_close - log_open) ** 2
+    high = jnp.exp(0.5 * (log_open + log_close
+                          + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3))))
+    low = jnp.exp(0.5 * (log_open + log_close
+                         - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4))))
+    return _Bars(opens=jnp.exp(log_open), close=jnp.exp(log_close),
+                 high=high, low=low)
+
+
 def _bootstrap_block(draw_idx, hist_row, *, w: int, b: int, hist_len: int,
                      log_s0, block_len: int = 0) -> _Bars:
     """Recorded-bar resampling (the reference MC walks recorded bars,
@@ -526,6 +582,7 @@ def _mc_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
     antithetic: bool = False,
 ):
     w, b = num_bars, lanes
@@ -533,6 +590,13 @@ def _mc_kernel(
         # uniform layout: u_idx w rows, tie one row (+4 noise rows)
         offs = (0, None, None, None, w, w + 1, w + 2, w + 3, w + 4)
         lens = (w, None, None, None, 1, 1, 1, 1, 1)
+    elif sampler == "heston":
+        # gbm layout + the vol-shock Box-Muller pair (uq1/uq2, w//2 rows
+        # each) appended AFTER the tie/noise rows → 4w+1 (+4) rows
+        qoff = 3 * w + 1 + (4 if use_noise else 0)
+        offs = (0, w // 2, w, 2 * w, 3 * w, 3 * w + 1, 3 * w + 2, 3 * w + 3,
+                3 * w + 4, qoff, qoff + w // 2)
+        lens = (w // 2, w // 2, w, w, 1, 1, 1, 1, 1, w // 2, w // 2)
     else:
         # u1/u2 are (w//2) rows each (paired Box-Muller), u3/u4 full (w)
         # rows, tie one row → 3w+1 rows; with noise, four more single rows
@@ -559,6 +623,11 @@ def _mc_kernel(
             lambda ch, off, width: hist_ref[ch:ch + 1, off:off + width],
             w=w, b=b, hist_len=hist_len, log_s0=jnp.float32(np.log(s0)),
             block_len=block_len,
+        )
+    elif sampler == "heston":
+        bars = _heston_block(
+            draw, lambda k: draw(9 + k), w=w, b=b, hes=heston,
+            log_s0=jnp.float32(np.log(s0)),
         )
     else:
         bars = _gbm_block(
@@ -598,9 +667,10 @@ def _mc_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "lanes", "sampler", "block_len", "antithetic", "interpret"),
+                     "lanes", "sampler", "block_len", "heston", "antithetic",
+                     "interpret"),
 )
-def mc_paths_pallas(
+def _mc_paths_pallas_jit(
     seed,
     levels: Levels,
     params: EngineParams,
@@ -614,31 +684,35 @@ def mc_paths_pallas(
     lanes: int = SINGLE_LANES,
     noise=None,               # montecarlo.McNoise — per-path execution noise
     antithetic: bool = False, # lane-paired sign-flipped normals (gbm only)
-    sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
+    sampler: str = "gbm",     # "gbm" | "bootstrap" | "block_bootstrap" | "heston"
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # static (v0, kappa, theta, xi, rho, mu, dt) tuple
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, 3*num_bars+1 (+4 with noise), lanes]
-                              # (bootstrap: num_bars+1 (+4) rows)
+                              # (bootstrap: num_bars+1 (+4); heston: 4*num_bars+1 (+4))
 ) -> PathStats:
     """Fused-kernel MC.  Same PathStats contract as sim.pathsim.mc_paths,
     including the McNoise execution-noise knobs (level jitter / entry slip /
     stop+target slip as per-path gaussians, qmmx_monolithic.py:3453-3461).
     ``sampler="bootstrap"`` resamples RECORDED bar geometry in-VMEM
     (ops/pathgen.bootstrap_paths's scaled analog — the reference MC walks
-    recorded bars, :3353-3538) instead of generating GBM.
+    recorded bars, :3353-3538) instead of generating GBM; ``"heston"``
+    generates stochastic-vol bars in block form (`_heston_block` — the
+    serial variance chain walks (1, b) rows, the cumsum stays on the MXU).
 
     NOTE: the noise stream differs from the XLA pipeline (per-core hardware PRNG
     vs threefry), so results agree statistically, not bitwise.
     """
     if num_paths % lanes != 0:
         raise ValueError(f"num_paths must be a multiple of {lanes}")
-    if sampler == "gbm" and num_bars % 2 != 0:
+    if sampler in ("gbm", "heston") and num_bars % 2 != 0:
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError(
+            "samplers: 'gbm' | 'bootstrap' | 'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
     if antithetic and sampler != "gbm":
@@ -655,6 +729,9 @@ def mc_paths_pallas(
     if sampler in ("bootstrap", "block_bootstrap"):
         n_rows = num_bars + 1 + (4 if use_noise else 0)
         hist, hist_len = _hist_slab_flat(hist_bars)
+    elif sampler == "heston":
+        n_rows = 4 * num_bars + 1 + (4 if use_noise else 0)
+        hist, hist_len = None, 0
     else:
         n_rows = 3 * num_bars + 1 + (4 if use_noise else 0)
         hist, hist_len = None, 0
@@ -670,6 +747,7 @@ def mc_paths_pallas(
         use_noise=use_noise,
         sampler=sampler,
         hist_len=hist_len,
+        heston=heston,
         antithetic=bool(antithetic),
         block_len=int(block_len) if sampler == "block_bootstrap" else 0,
     )
@@ -715,6 +793,17 @@ def mc_paths_pallas(
     return _unpack_acc(acc)
 
 
+def mc_paths_pallas(seed, levels, params, *, sampler="gbm", heston=None,
+                    mu=0.0, dt=1.0 / (390.0 * 252.0), **kw):
+    """Public first-contact kernel entry (see ``_mc_paths_pallas_jit``):
+    thin unjitted shim that freezes the heston dict into the static float
+    tuple the kernel is specialized on (dicts are unhashable for jit
+    statics)."""
+    hes = _heston_tuple(heston, mu, dt) if sampler == "heston" else None
+    return _mc_paths_pallas_jit(seed, levels, params, sampler=sampler,
+                                heston=hes, mu=mu, dt=dt, **kw)
+
+
 # --------------------------------------------------------------------------
 # kernel 2: per-symbol universe
 # --------------------------------------------------------------------------
@@ -734,6 +823,7 @@ def _universe_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
 ):
     """Per-(symbol, block) grid step: the shared fused pipeline with the
     symbol's s0/sigma AND engine knobs (prox, stop_pad, tp_pad) read from its
@@ -741,15 +831,23 @@ def _universe_kernel(
     ``sampler="bootstrap"`` resamples each symbol's OWN recorded history
     (symbol-indexed table slab, :3353-3538)."""
     w, b = num_bars, LANES
-    s0 = sym_ref[0, 0, 0]
-    sigma = sym_ref[0, 0, 1]
-    sig_dt = sigma * jnp.float32(dt) ** 0.5
-    drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
+    # host-derived constants (cols 9-11): bit-identical to the single-config
+    # kernels' static baking — deriving them on-device from s0/sigma put
+    # Mosaic's log/sqrt ulps between universe and single runs (_derived_consts)
+    log_s0 = sym_ref[0, 0, SYM_LOG_S0]
+    sig_dt = sym_ref[0, 0, SYM_SIG_DT]
+    drift = sym_ref[0, 0, SYM_DRIFT]
 
     if sampler in ("bootstrap", "block_bootstrap"):
         # uniform layout: u_idx w rows, tie one row
         offs = (0, None, None, None, w)
         lens = (w, None, None, None, 1)
+    elif sampler == "heston":
+        # gbm layout + the vol-shock pair appended after the tie row
+        offs = (0, w // 2, w, 2 * w, 3 * w, None, None, None, None,
+                3 * w + 1, 3 * w + 1 + w // 2)
+        lens = (w // 2, w // 2, w, w, 1, None, None, None, None,
+                w // 2, w // 2)
     else:
         offs = (0, w // 2, w, 2 * w, 3 * w)   # paired Box-Muller layout
         lens = (w // 2, w // 2, w, w, 1)
@@ -775,12 +873,15 @@ def _universe_kernel(
         bars = _bootstrap_block(
             lambda: draw(0),
             lambda ch, off, width: hist_ref[0, ch:ch + 1, off:off + width],
-            w=w, b=b, hist_len=hist_len, log_s0=jnp.log(s0),
+            w=w, b=b, hist_len=hist_len, log_s0=log_s0,
             block_len=block_len,
         )
+    elif sampler == "heston":
+        bars = _heston_block(draw, lambda k: draw(9 + k), w=w, b=b,
+                             hes=heston, log_s0=log_s0)
     else:
         bars = _gbm_block(draw, w=w, b=b, drift=drift, sig_dt=sig_dt,
-                          log_s0=jnp.log(s0))
+                          log_s0=log_s0)
     ct = _first_contact(
         bars, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0]),
         max_levels, sym_ref[0, 0, 2], w=w, b=b,
@@ -797,9 +898,9 @@ def _universe_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "sampler",
-                     "block_len", "interpret"),
+                     "block_len", "heston", "interpret"),
 )
-def mc_paths_pallas_universe(
+def _mc_paths_pallas_universe_jit(
     seed,
     levels: Levels,        # batched [S, L<=8]
     params: EngineParams,  # contact_prox/stop_padding/tp_padding: scalar or [S]
@@ -812,26 +913,31 @@ def mc_paths_pallas_universe(
     sampler: str = "gbm",     # "gbm" | "bootstrap" (per-symbol recorded bars)
     hist_bars=None,           # PathBars-like [S, H] o/h/l/c histories
     block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # static (v0, kappa, theta, xi, rho, mu, dt) tuple
+    derived=None,             # host-computed (log_s0, sig_dt, drift) [S] triple
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 3*num_bars+1, LANES] (tests)
-                              # (bootstrap: num_bars+1 rows)
+                              # (bootstrap: num_bars+1; heston: 4*num_bars+1 rows)
 ) -> PathStats:
     """Per-symbol fused MC over a (symbol, block) grid; returns [S]-batched
     PathStats (BASELINE config #4's hot path — ~20x the XLA universe pipeline).
     Engine knobs (prox, stop_pad, tp_pad) ride the per-symbol slab and may be
     [S] vectors for per-symbol calibration.  ``sampler="bootstrap"`` streams
     each symbol's OWN recorded bars (``hist_bars`` [S, H]-batched — the
-    reference MC is a per-symbol recorded-bar replay, :3353-3538)."""
+    reference MC is a per-symbol recorded-bar replay, :3353-3538);
+    ``"heston"`` shares one stochastic-vol parameter set across symbols
+    (per-symbol s0; sigma unused — variance comes from the v_t chain)."""
     if paths_per_symbol % LANES != 0:
         raise ValueError(f"paths_per_symbol must be a multiple of {LANES}")
-    if sampler == "gbm" and num_bars % 2 != 0:
+    if sampler in ("gbm", "heston") and num_bars % 2 != 0:
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     lv_price = jnp.asarray(levels.price)
     n_sym, n_lv = lv_price.shape
     if n_lv > 8:
         raise ValueError("pallas universe kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError(
+            "samplers: 'gbm' | 'bootstrap' | 'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c histories, one row per symbol)")
@@ -839,6 +945,9 @@ def mc_paths_pallas_universe(
     if sampler in ("bootstrap", "block_bootstrap"):
         n_rows = num_bars + 1
         hist, hist_len = _hist_slab_flat_batched(hist_bars)
+    elif sampler == "heston":
+        n_rows = 4 * num_bars + 1
+        hist, hist_len = None, 0
     else:
         n_rows = 3 * num_bars + 1
         hist, hist_len = None, 0
@@ -846,10 +955,12 @@ def mc_paths_pallas_universe(
     external_rng = external_uniforms is not None
     kernel = functools.partial(
         _universe_kernel, num_bars=num_bars, dt=dt, max_levels=n_lv,
-        external_rng=external_rng, sampler=sampler, hist_len=hist_len, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        external_rng=external_rng, sampler=sampler, hist_len=hist_len,
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        heston=heston,
     )
     lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
-    sym = _symbol_slab(params, s0, sigma, n_sym)
+    sym = _symbol_slab(params, s0, sigma, n_sym, derived=derived)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     acc = pl.pallas_call(
@@ -880,6 +991,20 @@ def mc_paths_pallas_universe(
             if external_rng else ())))
 
     return _unpack_acc(acc)
+
+
+def mc_paths_pallas_universe(seed, levels, params, s0, sigma, *,
+                             sampler="gbm", heston=None,
+                             dt=1.0 / (390.0 * 252.0), **kw):
+    """Public first-contact universe entry (see
+    ``_mc_paths_pallas_universe_jit``): freezes the heston dict into the
+    static float tuple and derives (log_s0, sig_dt, drift) per symbol ON
+    HOST in f64 (``_derived_consts``) so universe runs are bit-identical
+    to single-config runs of the same symbols."""
+    hes = _heston_tuple(heston, 0.0, dt) if sampler == "heston" else None
+    return _mc_paths_pallas_universe_jit(
+        seed, levels, params, s0, sigma, sampler=sampler, heston=hes, dt=dt,
+        derived=_derived_consts(s0, sigma, dt), **kw)
 
 
 # --------------------------------------------------------------------------
@@ -1011,7 +1136,8 @@ def _gated_kernel(
 def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                           knobs, gates, max_levels, lanes=GATED_LANES,
                           noise=None, sampler="gbm", hist=None,
-                          block_len=0, heston=None, antithetic=False):
+                          block_len=0, heston=None, antithetic=False,
+                          corr=None, curve=None):
     """The streaming generate+trade loop shared by the gated kernels.
 
     Each ``fori_loop`` iteration processes TWO bars from one paired
@@ -1096,6 +1222,15 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
             ties = (draw(t2, 2), draw(t2, 3))
             noise_k0 = 4
         else:
+            if corr is not None:
+                # shared market factor (parallel/portfolio.py model): the
+                # market pair is drawn FIRST each step — ks (mk0, mk0+1), a
+                # symbol-independent stream (the corr kernel's draw wrapper
+                # reseeds the PRNG / reads the shared market ref on mk0)
+                mk0 = _gated_stride(sampler, noise is not None)
+                mrad = jnp.sqrt(-2.0 * jnp.log(draw(t2, mk0)))
+                mang = _TWO_PI * draw(t2, mk0 + 1)
+                zm_pair = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
             u1 = draw(t2, 0)
             u2 = draw(t2, 1)
             radius = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -1103,6 +1238,11 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
             z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
             if antithetic:
                 z_pair = (_anti(z_pair[0]), _anti(z_pair[1]))
+            if corr is not None:
+                beta_s = corr
+                perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - beta_s * beta_s))
+                z_pair = (beta_s * zm_pair[0] + perp * z_pair[0],
+                          beta_s * zm_pair[1] + perp * z_pair[1])
             ties = None
             noise_k0 = 8
             if hes:
@@ -1232,6 +1372,15 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
         losses = losses + jnp.logical_and(
             closed, jnp.logical_not(target_first)).astype(jnp.float32)
         side = side * (1.0 - closed_f)
+        if curve is not None:
+            # portfolio hook (corr kernel): accumulate this symbol's weighted
+            # post-bar equity into the per-bar portfolio-curve scratch (the
+            # book's drawdown is peak-tracked over TIME on the combined
+            # curve — per-symbol final equities cannot see it)
+            curve_ref, w_s = curve
+            bar_i = t_f.astype(jnp.int32)
+            curve_ref[pl.ds(bar_i, 1)] = (curve_ref[pl.ds(bar_i, 1)]
+                                          + (w_s * equity)[None])
 
         # ---- 2) entry evaluation (flat-at-bar-start paths only) ----
         was_flat = jnp.logical_not(is_open)
@@ -1409,10 +1558,11 @@ def _gated_universe_kernel(
                 hist_len)
     else:
         hist = None
-    s0 = sym_ref[0, 0, 0]
-    sigma = sym_ref[0, 0, 1]
-    sig_dt = sigma * jnp.float32(dt) ** 0.5
-    drift = (-0.5 * sigma * sigma) * jnp.float32(dt)
+    # host-derived constants (cols 9-11, _derived_consts): bit-identical to
+    # the single-config kernel's static baking
+    log_s0 = sym_ref[0, 0, SYM_LOG_S0]
+    sig_dt = sym_ref[0, 0, SYM_SIG_DT]
+    drift = sym_ref[0, 0, SYM_DRIFT]
 
     if external_rng:
         u_ref, acc_ref = refs
@@ -1433,7 +1583,7 @@ def _gated_universe_kernel(
     final = _gated_lifecycle_loop(
         draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
                          level_kind_ref[0, i, 0]),
-        num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=jnp.log(s0),
+        num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=log_s0,
         knobs=(sym_ref[0, 0, 2], sym_ref[0, 0, 3], sym_ref[0, 0, 4]),
         gates=tuple(gate_ref[0, k] for k in range(5)),
         max_levels=max_levels,
@@ -1450,14 +1600,52 @@ def _gated_universe_kernel(
     _gated_accumulate(acc_ref, (0,), final, n_paths=s * b)
 
 
-def _symbol_slab(params: EngineParams, s0, sigma, n_sym: int, noise=None):
-    """Pack [s0, sigma, prox, stop_pad, tp_pad, 4×noise-std] per symbol into
-    the (S, 1, 128) VMEM slab rows the universe kernels read.  Engine knobs
-    (and noise stds) may be scalars (shared) or [S] vectors (per-symbol
-    paddings — reference engines are single-symbol so its settings are
-    global, but a universe run wants per-symbol calibration)."""
+def _derived_consts(s0, sigma, dt, mu=0.0):
+    """Host-side f64 derivation of per-symbol (log_s0, sig_dt, drift) —
+    BIT-IDENTICAL to the single-config kernels' static baking (np.log /
+    np.sqrt in f64, rounded once to f32).  The universe kernels used to
+    derive these ON-DEVICE from the slab's raw s0/sigma; Mosaic's log/sqrt
+    approximations differ from host libm by ulps, which flipped ~0.2-1% of
+    boundary decisions between universe and single-config runs on real v5e
+    (every failing cell of the round-4b on-chip bootstrap pin was a
+    universe variant — the single/sweep cells, whose constants are host
+    statics, were exact)."""
+    s0 = np.asarray(s0, np.float64)
+    sg = np.asarray(sigma, np.float64)
+    return (np.log(s0).astype(np.float32),
+            (sg * np.sqrt(dt)).astype(np.float32),
+            ((mu - 0.5 * sg * sg) * dt).astype(np.float32))
+
+
+# symbol-slab column layout (cols 9-11 are the host-derived constants;
+# 12-13 the correlated-universe factor loading and book weight)
+SYM_LOG_S0 = 9
+SYM_SIG_DT = 10
+SYM_DRIFT = 11
+SYM_BETA = 12
+SYM_WEIGHT = 13
+
+
+def _symbol_slab(params: EngineParams, s0, sigma, n_sym: int, noise=None,
+                 derived=None, beta=None, weights=None):
+    """Pack [s0, sigma, prox, stop_pad, tp_pad, 4×noise-std, log_s0,
+    sig_dt, drift] per symbol into the (S, 1, 128) VMEM slab rows the
+    universe kernels read.  Engine knobs (and noise stds) may be scalars
+    (shared) or [S] vectors (per-symbol paddings — reference engines are
+    single-symbol so its settings are global, but a universe run wants
+    per-symbol calibration).  ``derived`` is the host-computed
+    (log_s0, sig_dt, drift) triple from ``_derived_consts`` — falls back
+    to in-graph derivation (device transcendentals) when None, e.g. for
+    callers that jit over traced s0/sigma."""
     zero = jnp.float32(0.0)
-    cols = [jnp.asarray(s0, jnp.float32), jnp.asarray(sigma, jnp.float32),
+    s0 = jnp.asarray(s0, jnp.float32)
+    sigma = jnp.asarray(sigma, jnp.float32)
+    if derived is None:
+        raise ValueError("_symbol_slab requires host-derived constants "
+                         "(use _derived_consts) — on-device log/sqrt "
+                         "diverge from the single-config kernels by ulps")
+    log_s0, sig_dt, drift = [jnp.asarray(d, jnp.float32) for d in derived]
+    cols = [s0, sigma,
             jnp.asarray(params.contact_prox, jnp.float32),
             jnp.asarray(params.stop_padding, jnp.float32),
             jnp.asarray(params.tp_padding, jnp.float32),
@@ -1468,7 +1656,10 @@ def _symbol_slab(params: EngineParams, s0, sigma, n_sym: int, noise=None):
             jnp.asarray(noise.stop_slip_std, jnp.float32)
             if noise is not None else zero,
             jnp.asarray(noise.target_slip_std, jnp.float32)
-            if noise is not None else zero]
+            if noise is not None else zero,
+            log_s0, sig_dt, drift,
+            jnp.asarray(beta, jnp.float32) if beta is not None else zero,
+            jnp.asarray(weights, jnp.float32) if weights is not None else zero]
     sym = jnp.stack([jnp.broadcast_to(c, (n_sym,)) for c in cols], axis=1)
     return jnp.pad(sym, ((0, 0), (0, 128 - sym.shape[1])))[:, None, :]
 
@@ -1494,6 +1685,7 @@ def _mc_paths_pallas_gated_universe_jit(
     hist_bars=None,           # PathBars-like [S, H] o/h/l/c histories
     block_len: int = 10,      # block_bootstrap: contiguous run length
     heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
+    derived=None,             # host-computed (log_s0, sig_dt, drift) [S] triple
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, 4*num_bars (8* w/ noise), 8, GATED_LANES]
                               # (bootstrap: 2*num_bars (6*) rows)
@@ -1549,7 +1741,8 @@ def _mc_paths_pallas_gated_universe_jit(
     lp, lvv = _level_rows(lv_price, levels.valid, n_lv)
     lk = jnp.broadcast_to(
         jnp.asarray(levels.kind, jnp.float32)[..., None], (n_sym, n_lv, 128))
-    sym = _symbol_slab(params, s0, sigma, n_sym, noise=noise)
+    sym = _symbol_slab(params, s0, sigma, n_sym, noise=noise,
+                       derived=derived)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     acc = pl.pallas_call(
@@ -1755,6 +1948,7 @@ def _sweep_kernel(
     sampler: str = "gbm",
     hist_len: int = 0,
     block_len: int = 0,
+    heston=None,
 ):
     """One path block evaluated against the ENTIRE stop/target grid: path
     generation + first-contact detection run once, then each configuration
@@ -1771,6 +1965,12 @@ def _sweep_kernel(
 
     if sampler in ("bootstrap", "block_bootstrap"):
         lens = (w, None, None, None, 1)      # u_idx block + tie row
+    elif sampler == "heston":
+        # ks 9/10 are the vol-shock pair; the PRNG draw ORDER (u1, u2, uq1,
+        # uq2, u3, u4, tie) matches the single kernel's _heston_block call
+        # sequence so same-seed sweep rows reproduce single runs bitwise
+        lens = (w // 2, w // 2, w, w, 1, None, None, None, None,
+                w // 2, w // 2)
     else:
         lens = (w // 2, w // 2, w, w, 1)     # paired Box-Muller layout
 
@@ -1784,6 +1984,9 @@ def _sweep_kernel(
             w=w, b=b, hist_len=hist_len, log_s0=jnp.float32(np.log(s0)),
             block_len=block_len,
         )
+    elif sampler == "heston":
+        bars = _heston_block(draw, lambda k: draw(9 + k), w=w, b=b,
+                             hes=heston, log_s0=jnp.float32(np.log(s0)))
     else:
         bars = _gbm_block(
             draw, w=w, b=b, drift=jnp.float32(drift),
@@ -1807,9 +2010,9 @@ def _sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
-                     "sampler", "block_len", "interpret"),
+                     "sampler", "block_len", "heston", "interpret"),
 )
-def mc_paths_pallas_sweep(
+def _mc_paths_pallas_sweep_jit(
     seed,
     levels: Levels,
     params: EngineParams,
@@ -1825,6 +2028,7 @@ def mc_paths_pallas_sweep(
     sampler: str = "gbm",     # "gbm" | "bootstrap" (recorded-bar resampling)
     hist_bars=None,           # PathBars-like 1-D o/h/l/c history (bootstrap)
     block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # static (v0, kappa, theta, xi, rho, mu, dt) tuple
     interpret=False,
 ) -> PathStats:
     """Whole stop/target grid per path block with shared path draws (CRN).
@@ -1835,12 +2039,13 @@ def mc_paths_pallas_sweep(
     :3353-3538)."""
     if num_paths % LANES != 0:
         raise ValueError(f"num_paths must be a multiple of {LANES}")
-    if sampler == "gbm" and num_bars % 2 != 0:
+    if sampler in ("gbm", "heston") and num_bars % 2 != 0:
         raise ValueError("num_bars must be even (paired Box-Muller draws)")
     if levels.max_levels > 8:
         raise ValueError("pallas kernel supports up to 8 level slots")
-    if sampler not in ("gbm", "bootstrap", "block_bootstrap"):
-        raise ValueError("samplers: 'gbm' | 'bootstrap' | 'block_bootstrap'")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError(
+            "samplers: 'gbm' | 'bootstrap' | 'block_bootstrap' | 'heston'")
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars")
     grid_stops = jnp.asarray(grid_stops, jnp.float32).reshape(-1)
@@ -1859,7 +2064,9 @@ def mc_paths_pallas_sweep(
     kernel = functools.partial(
         _sweep_kernel, num_bars=num_bars, s0=s0, drift=drift, sig_dt=sig_dt,
         max_levels=levels.max_levels, n_grid=g,
-        sampler=sampler, hist_len=hist_len, block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        sampler=sampler, hist_len=hist_len,
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        heston=heston,
     )
     knobs = jnp.stack([
         jnp.asarray(params.contact_prox, jnp.float32),
@@ -1892,6 +2099,18 @@ def mc_paths_pallas_sweep(
          + ((hist,) if hist is not None else ())))
 
     return _unpack_acc(acc)
+
+
+def mc_paths_pallas_sweep(seed, levels, params, grid_stops, grid_tps, *,
+                          sampler="gbm", heston=None, mu=0.0,
+                          dt=1.0 / (390.0 * 252.0), **kw):
+    """Public first-contact sweep entry (see ``_mc_paths_pallas_sweep_jit``):
+    freezes the heston dict into the static float tuple the kernel is
+    specialized on."""
+    hes = _heston_tuple(heston, mu, dt) if sampler == "heston" else None
+    return _mc_paths_pallas_sweep_jit(
+        seed, levels, params, grid_stops, grid_tps, sampler=sampler,
+        heston=hes, mu=mu, dt=dt, **kw)
 
 
 # --------------------------------------------------------------------------
@@ -2143,8 +2362,260 @@ def mc_paths_pallas_gated_universe(seed, levels, params, s0, sigma,
                                    gate=None, *, sampler="gbm", heston=None,
                                    dt=1.0 / (390.0 * 252.0), **kw):
     """Public gated-universe entry (see
-    ``_mc_paths_pallas_gated_universe_jit``)."""
+    ``_mc_paths_pallas_gated_universe_jit``); derives (log_s0, sig_dt,
+    drift) per symbol ON HOST (``_derived_consts``) so universe runs are
+    bit-identical to single-config runs of the same symbols."""
     hes = _heston_tuple(heston, 0.0, dt) if sampler == "heston" else None
     return _mc_paths_pallas_gated_universe_jit(
         seed, levels, params, s0, sigma, gate, sampler=sampler, heston=hes,
-        dt=dt, **kw)
+        dt=dt, derived=_derived_consts(s0, sigma, dt), **kw)
+
+
+# --------------------------------------------------------------------------
+# kernel 4c: CORRELATED gated universe + on-chip portfolio risk
+# --------------------------------------------------------------------------
+
+def _gated_corr_kernel(
+    seed_ref,          # SMEM (1,1) i32
+    gate_ref,          # SMEM (1,8) f32 gate knobs
+    sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row (_symbol_slab
+                       #   cols incl. SYM_LOG_S0..SYM_DRIFT, SYM_BETA,
+                       #   SYM_WEIGHT)
+    level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
+    level_valid_ref,   # VMEM (1, L, 128) f32
+    level_kind_ref,    # VMEM (1, L, 128) f32
+    *refs,             # [um_ref, u_ref (external rng)], acc_ref, port_ref,
+                       # curve_ref + 4 portfolio scratch tiles
+    num_bars: int,
+    max_levels: int,
+    n_sym: int,
+    lanes: int,
+    external_rng: bool = False,
+    use_noise: bool = False,
+):
+    """Correlated gated universe (parallel/portfolio.py model) on a
+    (block, symbol) grid — SYMBOL IS THE INNER AXIS so one path block's
+    portfolio scratch stays resident while every symbol walks the same
+    market shocks:
+
+      z_s = beta_s * z_mkt + sqrt(1 - beta_s^2) * eps_s
+
+    The market pair is a symbol-INDEPENDENT stream (reseeded per (block,
+    step) from a market salt, or read from the shared ``market_uniforms``
+    ref in tests), so path i sees the same market across symbols.  Each
+    symbol's lifecycle adds its weighted per-bar equity into the
+    ``curve_ref`` scratch; the last symbol folds the combined curve into
+    the portfolio accumulator — final R histogram (→ VaR/CVaR of the BOOK)
+    plus TRUE time-tracked portfolio drawdown (peak over the combined
+    curve), which no per-symbol aggregation can produce."""
+    s, b = GATED_SUB, lanes
+    stride = _gated_stride("gbm", use_noise)
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    refs = list(refs)
+    if external_rng:
+        um_ref = refs.pop(0)
+        u_ref = refs.pop(0)
+    acc_ref, port_ref, curve_ref, pt_ref, pw_ref, plo_ref, po_ref = refs
+
+    if external_rng:
+        def draw(t2, k):
+            if k >= stride:        # market pair rows (shared across symbols)
+                blk = um_ref[0, pl.ds(t2 * 2 + (k - stride), 1)]
+            else:
+                blk = u_ref[0, 0, pl.ds(t2 * stride + k, 1)]
+            return blk.reshape(s, b)
+    else:
+        seed0 = seed_ref[0, 0]
+
+        def draw(t2, k):
+            # per-step reseeding: the market stream hashes (seed, block,
+            # step) ONLY — every symbol regenerates the same market draws —
+            # while the idiosyncratic stream also folds the symbol in.
+            # int32 multiply-mix wraps; constants are odd and < 2^31.
+            if k == stride:
+                pltpu.prng_seed(seed0 + jnp.int32(0x5bd1e995)
+                                + bi * jnp.int32(0x27D4EB2F)
+                                + t2 * jnp.int32(0x165667B1))
+            if k == 0:
+                pltpu.prng_seed(seed0 + (si + 1) * jnp.int32(0x61C88647)
+                                + bi * jnp.int32(0x7FEB352D)
+                                + t2 * jnp.int32(0x45D9F3B5))
+            return _uniform((s, b))
+
+    @pl.when(jnp.logical_and(bi == 0, si == 0))
+    def _init():
+        _init_acc(acc_ref)
+        _init_acc(port_ref)
+
+    @pl.when(si == 0)
+    def _zero_port():
+        curve_ref[...] = jnp.zeros(curve_ref.shape, jnp.float32)
+        for r in (pt_ref, pw_ref, plo_ref, po_ref):
+            r[...] = jnp.zeros(r.shape, jnp.float32)
+
+    final = _gated_lifecycle_loop(
+        draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
+                         level_kind_ref[0, i, 0]),
+        num_bars=num_bars, drift=sym_ref[0, 0, SYM_DRIFT],
+        sig_dt=sym_ref[0, 0, SYM_SIG_DT], log_s0=sym_ref[0, 0, SYM_LOG_S0],
+        knobs=(sym_ref[0, 0, 2], sym_ref[0, 0, 3], sym_ref[0, 0, 4]),
+        gates=tuple(gate_ref[0, k] for k in range(5)),
+        max_levels=max_levels, lanes=lanes,
+        noise=(tuple(sym_ref[0, 0, 5 + k] for k in range(4))
+               if use_noise else None),
+        corr=sym_ref[0, 0, SYM_BETA],
+        curve=(curve_ref, sym_ref[0, 0, SYM_WEIGHT]),
+    )
+    side, equity, dd, trades, wins, losses = final
+    _gated_accumulate(acc_ref.at[si], (), final, n_paths=s * b)
+
+    pt_ref[...] += trades
+    pw_ref[...] += wins
+    plo_ref[...] += losses
+    po_ref[...] = jnp.maximum(po_ref[...], jnp.abs(side))
+
+    @pl.when(si == n_sym - 1)
+    def _portfolio():
+        finals = curve_ref[num_bars - 1, :, :]
+        peak = jnp.zeros((s, b), jnp.float32)
+        pdd = jnp.zeros((s, b), jnp.float32)
+        for t in range(num_bars):
+            row = curve_ref[t, :, :]
+            peak = jnp.maximum(peak, row)
+            pdd = jnp.maximum(pdd, peak - row)
+        _gated_accumulate(
+            port_ref, (),
+            (po_ref[...], finals, pdd, pt_ref[...], pw_ref[...],
+             plo_ref[...]),
+            n_paths=s * b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
+                     "interpret"),
+)
+def _mc_paths_pallas_gated_corr_jit(
+    seed,
+    levels: Levels,        # batched [S, L<=8]
+    params: EngineParams,  # knob leaves scalar or [S]
+    s0,                    # f32[S]
+    sigma,                 # f32[S]
+    beta,                  # f32[S] market loadings
+    weights,               # f32[S] book weights
+    gate=None,
+    *,
+    paths_per_symbol: int,
+    num_bars: int = 40,
+    dt: float = 1.0 / (390.0 * 252.0),
+    lanes: int = GATED_LANES,
+    noise=None,
+    derived=None,
+    interpret=False,
+    external_uniforms=None,   # f32[S, n_blocks, stride*(W//2), 8, lanes]
+    market_uniforms=None,     # f32[n_blocks, 2*(W//2), 8, lanes] (shared)
+):
+    """Correlated gated universe, fully fused: per-symbol [S] PathStats AND
+    the on-chip portfolio accumulator (final-R histogram + time-tracked book
+    drawdown) from ONE launch.  Exactness-tested against
+    parallel/portfolio.portfolio_mc under injected uniforms."""
+    from ..sim.gatedpath import GateConfig
+
+    if gate is None:
+        gate = GateConfig.from_params(params)
+    block = GATED_SUB * lanes
+    if paths_per_symbol % block != 0:
+        raise ValueError(f"paths_per_symbol must be a multiple of {block}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
+    lv_price = jnp.asarray(levels.price)
+    n_sym, n_lv = lv_price.shape
+    if n_lv > 8:
+        raise ValueError("pallas corr kernel supports up to 8 level slots")
+    if (external_uniforms is None) != (market_uniforms is None):
+        raise ValueError("external_uniforms and market_uniforms go together")
+    n_blocks = paths_per_symbol // block
+    use_noise = noise is not None
+    external_rng = external_uniforms is not None
+    stride = _gated_stride("gbm", use_noise)
+    u_rows = stride * (num_bars // 2)
+
+    kernel = functools.partial(
+        _gated_corr_kernel, num_bars=num_bars, max_levels=n_lv, n_sym=n_sym,
+        lanes=lanes, external_rng=external_rng, use_noise=use_noise,
+    )
+    gvec = jnp.stack([
+        jnp.asarray(gate.q_min_prob, jnp.float32),
+        jnp.asarray(gate.touch_limit, jnp.float32),
+        jnp.asarray(gate.cooldown_bars, jnp.float32),
+        jnp.asarray(gate.touch_gap_bars, jnp.float32),
+        jnp.asarray(gate.use_confidence, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 8)
+    sym = _symbol_slab(params, s0, sigma, n_sym, noise=noise,
+                       derived=derived, beta=beta, weights=weights)
+    lp, lv = _level_rows(lv_price, levels.valid, n_lv)
+    lk = jnp.broadcast_to(
+        jnp.asarray(levels.kind, jnp.float32)[..., None], (n_sym, n_lv, 128))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    acc, port = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_sym),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, si: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda bi, si: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 128), lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((1, 2 * (num_bars // 2), GATED_SUB, lanes),
+                         lambda bi, si: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, u_rows, GATED_SUB, lanes),
+                         lambda bi, si: (si, bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] if external_rng else []),
+        out_specs=[
+            pl.BlockSpec((n_sym, 8, 128), lambda bi, si: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda bi, si: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_sym, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_bars, GATED_SUB, lanes), jnp.float32),
+            pltpu.VMEM((GATED_SUB, lanes), jnp.float32),
+            pltpu.VMEM((GATED_SUB, lanes), jnp.float32),
+            pltpu.VMEM((GATED_SUB, lanes), jnp.float32),
+            pltpu.VMEM((GATED_SUB, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*((seed_arr, gvec, sym, lp, lv, lk)
+         + ((jnp.asarray(market_uniforms, jnp.float32),
+             jnp.asarray(external_uniforms, jnp.float32))
+            if external_rng else ())))
+
+    return _unpack_acc_gated(acc), _unpack_acc_gated(port)
+
+
+def mc_paths_pallas_gated_corr(seed, levels, params, s0, sigma, beta,
+                               weights, gate=None, *,
+                               dt=1.0 / (390.0 * 252.0), **kw):
+    """Public correlated gated-universe entry (see
+    ``_mc_paths_pallas_gated_corr_jit``): host-derives the per-symbol
+    constants (``_derived_consts``) like every universe shim."""
+    return _mc_paths_pallas_gated_corr_jit(
+        seed, levels, params, s0, sigma, beta, weights, gate, dt=dt,
+        derived=_derived_consts(s0, sigma, dt), **kw)

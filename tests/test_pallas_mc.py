@@ -301,10 +301,10 @@ def test_universe_kernel_per_symbol_knobs_exact():
         )
         for f in ("n", "n_entered", "n_tp", "n_stop", "n_open"):
             assert float(getattr(got, f)[s]) == float(getattr(want, f)), (s, f)
-        # drift/sig_dt come from host f64 (single kernel, static config) vs
-        # on-device f32 (universe slab) — bars differ by ~1 ulp, so R sums
-        # agree to ~1e-5 relative while every decision (counts, hist) is equal
-        assert float(got.sum_r[s]) == pytest.approx(float(want.sum_r), rel=1e-4)
+        # log_s0/sig_dt/drift are host-derived in f64 for BOTH kernels since
+        # the round-4 universe-divergence fix (_derived_consts) — the bars
+        # are bit-identical, so sums match exactly
+        assert float(got.sum_r[s]) == float(want.sum_r)
         np.testing.assert_array_equal(
             np.asarray(got.hist[s]), np.asarray(want.hist))
     # knobs actually differ → per-symbol outcomes differ
@@ -576,3 +576,138 @@ def test_kernel_block_bootstrap_matches_numpy_oracle_exact_uniforms():
     assert abs(float(s.n_tp) - tot["tp"]) <= 3
     assert abs(float(s.n_stop) - tot["stop"]) <= 3
     assert float(s.sum_r) == pytest.approx(tot["sum_r"], abs=3.0)
+
+
+HPARAMS = dict(v0=0.09, kappa=2.0, theta=0.05, xi=0.9, rho=-0.6)
+
+
+def _heston_oracle_bars(ub, hes, s0=100.0, w=None, lanes=None):
+    """Numpy f32 mirror of ops/pallas_mc._heston_block from one uniform
+    block (layout: u1, u2, u3, u4 [3w rows], tie, uq1, uq2)."""
+    f = np.float32
+    w = w if w is not None else W
+    lanes = lanes if lanes is not None else LANES
+    v0, kap, th, xi, rho, mu_, dtf = (f(x) for x in hes)
+    rho_perp = f(np.sqrt(max(0.0, 1.0 - float(rho) ** 2)))
+    h = w // 2
+    u1, u2 = ub[:h], ub[h:w]
+    u3, u4 = ub[w:2 * w], ub[2 * w:3 * w]
+    tie = ub[3 * w]
+    uq1 = ub[3 * w + 1:3 * w + 1 + h]
+    uq2 = ub[3 * w + 1 + h:3 * w + 1 + w]
+    radius = np.sqrt(f(-2.0) * np.log(u1))
+    angle = f(2 * np.pi) * u2
+    z = np.concatenate([radius * np.cos(angle), radius * np.sin(angle)],
+                       axis=0)
+    qr = np.sqrt(f(-2.0) * np.log(uq1))
+    qa = f(2 * np.pi) * uq2
+    zq = np.concatenate([qr * np.cos(qa), qr * np.sin(qa)], axis=0)
+    z2 = rho * z + rho_perp * zq
+    v = np.full((1, lanes), v0, f)
+    incr_rows, sig2_rows = [], []
+    for t in range(w):
+        v_pos = np.maximum(v, f(0.0))
+        sig_bar = np.sqrt(v_pos * dtf)
+        incr_rows.append((mu_ - f(0.5) * v_pos) * dtf + sig_bar * z[t:t + 1])
+        sig2_rows.append(v_pos * dtf)
+        v = v + kap * (th - v_pos) * dtf + xi * sig_bar * z2[t:t + 1]
+    incr = np.concatenate(incr_rows, axis=0)
+    sig2dt = np.concatenate(sig2_rows, axis=0)
+    logc = f(np.log(s0)) + np.cumsum(incr, axis=0, dtype=f)
+    logo = logc - incr
+    close, opens = np.exp(logc), np.exp(logo)
+    d2 = (logc - logo) ** 2
+    high = np.exp(f(0.5) * (logo + logc + np.sqrt(d2 - 2 * sig2dt * np.log(u3))))
+    low = np.exp(f(0.5) * (logo + logc - np.sqrt(d2 - 2 * sig2dt * np.log(u4))))
+    return close, opens, high, low, tie
+
+
+def test_kernel_heston_matches_numpy_oracle_exact_uniforms():
+    """Heston stochastic vol in the block-form first-contact kernel
+    (`_heston_block`): serial variance chain + MXU cumsum + LOCAL-vol bridge
+    extremes, vs a numpy f32 mirror from the same uniforms
+    (ops/pathgen.heston_paths semantics, full-truncation Euler)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import _heston_tuple
+
+    rng = np.random.default_rng(23)
+    nb = 2
+    u = rng.uniform(1e-9, 1.0, (nb, 4 * W + 1, LANES)).astype(np.float32)
+    s = mc_paths_pallas(
+        0, LEVELS, PARAMS, num_paths=nb * LANES, num_bars=W, dt=DT,
+        lanes=LANES, sampler="heston", heston=HPARAMS,
+        interpret=pltpu.InterpretParams(), external_uniforms=u,
+    )
+    hes = _heston_tuple(HPARAMS, 0.0, DT)
+    tot = dict(entered=0, tp=0, stop=0, open=0, sum_r=0.0,
+               min_r=np.inf, max_r=-np.inf)
+    for blk in range(nb):
+        close, opens, high, low, tie = _heston_oracle_bars(
+            u[blk].astype(np.float32), hes)
+        _replay_block_oracle(tot, close, opens, high, low, tie,
+                             [100.0, 100.4], 0.05, 0.35, 0.25, None)
+    assert float(s.n) == nb * LANES
+    assert abs(float(s.n_entered) - tot["entered"]) <= 2
+    assert abs(float(s.n_tp) - tot["tp"]) <= 3
+    assert abs(float(s.n_stop) - tot["stop"]) <= 3
+    assert abs(float(s.n_open) - tot["open"]) <= 3
+    assert float(s.sum_r) == pytest.approx(tot["sum_r"], abs=3.0)
+    # stochastic vol actually moved the outcome mix vs plain GBM on the
+    # same price uniforms
+    g = mc_paths_pallas(
+        0, LEVELS, PARAMS, num_paths=nb * LANES, num_bars=W, sigma=SIGMA,
+        dt=DT, lanes=LANES, interpret=pltpu.InterpretParams(),
+        external_uniforms=u[:, :3 * W + 1],
+    )
+    assert float(g.sum_r) != float(s.sum_r)
+
+
+def test_heston_universe_matches_single_exact():
+    """Heston in the first-contact UNIVERSE kernel: each symbol of a
+    2-symbol universe matches a single-config kernel run of that symbol
+    bitwise under the same injected uniforms (shared heston params,
+    per-symbol s0 via the host-derived log_s0 slab column)."""
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_universe,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    rows = [
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+         {"color": "teal", "type": "dashed", "index": 0, "price": 100.4}],
+        [{"color": "orange", "type": "solid", "index": 0, "price": 50.1}],
+    ]
+    lv2 = U.stack_levels(rows, max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sigma = np.full(2, SIGMA, np.float32)
+    rng = np.random.default_rng(31)
+    u = rng.uniform(1e-9, 1.0, (2, 1, 4 * W + 1, LANES)).astype(np.float32)
+    got = mc_paths_pallas_universe(
+        0, lv2, PARAMS, s0, sigma, paths_per_symbol=LANES, num_bars=W,
+        dt=DT, sampler="heston", heston=HPARAMS, interpret=True,
+        external_uniforms=u,
+    )
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv2)
+        want = mc_paths_pallas(
+            0, lv_s, PARAMS, num_paths=LANES, num_bars=W, s0=float(s0[s]),
+            dt=DT, lanes=LANES, sampler="heston", heston=HPARAMS,
+            interpret=True, external_uniforms=u[s],
+        )
+        for fld in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_r",
+                    "min_r", "max_r"):
+            assert float(getattr(got, fld)[s]) == float(getattr(want, fld)), (
+                s, fld)
+        np.testing.assert_array_equal(
+            np.asarray(got.hist[s]), np.asarray(want.hist))
+
+
+def test_kernel_heston_rejects_antithetic_and_odd_bars():
+    with pytest.raises(ValueError):
+        mc_paths_pallas(0, LEVELS, PARAMS, num_paths=LANES, num_bars=W,
+                        sampler="heston", heston=HPARAMS, antithetic=True,
+                        lanes=LANES)
+    with pytest.raises(ValueError):
+        mc_paths_pallas(0, LEVELS, PARAMS, num_paths=LANES, num_bars=W + 1,
+                        sampler="heston", heston=HPARAMS, lanes=LANES)
