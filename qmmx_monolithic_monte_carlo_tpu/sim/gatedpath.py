@@ -117,6 +117,7 @@ def gated_path_replay(
     tie_uniform,              # f32[P, W] same-bar tie coins (one per bar)
     noise=None,               # montecarlo.McNoise — per-ENTRY execution noise
     noise_normals=None,       # f32[4, P, W] std-normals (lvl_jit/entry/stop/tgt)
+    return_curve: bool = False,
 ) -> LifecycleOutcome:
     """Run the gated trade lifecycle over every path (scan over bars, [P]-wide).
 
@@ -124,7 +125,12 @@ def gated_path_replay(
     four std-normal draws perturb the scaffold exactly when a trade opens on
     that bar (level jitter shifts stop+target, entry slip moves the fill,
     stop/target slips move each barrier).  Gate decisions still see the true
-    levels.  ``noise=None`` leaves the trace bitwise identical."""
+    levels.  ``noise=None`` leaves the trace bitwise identical.
+
+    ``return_curve=True`` additionally returns the post-bar equity curve
+    f32[W, P] (the scan's per-bar ys) — the portfolio layer sums weighted
+    per-symbol curves to track TRUE portfolio drawdown over time
+    (parallel/portfolio.py; per-symbol final equities cannot see it)."""
     close = jnp.asarray(paths.close, jnp.float32)
     p, w = close.shape
     n_lvl = levels.max_levels
@@ -226,7 +232,8 @@ def gated_path_replay(
         trades = trades + enter.astype(jnp.int32)
 
         return (side, entry, stop, target, cooldown, touch, last_tb,
-                equity, peak, dd, trades, wins, losses, c), None
+                equity, peak, dd, trades, wins, losses, c), (
+                    equity if return_curve else None)
 
     zf = jnp.zeros((p,), jnp.float32)
     zi = jnp.zeros((p,), jnp.int32)
@@ -249,13 +256,14 @@ def gated_path_replay(
     )
     if noise is not None:
         xs = xs + tuple(jnp.asarray(nn, jnp.float32).T for nn in noise_normals)
-    (side, _, _, _, _, _, _, equity, _, dd, trades, wins, losses, _), _ = (
+    (side, _, _, _, _, _, _, equity, _, dd, trades, wins, losses, _), curve = (
         jax.lax.scan(step, init, xs)
     )
-    return LifecycleOutcome(
+    out = LifecycleOutcome(
         equity=equity, trades=trades, wins=wins, losses=losses,
         open_at_end=side != SIDE_FLAT, max_dd=dd,
     )
+    return (out, curve) if return_curve else out
 
 
 def _one_block_gated(

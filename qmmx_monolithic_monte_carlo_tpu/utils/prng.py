@@ -27,6 +27,7 @@ STREAM_BOOTSTRAP = 6
 STREAM_BRIDGE_HI = 7
 STREAM_BRIDGE_LO = 8
 STREAM_VOLUME = 9
+STREAM_MARKET = 10   # shared market factor of the correlated universe model
 
 
 def key_for(base_key: jax.Array, *indices) -> jax.Array:
