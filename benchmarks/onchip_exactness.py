@@ -637,6 +637,129 @@ def check_bootstrap():
     return ok
 
 
+def check_corr():
+    """Round-4c: the correlated gated-universe kernel
+    (mc_paths_pallas_gated_corr — symbol-inner grid, shared market ref,
+    portfolio scratch) vs the XLA portfolio pipeline from the SAME injected
+    uniforms: per-symbol counts/hist exact, portfolio counts/hist exact,
+    sums to f32 ulps."""
+    import os
+
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        GATED_SUB,
+        mc_paths_pallas_gated_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+    from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import (
+        GateConfig,
+        gated_path_replay,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.pathsim import PathStats as _PS
+
+    interp = bool(int(os.environ.get("QMMX_EXACT_INTERPRET", "0")))
+    # 8192 paths/symbol like check_gated: the count tolerance is relative,
+    # and the residual Mosaic-vs-XLA transcendental flip rate (~0.1%) needs
+    # the larger sample to sit inside COUNT_REL_TOL
+    w, lanes = 16, 256 if interp else 1024
+
+    def _corr_bars_jnp(u, um, beta, s0, sigma):
+        """jnp mirror of the corr kernel's bar construction (device
+        transcendentals — the numpy mirror in tests/test_portfolio.py is
+        host libm, whose ulps vs Mosaic flip ~0.9% of decisions; XLA on the
+        same chip is the right oracle for the hardware pin)."""
+        drift = jnp.float32((0.0 - 0.5 * sigma * sigma) * DT)
+        sig = jnp.float32(sigma * np.sqrt(DT))
+        sig2dt = sig * sig
+        perp = jnp.float32(np.sqrt(max(0.0, 1.0 - beta * beta)))
+        beta = jnp.float32(beta)
+        log_s = jnp.full((GATED_SUB, lanes), jnp.float32(np.log(s0)))
+        opens, closes, highs, lows, ties = [], [], [], [], []
+        for t2 in range(w // 2):
+            blk = lambda k: jnp.asarray(u[8 * t2 + k], jnp.float32)
+            mblk = lambda k: jnp.asarray(um[2 * t2 + k], jnp.float32)
+            mrad = jnp.sqrt(-2.0 * jnp.log(mblk(0)))
+            mang = 6.283185307179586 * mblk(1)
+            zm = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
+            rad = jnp.sqrt(-2.0 * jnp.log(blk(0)))
+            ang = 6.283185307179586 * blk(1)
+            ze = (rad * jnp.cos(ang), rad * jnp.sin(ang))
+            for half in range(2):
+                z = beta * zm[half] + perp * ze[half]
+                u3 = blk(2 + 3 * half)
+                u4 = blk(3 + 3 * half)
+                tie = blk(4 + 3 * half)
+                log_open = log_s
+                log_close = log_s + (drift + sig * z)
+                d2 = (log_close - log_open) ** 2
+                highs.append(jnp.exp(0.5 * (
+                    log_open + log_close
+                    + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3)))))
+                lows.append(jnp.exp(0.5 * (
+                    log_open + log_close
+                    - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4)))))
+                opens.append(jnp.exp(log_open))
+                closes.append(jnp.exp(log_close))
+                ties.append(tie)
+                log_s = log_close
+        n = GATED_SUB * lanes
+        flat = lambda rows: jnp.stack(rows, axis=-1).reshape(n, w)
+        return PathBars(open=flat(opens), high=flat(highs), low=flat(lows),
+                        close=flat(closes),
+                        volume=jnp.zeros((n, w), jnp.float32)), flat(ties)
+
+    lv2 = U.stack_levels([
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "orange", "type": "dashed", "index": 0, "price": 50.2}],
+    ], max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sg = np.array([0.3, 0.4], np.float32)
+    beta = np.array([0.8, 0.6], np.float32)
+    wts = np.array([0.5, 0.5], np.float32)
+    params = EngineParams.default()
+    rng = np.random.default_rng(19)
+    u = rng.uniform(1e-6, 1.0, (2, 1, 8 * (w // 2), GATED_SUB, lanes)
+                    ).astype(np.float32)
+    um = rng.uniform(1e-6, 1.0, (1, 2 * (w // 2), GATED_SUB, lanes)
+                     ).astype(np.float32)
+    sym, port = mc_paths_pallas_gated_corr(
+        0, lv2, params, s0, sg, beta, wts,
+        paths_per_symbol=GATED_SUB * lanes, num_bars=w, lanes=lanes,
+        interpret=interp, external_uniforms=u, market_uniforms=um)
+
+    gate = GateConfig.from_params(params)
+    n = GATED_SUB * lanes
+    port_curve = jnp.zeros((w, n), jnp.float32)
+    tr = jnp.zeros((n,), jnp.int32)
+    wi, lo = tr, tr
+    opn = jnp.zeros((n,), bool)
+    ok = True
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv2)
+        bars, tie = _corr_bars_jnp(
+            u[s, 0], um[0], float(beta[s]), float(s0[s]), float(sg[s]))
+        out, curve = gated_path_replay(bars, lv_s, params, gate, tie,
+                                       return_curve=True)
+        stats = _PS.from_lifecycle(
+            equity=out.equity, trades=out.trades, wins=out.wins,
+            losses=out.losses, open_at_end=out.open_at_end,
+            max_dd=out.max_dd)
+        ok = _judge(f"gated-corr[{s}]", _slice_stats(sym, s), stats) and ok
+        port_curve = port_curve + wts[s] * curve
+        tr = tr + out.trades
+        wi = wi + out.wins
+        lo = lo + out.losses
+        opn = jnp.logical_or(opn, out.open_at_end)
+    final = port_curve[-1]
+    peak = jax.lax.cummax(jnp.maximum(port_curve, 0.0), axis=0)
+    pdd = jnp.max(peak - port_curve, axis=0)
+    pstats = _PS.from_lifecycle(equity=final, trades=tr, wins=wi, losses=lo,
+                                open_at_end=opn, max_dd=pdd)
+    ok = _judge("gated-corr-portfolio", port, pstats) and ok
+    return ok
+
+
 def main(only=None):
     import jax
 
@@ -652,6 +775,7 @@ def main(only=None):
         "engine_noise": check_engine_noise,
         "envelope": check_envelope,
         "bootstrap": check_bootstrap,
+        "corr": check_corr,
     }
     ok = True
     for name, fn in checks.items():

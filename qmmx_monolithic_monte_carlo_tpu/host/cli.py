@@ -642,6 +642,79 @@ def cmd_sweep(args):
     return 0
 
 
+def cmd_book(args):
+    """Correlated-universe MC with BOOK-level risk (beyond the reference,
+    which holds one ticker): one-factor co-movement (beta loadings on a
+    shared market factor) over the gated lifecycle, per-path portfolio
+    VaR/CVaR and time-tracked portfolio drawdown.  One JSON row per symbol
+    plus a final portfolio row."""
+    import jax
+
+    from ..parallel import universe as U
+
+    def _veclist(txt, n, default):
+        if txt is None:
+            return np.full(n, default, np.float32)
+        vals = np.asarray([float(x) for x in txt.split(",")], np.float32)
+        if vals.size == 1:
+            return np.full(n, float(vals[0]), np.float32)
+        if vals.size != n:
+            raise SystemExit(f"expected {n} comma-separated values, "
+                             f"got {vals.size}")
+        return vals
+
+    conn = _connect(args)
+    _rows, _lv, params = _levels_and_params(conn, args)
+    n = args.num_symbols
+    s0 = _veclist(args.s0s, n, args.s0)
+    sigma = _veclist(args.sigmas, n, args.sigma)
+    beta = _veclist(args.betas, n, args.beta)
+    w = _veclist(args.weights, n, 1.0 / n)
+    # synthetic per-symbol level scaffolds around each spot (the DB holds one
+    # symbol's levels; a book run wants one set per symbol)
+    rows = [[{"color": "blue", "type": "solid", "index": 0,
+              "price": float(s0[s])},
+             {"color": "orange", "type": "dashed", "index": 0,
+              "price": float(s0[s]) + 0.4}] for s in range(n)]
+    lv = U.stack_levels(rows, max_levels=4)
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    if backend == "pallas":
+        from ..ops.pallas_mc import GATED_BLOCK, mc_paths_pallas_gated_corr
+
+        if args.num_paths % GATED_BLOCK:
+            raise SystemExit(f"--num-paths must be a multiple of "
+                             f"{GATED_BLOCK} for the pallas corr kernel")
+        sym, port = mc_paths_pallas_gated_corr(
+            args.seed, lv, params, s0, sigma, beta, w,
+            paths_per_symbol=args.num_paths, num_bars=args.num_bars)
+    else:
+        from ..parallel.portfolio import portfolio_mc
+
+        sym, port = portfolio_mc(
+            jax.random.key(args.seed), lv, params, s0, sigma, beta, w,
+            num_paths=args.num_paths, num_bars=args.num_bars,
+            block_paths=min(args.num_paths, 1 << 13))
+    for s in range(n):
+        print(json.dumps({
+            "symbol": s, "beta": round(float(beta[s]), 4),
+            "weight": round(float(w[s]), 4),
+            "hit_rate": float(sym.hit_rate[s]),
+            "mean_r": float(sym.mean_r[s]),
+            "mean_trades": float(sym.mean_trades[s]),
+            "max_dd": float(sym.max_dd[s]),
+        }))
+    print(json.dumps({
+        "portfolio": True, "mean_r": float(port.mean_r),
+        "std_r": float(port.std_r),
+        "var_05": float(port.quantile(0.05)),
+        "cvar_05": float(port.cvar(0.05)),
+        "max_dd": float(port.max_dd), "mean_dd": float(port.mean_dd),
+    }))
+    return 0
+
+
 def cmd_flywheel(args):
     """simulate → label → retrain → re-simulate at path scale: each round
     runs the FULL-engine MC with the on-chip label harvest, refreshes the
@@ -995,6 +1068,29 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--stop-slip-std", type=float, default=0.0)
     sw.add_argument("--target-slip-std", type=float, default=0.0)
     sw.set_defaults(fn=cmd_sweep)
+
+    bk = sub.add_parser("book", help="correlated-universe MC with "
+                        "book-level VaR/CVaR/drawdown (one-factor beta "
+                        "co-movement over the gated lifecycle)")
+    bk.add_argument("--num-symbols", type=int, default=8)
+    bk.add_argument("--num-paths", type=int, default=1 << 16,
+                    help="paths per symbol")
+    bk.add_argument("--num-bars", type=int, default=40)
+    bk.add_argument("--s0", type=float, default=100.0)
+    bk.add_argument("--sigma", type=float, default=0.3)
+    bk.add_argument("--beta", type=float, default=0.6,
+                    help="shared market loading (or --betas per symbol)")
+    bk.add_argument("--s0s", type=str, default=None,
+                    help="comma-separated per-symbol spots")
+    bk.add_argument("--sigmas", type=str, default=None)
+    bk.add_argument("--betas", type=str, default=None)
+    bk.add_argument("--weights", type=str, default=None,
+                    help="comma-separated book weights (default equal)")
+    bk.add_argument("--seed", type=int, default=0)
+    bk.add_argument("--qmin", type=float, default=None)
+    bk.add_argument("--backend", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    bk.set_defaults(fn=cmd_book)
 
     fw = sub.add_parser("flywheel", help="simulate->label->retrain->"
                         "re-simulate policy iteration at path scale")
