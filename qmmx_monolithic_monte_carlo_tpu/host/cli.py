@@ -680,7 +680,19 @@ def cmd_book(args):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
-    if backend == "pallas":
+    engine = getattr(args, "engine", False)
+    skips = escal = None
+    if engine:
+        if backend == "pallas":
+            print("# note: the fused corr kernel runs the gated subset; "
+                  "--engine uses the XLA book pipeline", file=sys.stderr)
+        from ..parallel.portfolio import portfolio_mc_engine
+
+        sym, port, skips, escal = portfolio_mc_engine(
+            jax.random.key(args.seed), lv, params, s0, sigma, beta, w,
+            num_paths=args.num_paths, num_bars=args.num_bars,
+            block_paths=min(args.num_paths, 1 << 12))
+    elif backend == "pallas":
         from ..ops.pallas_mc import GATED_BLOCK, mc_paths_pallas_gated_corr
 
         if args.num_paths % GATED_BLOCK:
@@ -697,14 +709,17 @@ def cmd_book(args):
             num_paths=args.num_paths, num_bars=args.num_bars,
             block_paths=min(args.num_paths, 1 << 13))
     for s in range(n):
-        print(json.dumps({
+        row = {
             "symbol": s, "beta": round(float(beta[s]), 4),
             "weight": round(float(w[s]), 4),
             "hit_rate": float(sym.hit_rate[s]),
             "mean_r": float(sym.mean_r[s]),
             "mean_trades": float(sym.mean_trades[s]),
             "max_dd": float(sym.max_dd[s]),
-        }))
+        }
+        if escal is not None:
+            row["escalations"] = int(escal[s])
+        print(json.dumps(row))
     print(json.dumps({
         "portfolio": True, "mean_r": float(port.mean_r),
         "std_r": float(port.std_r),
@@ -1088,6 +1103,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated book weights (default equal)")
     bk.add_argument("--seed", type=int, default=0)
     bk.add_argument("--qmin", type=float, default=None)
+    bk.add_argument("--engine", action="store_true",
+                    help="run the FULL 12-gate engine ladder per symbol "
+                    "(guard/touch/fatigue/breakout/veto/ML/policy/"
+                    "escalation) instead of the gated subset")
     bk.add_argument("--backend", choices=["auto", "xla", "pallas"],
                     default="auto")
     bk.set_defaults(fn=cmd_book)

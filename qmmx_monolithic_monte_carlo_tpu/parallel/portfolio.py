@@ -29,11 +29,15 @@ This module adds the scaled analog the reference never had:
   every symbol's own final equity is flat — summing final dds overstates,
   summing final equities misses it).
 
-The per-symbol lifecycle is the gated multi-trade state machine
-(sim/gatedpath.gated_path_replay — cooldown, touch budgets, confidence
-gate), the same semantics the fused gated kernel runs on-chip; the
-correlated gated universe kernel (ops/pallas_mc.mc_paths_pallas_gated_corr)
-is exactness-tested against this pipeline under injected uniforms.
+Two lifecycle depths share the factor model: ``portfolio_mc`` runs the gated
+multi-trade state machine (sim/gatedpath.gated_path_replay — cooldown, touch
+budgets, confidence gate), the same semantics the fused gated kernel runs
+on-chip (ops/pallas_mc.mc_paths_pallas_gated_corr is exactness-tested against
+it under injected uniforms); ``portfolio_mc_engine`` runs the FULL 12-gate
+engine ladder (sim/enginepath.engine_path_replay — guard regimes, touch
+memory, edge fatigue, breakout gate, volume veto, ML/blend/policy gates,
+target escalation) per symbol, with synthetic volumes coupled to the
+correlated shocks so market-wide moves print volume on every book member.
 """
 
 from __future__ import annotations
@@ -45,17 +49,20 @@ import jax.numpy as jnp
 
 from ..config import EngineParams
 from ..ops import pathgen as PG
-from ..sim import pathsim
+from ..sim import enginepath, pathsim
 from ..sim.gatedpath import GateConfig, gated_path_replay
 from ..sim.pathsim import PathStats
 from ..types import Levels
 from ..utils import prng
 
 
-def _bars_from_shocks(z, khi, klo, *, s0, mu, sigma, dt) -> PG.PathBars:
+def _bars_from_shocks(z, khi, klo, *, s0, mu, sigma, dt,
+                      volume=None) -> PG.PathBars:
     """GBM OHLC bars from GIVEN close-to-close shocks ``z`` [P, W]
     (ops/pathgen.gbm_paths with the normal draw replaced by the correlated
-    factor combination; bridge extremes drawn fresh from ``khi``/``klo``)."""
+    factor combination; bridge extremes drawn fresh from ``khi``/``klo``).
+    ``volume``: optional [P, W] volumes (the engine's guard/veto gates read
+    volume; the gated subset never does, so it defaults to zeros)."""
     z = jnp.asarray(z, jnp.float32)
     p, w = z.shape
     sig_dt = jnp.asarray(sigma, jnp.float32) * jnp.sqrt(jnp.float32(dt))
@@ -69,7 +76,9 @@ def _bars_from_shocks(z, khi, klo, *, s0, mu, sigma, dt) -> PG.PathBars:
         khi, klo, log_open, log_close, sig_dt * sig_dt)
     return PG.PathBars(
         open=jnp.exp(log_open), high=jnp.exp(log_hi), low=jnp.exp(log_lo),
-        close=jnp.exp(log_close), volume=jnp.zeros((p, w), jnp.float32))
+        close=jnp.exp(log_close),
+        volume=(jnp.zeros((p, w), jnp.float32) if volume is None
+                else jnp.asarray(volume, jnp.float32)))
 
 
 @partial(jax.jit, static_argnames=("num_paths", "num_bars", "block_paths"))
@@ -174,3 +183,136 @@ def portfolio_mc(
     (sym_stats, port_stats), _ = jax.lax.scan(
         body, (zero_sym, zero_port), jnp.arange(n_blocks, dtype=jnp.uint32))
     return sym_stats, port_stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "block_paths", "escalation",
+                     "volume_model", "policy_gate_disabled"),
+)
+def portfolio_mc_engine(
+    key,
+    levels: Levels,           # batched [S, L]
+    params: EngineParams,     # shared scalars
+    s0,                       # f32[S]
+    sigma,                    # f32[S]
+    beta,                     # f32[S] market loadings in [-1, 1]
+    weights,                  # f32[S] book weights
+    *,
+    num_paths: int,
+    num_bars: int = 40,
+    dt: float = 1.0 / (390.0 * 252.0),
+    mu: float = 0.0,
+    block_paths: int = 1 << 12,
+    policy=None,
+    ml_model=None,
+    touch_params=None,
+    guard_params=None,
+    policy_gate_disabled: bool | None = None,
+    escalation: bool = True,
+    bar0_minute=0,
+    volume_model: PG.VolumeModel | None = None,
+):
+    """Correlated-universe MC under the FULL 12-gate engine.
+
+    The portfolio analog of ``sim/enginepath.mc_paths_engine``: per block, one
+    shared market shock stream drives every symbol's close-to-close returns
+    (``z_s = beta_s z_mkt + sqrt(1-beta_s^2) eps_s``); each symbol runs the
+    complete engine ladder — guard regimes, touch memory, edge fatigue,
+    breakout gate, volume veto, ML/blend gate, OnlinePolicy, escalation
+    (sim/enginepath.engine_path_replay) — over its own bars, with synthetic
+    volumes coupled to the correlated shocks (ops/pathgen.VolumeModel, so a
+    market-wide move prints volume on EVERY symbol, exactly the regime where
+    book risk concentrates).  Per-path weighted equity CURVES sum into the
+    portfolio curve; its final value feeds the portfolio histogram and its
+    peak-tracked drawdown is the TRUE book drawdown over time.
+
+    Returns ``(sym_stats, port_stats, skip_counts, escalations)``:
+    [S] per-symbol ``PathStats``, the portfolio ``PathStats``, the [S, K]
+    per-symbol first-fail gate-skip histogram (K = len(SKIP_REASONS) — the
+    log-analyzer's skip table per book member), and the [S] total escalation
+    counts.  Defaults match ``mc_paths_engine`` (reference semantics
+    qmmx_monolithic.py:3353-3538 lifted to the book level)."""
+    if volume_model is None:
+        volume_model = PG.VolumeModel()
+    if num_paths % block_paths != 0:
+        raise ValueError("num_paths must be a multiple of block_paths")
+    n_blocks = num_paths // block_paths
+    s0 = jnp.asarray(s0, jnp.float32)
+    sigma = jnp.asarray(sigma, jnp.float32)
+    beta = jnp.asarray(beta, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    n_sym = s0.shape[0]
+    sym_idx = jnp.arange(n_sym, dtype=jnp.uint32)
+    n_skip = len(enginepath.SKIP_REASONS)
+
+    def one_block(b):
+        km = prng.key_for(key, prng.STREAM_MARKET, b)
+        z_m = jax.random.normal(km, (block_paths, num_bars), jnp.float32)
+
+        def per_symbol(carry, xs):
+            port_curve, trades_tot, wins_tot, losses_tot, open_any = carry
+            si, lv, s0s, sgs, bts, wts = xs
+            ks = prng.key_for(key, prng.STREAM_PATH, b, si)
+            eps = jax.random.normal(ks, (block_paths, num_bars), jnp.float32)
+            z = bts * z_m + jnp.sqrt(
+                jnp.maximum(0.0, 1.0 - bts * bts)) * eps
+            vol = volume_model.volumes(
+                ks, z, num_paths=block_paths, num_bars=num_bars)
+            bars = _bars_from_shocks(
+                z, prng.key_for(ks, prng.STREAM_BRIDGE_HI),
+                prng.key_for(ks, prng.STREAM_BRIDGE_LO),
+                s0=s0s, mu=mu, sigma=sgs, dt=dt, volume=vol)
+            tie = jax.random.uniform(
+                prng.key_for(ks, prng.STREAM_TIE_COIN),
+                (block_paths, num_bars), jnp.float32)
+            out, curve = enginepath.engine_path_replay(
+                bars, lv, params, tie,
+                policy=policy, ml_model=ml_model, touch_params=touch_params,
+                guard_params=guard_params,
+                policy_gate_disabled=policy_gate_disabled,
+                escalation=escalation, bar0_minute=bar0_minute,
+                return_curve=True)
+            stats = PathStats.from_lifecycle(
+                equity=out.equity, trades=out.trades, wins=out.wins,
+                losses=out.losses, open_at_end=out.open_at_end,
+                max_dd=out.max_dd)
+            carry = (port_curve + wts * curve,
+                     trades_tot + out.trades,
+                     wins_tot + out.wins,
+                     losses_tot + out.losses,
+                     jnp.logical_or(open_any, out.open_at_end))
+            return carry, (stats, out.skip_counts, jnp.sum(out.escalations))
+
+        zero_curve = jnp.zeros((num_bars, block_paths), jnp.float32)
+        zi = jnp.zeros((block_paths,), jnp.int32)
+        ((port_curve, trades_tot, wins_tot, losses_tot, open_any),
+         (sym_stats, sym_skips, sym_escal)) = jax.lax.scan(
+            per_symbol,
+            (zero_curve, zi, zi, zi, jnp.zeros((block_paths,), bool)),
+            (sym_idx, levels, s0, sigma, beta, weights),
+        )
+        final = port_curve[-1]
+        peak = jax.lax.cummax(jnp.maximum(port_curve, 0.0), axis=0)
+        port_dd = jnp.max(peak - port_curve, axis=0)
+        port_stats = PathStats.from_lifecycle(
+            equity=final, trades=trades_tot, wins=wins_tot,
+            losses=losses_tot, open_at_end=open_any, max_dd=port_dd)
+        return sym_stats, port_stats, sym_skips, sym_escal
+
+    def body(carry, b):
+        sym_c, port_c, skips_c, escal_c = carry
+        sym_s, port_s, skips, escal = one_block(b)
+        return (sym_c.merge(sym_s), port_c.merge(port_s),
+                skips_c + skips, escal_c + escal), None
+
+    zero_sym = jax.vmap(
+        lambda _: PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)
+    )(sym_idx)
+    zero_port = PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)
+    init = (zero_sym, zero_port,
+            jnp.zeros((n_sym, n_skip), jnp.float32),
+            jnp.zeros((n_sym,), jnp.int32))
+    (sym_stats, port_stats, skips, escal), _ = jax.lax.scan(
+        body, init, jnp.arange(n_blocks, dtype=jnp.uint32))
+    return sym_stats, port_stats, skips, escal

@@ -129,6 +129,7 @@ def engine_path_replay(
     noise_normals=None,          # f32[4, P, W]
     exit_at_close: bool = False,  # static: live-loop exit pricing (oracle tests)
     harvest: bool = False,       # static: collect closed-trade label stats
+    return_curve: bool = False,  # static: also return the [W, P] equity curve
 ) -> EngineLifecycleOutcome:
     """Run the complete engine over every path.
 
@@ -140,7 +141,13 @@ def engine_path_replay(
     ``harvest=True`` additionally accumulates the learning flywheel's
     sufficient statistics (models/harvest.py): every CLOSED trade contributes
     one example labeled ``pnl > 0`` (:1934-1945) with its ENTRY-time ML-gate
-    and policy features, returned as ``outcome.harvest``."""
+    and policy features, returned as ``outcome.harvest``.
+
+    ``return_curve=True`` additionally returns the post-bar equity curve
+    ``f32[W, P]`` (equity after bar t's position management, the same point
+    sim/gatedpath samples) — the portfolio pipeline sums weighted per-symbol
+    curves to track TRUE book drawdown over time
+    (parallel/portfolio.portfolio_mc_engine)."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
@@ -445,7 +452,7 @@ def engine_path_replay(
         carry = (side, entry, stop, target, risk0, cooldown_until, last_dir, c,
                  c_counts, c_latch, guard, touch, ring_c, ring_v,
                  equity, peak, dd, trades, wins, losses, escal, skips, hstate)
-        return carry, None
+        return carry, (equity if return_curve else None)
 
     zf = jnp.zeros((p,), jnp.float32)
     zi = jnp.zeros((p,), jnp.int32)
@@ -480,13 +487,14 @@ def engine_path_replay(
 
     (side, _, _, _, _, _, _, _, _, _, _, _, _, _,
      equity, _, dd, trades, wins, losses, escal, skips,
-     hstate), _ = jax.lax.scan(step, init, xs)
-    return EngineLifecycleOutcome(
+     hstate), curve = jax.lax.scan(step, init, xs)
+    out = EngineLifecycleOutcome(
         equity=equity, trades=trades, wins=wins, losses=losses,
         open_at_end=side != SIDE_FLAT, max_dd=dd, escalations=escal,
         skip_counts=skips,
         harvest=hstate[0] if harvest else None,
     )
+    return (out, curve) if return_curve else out
 
 
 def _one_block_engine(

@@ -85,6 +85,66 @@ def test_portfolio_mc_correlation_raises_book_variance():
     assert v1 > 2.0 * v0  # expected ratio ~S=4
 
 
+def test_portfolio_mc_engine_weighted_sums_and_aggregates():
+    """The FULL-engine book pipeline: portfolio final R is the weighted sum
+    of per-symbol engine equities, book drawdown is subadditive, and the
+    skip table / escalation counts come back per symbol (the log-analyzer
+    diagnostics at book scale)."""
+    from qmmx_monolithic_monte_carlo_tpu.parallel.portfolio import (
+        portfolio_mc_engine,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.enginepath import SKIP_REASONS
+
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sg = np.array([0.3, 0.4], np.float32)
+    w = np.array([0.6, 0.4], np.float32)
+    beta = np.array([0.7, 0.7], np.float32)
+    sym, port, skips, escal = portfolio_mc_engine(
+        jax.random.key(0), lv, PARAMS, s0, sg, beta, w,
+        num_paths=1 << 11, num_bars=W, block_paths=1 << 10)
+    assert float(port.n) == 1 << 11
+    wsum = sum(float(w[s]) * float(sym.sum_r[s]) for s in range(2))
+    assert float(port.sum_r) == pytest.approx(wsum, rel=1e-4, abs=1e-3)
+    dd_bound = sum(float(w[s]) * float(sym.max_dd[s]) for s in range(2))
+    assert 0.0 <= float(port.max_dd) <= dd_bound + 1e-5
+    assert float(port.sum_trades) == pytest.approx(
+        float(sym.sum_trades.sum()))
+    assert float(port.hist.sum()) == pytest.approx(float(port.n_entered))
+    # per-symbol diagnostics: every (path, bar) evaluation lands in some
+    # bucket or enters — totals are bounded by paths*bars
+    assert skips.shape == (2, len(SKIP_REASONS))
+    assert np.all(np.asarray(skips) >= 0.0)
+    assert np.all(np.asarray(skips).sum(axis=1) <= (1 << 11) * W)
+    assert escal.shape == (2,)
+
+
+def test_portfolio_mc_engine_correlation_raises_book_variance():
+    """Same joint-law check as the gated surface, under the full engine:
+    beta=1 co-movement concentrates book risk vs beta=0 diversification."""
+    from qmmx_monolithic_monte_carlo_tpu.parallel.portfolio import (
+        portfolio_mc_engine,
+    )
+
+    rows = [[{"color": "blue", "type": "solid", "index": 0,
+              "price": 100.0}]] * 4
+    lv = U.stack_levels(rows, max_levels=4)
+    s0 = np.full(4, 100.0, np.float32)
+    sg = np.full(4, 0.3, np.float32)
+    w = np.full(4, 0.25, np.float32)
+
+    def var_at(beta):
+        _, port, _, _ = portfolio_mc_engine(
+            jax.random.key(0), lv, PARAMS, s0, sg,
+            np.full(4, beta, np.float32), w,
+            num_paths=1 << 12, num_bars=W, block_paths=1 << 11)
+        m = float(port.sum_r) / float(port.n_entered)
+        return float(port.sum_r2) / float(port.n_entered) - m * m
+
+    v0, v1 = var_at(0.0), var_at(1.0)
+    assert v1 > 1.5 * v0
+
+
 def _corr_bars_from_uniforms(u, um, beta, s0, sigma, w=W, lanes=LANES):
     """Numpy mirror of the corr kernel's streaming-GBM bar construction:
     z = beta * z_mkt + sqrt(1-beta^2) * eps (market pair at ks 8/9 ==
