@@ -760,6 +760,140 @@ def check_corr():
     return ok
 
 
+def check_engine_corr():
+    """Round-4d: the correlated FULL-ENGINE universe kernel
+    (mc_paths_pallas_engine_corr — symbol-inner grid, shared market ref,
+    book curve scratch) vs sim/enginepath + the book combine from the SAME
+    injected uniforms (jnp mirror → XLA on the same chip)."""
+    import os
+
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        ENGINE_SUB,
+        mc_paths_pallas_engine_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+    from qmmx_monolithic_monte_carlo_tpu.sim.enginepath import (
+        engine_path_replay,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.pathsim import PathStats as _PS
+    from tests.test_pallas_engine import _bars_from_uniforms as mk_bars
+
+    interp = bool(int(os.environ.get("QMMX_EXACT_INTERPRET", "0")))
+    w, lanes = 16, 256
+    n = ENGINE_SUB * lanes
+    lv2 = U.stack_levels([
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "orange", "type": "dashed", "index": 0, "price": 50.2}],
+    ], max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sg = np.array([0.3, 0.4], np.float32)
+    beta = np.array([0.8, 0.6], np.float32)
+    wts = np.array([0.5, 0.5], np.float32)
+    params = EngineParams.default()
+    rng = np.random.default_rng(29)
+    u = rng.uniform(1e-6, 1.0, (2, 1, 10 * (w // 2), ENGINE_SUB, lanes)
+                    ).astype(np.float32)
+    um = rng.uniform(1e-6, 1.0, (1, 2 * (w // 2), ENGINE_SUB, lanes)
+                     ).astype(np.float32)
+    sym, port, skips, escal = mc_paths_pallas_engine_corr(
+        0, lv2, params, s0, sg, beta, wts,
+        paths_per_symbol=n, num_bars=w, lanes=lanes,
+        interpret=interp, external_uniforms=u, market_uniforms=um)
+
+    port_curve = jnp.zeros((w, n), jnp.float32)
+    tr = jnp.zeros((n,), jnp.int32)
+    wi, lo = tr, tr
+    opn = jnp.zeros((n,), bool)
+    ok = True
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv2)
+        bars, tie = mk_bars(u[s, 0], float(sg[s]), lanes=lanes, w=w,
+                            s0=float(s0[s]), um=um[0], beta=float(beta[s]))
+        out, curve = engine_path_replay(bars, lv_s, params, tie,
+                                        return_curve=True)
+        stats = _PS.from_lifecycle(
+            equity=out.equity, trades=out.trades, wins=out.wins,
+            losses=out.losses, open_at_end=out.open_at_end,
+            max_dd=out.max_dd)
+        skips_diff = float(np.abs(np.asarray(skips[s])
+                                  - np.asarray(out.skip_counts)).sum())
+        skips_tot = float(np.asarray(out.skip_counts).sum())
+        ok = _judge(f"engine-corr[{s}]", _slice_stats(sym, s), stats, extra={
+            "escalations": [float(escal[s]), float(jnp.sum(out.escalations))],
+            "skip_table_l1_frac": skips_diff / max(skips_tot, 1.0),
+        }) and ok
+        port_curve = port_curve + wts[s] * curve
+        tr = tr + out.trades
+        wi = wi + out.wins
+        lo = lo + out.losses
+        opn = jnp.logical_or(opn, out.open_at_end)
+    final = port_curve[-1]
+    peak = jax.lax.cummax(jnp.maximum(port_curve, 0.0), axis=0)
+    pdd = jnp.max(peak - port_curve, axis=0)
+    pstats = _PS.from_lifecycle(equity=final, trades=tr, wins=wi, losses=lo,
+                                open_at_end=opn, max_dd=pdd)
+    ok = _judge("engine-corr-portfolio", port, pstats) and ok
+    return ok
+
+
+def check_corr_offset():
+    """Round-4d: block-offset seeding of the corr kernels — ONE 2-block
+    launch must equal TWO 1-block launches at offsets {0, 1} merged (the
+    single-chip proof that sharded book runs are bitwise independent of the
+    mesh shape: parallel/mesh.sharded_mc_paths_pallas_corr passes device
+    d's global starting block as the offset).  Hardware-PRNG path only
+    (prng_seed cannot lower on CPU)."""
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        ENGINE_SUB,
+        mc_paths_pallas_engine_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        GATED_SUB,
+        mc_paths_pallas_gated_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    if jax.devices()[0].platform == "cpu":
+        print('{"kernel": "corr-offset", "skipped": "needs TPU PRNG"}')
+        return True
+
+    lv2 = U.stack_levels([
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "orange", "type": "dashed", "index": 0, "price": 50.2}],
+    ], max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sg = np.array([0.3, 0.4], np.float32)
+    beta = np.array([0.8, 0.6], np.float32)
+    wts = np.array([0.5, 0.5], np.float32)
+    params = EngineParams.default()
+    ok = True
+    for name, fn, sub, lanes in (
+        ("gated", mc_paths_pallas_gated_corr, GATED_SUB, 1024),
+        ("engine", mc_paths_pallas_engine_corr, ENGINE_SUB, 256),
+    ):
+        block = sub * lanes
+        full = fn(5, lv2, params, s0, sg, beta, wts,
+                  paths_per_symbol=2 * block, num_bars=16, lanes=lanes)
+        p0 = fn(5, lv2, params, s0, sg, beta, wts,
+                paths_per_symbol=block, num_bars=16, lanes=lanes,
+                block_offset=0)
+        p1 = fn(5, lv2, params, s0, sg, beta, wts,
+                paths_per_symbol=block, num_bars=16, lanes=lanes,
+                block_offset=1)
+        f_sym, f_port = full[0], full[1]
+        m_sym = p0[0].merge(p1[0])
+        m_port = p0[1].merge(p1[1])
+        for s in range(2):
+            ok = _judge(f"corr-offset-{name}[{s}]", _slice_stats(f_sym, s),
+                        _slice_stats(m_sym, s)) and ok
+        ok = _judge(f"corr-offset-{name}-portfolio", f_port, m_port) and ok
+    return ok
+
+
 def main(only=None):
     import jax
 
@@ -776,6 +910,8 @@ def main(only=None):
         "envelope": check_envelope,
         "bootstrap": check_bootstrap,
         "corr": check_corr,
+        "engine_corr": check_engine_corr,
+        "corr_offset": check_corr_offset,
     }
     ok = True
     for name, fn in checks.items():

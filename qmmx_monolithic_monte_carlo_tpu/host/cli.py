@@ -682,10 +682,17 @@ def cmd_book(args):
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     engine = getattr(args, "engine", False)
     skips = escal = None
-    if engine:
-        if backend == "pallas":
-            print("# note: the fused corr kernel runs the gated subset; "
-                  "--engine uses the XLA book pipeline", file=sys.stderr)
+    if engine and backend == "pallas":
+        from ..ops.pallas_engine import ENGINE_BLOCK, mc_paths_pallas_engine_corr
+
+        if args.num_paths % ENGINE_BLOCK:
+            raise SystemExit(f"--num-paths must be a multiple of "
+                             f"{ENGINE_BLOCK} for the pallas engine corr "
+                             f"kernel")
+        sym, port, skips, escal = mc_paths_pallas_engine_corr(
+            args.seed, lv, params, s0, sigma, beta, w,
+            paths_per_symbol=args.num_paths, num_bars=args.num_bars)
+    elif engine:
         from ..parallel.portfolio import portfolio_mc_engine
 
         sym, port, skips, escal = portfolio_mc_engine(

@@ -162,7 +162,7 @@ def _engine_lifecycle_loop(
     noise=None, harvest: bool = False, sampler: str = "gbm", hist=None,
     block_len: int = 0, heston=None, antithetic: bool = False,
     gen_only: bool = False, skip_d: bool = False, policy_off: bool = False,
-    young_bars: int = 0,
+    young_bars: int = 0, corr=None, curve=None,
 ):
     """The streaming generate+full-engine loop.
 
@@ -307,6 +307,15 @@ def _engine_lifecycle_loop(
             ties = (draw(t2, 2), draw(t2, 3))
             noise_k0 = 4
         else:
+            if corr is not None:
+                # shared market factor (parallel/portfolio.py model): the
+                # market pair is drawn FIRST each step — ks (mk0, mk0+1), a
+                # symbol-independent stream (the corr kernel's draw wrapper
+                # reseeds the PRNG / reads the shared market ref on mk0)
+                mk0 = _draw_stride(sampler, noise is not None)
+                mrad = jnp.sqrt(-2.0 * jnp.log(draw(t2, mk0)))
+                mang = _TWO_PI * draw(t2, mk0 + 1)
+                zm_pair = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
             u1 = draw(t2, 0)
             u2 = draw(t2, 1)
             radius = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -314,6 +323,13 @@ def _engine_lifecycle_loop(
             z_pair = (radius * jnp.cos(angle), radius * jnp.sin(angle))
             if antithetic:
                 z_pair = (_anti(z_pair[0]), _anti(z_pair[1]))
+            if corr is not None:
+                # z_s = beta_s z_mkt + sqrt(1-beta_s^2) eps_s — applied
+                # BEFORE the volume model so market moves print volume on
+                # every symbol (portfolio_mc_engine semantics)
+                perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - corr * corr))
+                z_pair = (corr * zm_pair[0] + perp * z_pair[0],
+                          corr * zm_pair[1] + perp * z_pair[1])
             uv1 = draw(t2, 2)
             uv2 = draw(t2, 3)
             vradius = jnp.sqrt(-2.0 * jnp.log(uv1))
@@ -525,6 +541,14 @@ def _engine_lifecycle_loop(
         equity = equity + r
         peak = jnp.maximum(peak, equity)
         dd = jnp.maximum(dd, peak - equity)
+        if curve is not None:
+            # portfolio hook (corr kernel): accumulate this symbol's weighted
+            # post-bar equity into the per-bar portfolio-curve scratch (the
+            # book's drawdown is peak-tracked over TIME on the combined
+            # curve — per-symbol final equities cannot see it)
+            curve_ref, w_s = curve
+            curve_ref[pl.ds(t_i, 1)] = (curve_ref[pl.ds(t_i, 1)]
+                                        + (w_s * equity)[None])
         wins = wins + jnp.logical_and(closed, pnl > 0).astype(jnp.float32)
         losses = losses + jnp.logical_and(closed, pnl <= 0).astype(jnp.float32)
         if harvest:
@@ -2475,3 +2499,330 @@ def _engine_universe_impl(
             if external_rng else ())))
 
     return _unpack_acc_engine(acc, n_skip, harvest=harvest)
+
+
+def _engine_corr_kernel(
+    seed_ref,          # SMEM (1,2) i32: [seed, block_offset]
+    ml_ref,            # SMEM (1,8) f32 (shared across symbols)
+    pol_ref,           # SMEM (3,8) f32
+    tm_ref,            # SMEM (1,8) f32
+    gd_ref,            # SMEM (1,8) f32
+    sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row: the universe
+                       #   slab layout + beta/weight at cols 2+ENG_COLS+3/+4
+    level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
+    level_valid_ref,   # VMEM (1, L, 128) f32
+    level_kind_ref,    # VMEM (1, L, 128) f32
+    *refs,             # [um_ref, u_ref (external rng)], acc_ref, port_ref,
+                       # curve_ref + 4 portfolio scratch tiles
+    num_bars: int,
+    max_levels: int,
+    n_sym: int,
+    lanes: int,
+    vm: tuple,
+    escalation: bool,
+    external_rng: bool = False,
+    use_noise: bool = False,
+    policy_off: bool = False,
+    young_bars: int = 0,
+):
+    """Correlated FULL-ENGINE universe (parallel/portfolio.py model) on a
+    (block, symbol) grid — SYMBOL IS THE INNER AXIS so one path block's
+    portfolio scratch stays resident while every symbol walks the same
+    market shocks:
+
+      z_s = beta_s * z_mkt + sqrt(1 - beta_s^2) * eps_s
+
+    The market pair is a symbol-INDEPENDENT stream (reseeded per (block,
+    step) from a market salt, or read from the shared ``market_uniforms``
+    ref in tests), so path i sees the same market across symbols — and the
+    correlated shock also drives each symbol's volume model, so a market
+    move prints volume on EVERY book member (exactly the regime the guard /
+    volume-veto gates care about).  Each symbol's complete 12-gate lifecycle
+    adds its weighted per-bar equity into ``curve_ref``; the last symbol
+    folds the combined curve into the portfolio accumulator — final-R
+    histogram (book VaR/CVaR) plus TRUE time-tracked portfolio drawdown."""
+    s, b = ENGINE_SUB, lanes
+    stride = _draw_stride("gbm", use_noise)
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    refs = list(refs)
+    if external_rng:
+        um_ref = refs.pop(0)
+        u_ref = refs.pop(0)
+    acc_ref, port_ref, curve_ref, pt_ref, pw_ref, plo_ref, po_ref = refs
+
+    # host-derived constants (pallas_mc._derived_consts): bit-identical to
+    # the single-config kernel's static baking — on-device log/sqrt diverge
+    # from host libm by ulps
+    log_s0 = sym_ref[0, 0, 2 + ENG_COLS]
+    sig_dt = sym_ref[0, 0, 2 + ENG_COLS + 1]
+    drift = sym_ref[0, 0, 2 + ENG_COLS + 2]
+    beta_s = sym_ref[0, 0, 2 + ENG_COLS + 3]
+    weight = sym_ref[0, 0, 2 + ENG_COLS + 4]
+
+    if external_rng:
+        def draw(t2, k):
+            if k >= stride:        # market pair rows (shared across symbols)
+                blk = um_ref[0, pl.ds(t2 * 2 + (k - stride), 1)]
+                return blk.reshape(s, b)
+            return u_ref[0, 0, pl.ds(t2 * stride + k, 1)].reshape(s, b)
+    else:
+        seed0 = seed_ref[0, 0]
+        # global block index (local grid step + launch offset): sharded runs
+        # pass device d's starting block so counts are bitwise independent
+        # of the mesh shape
+        gbi = bi + seed_ref[0, 1]
+
+        def draw(t2, k):
+            # per-step reseeding: the market stream hashes (seed, block,
+            # step) ONLY — every symbol regenerates the same market draws —
+            # while the idiosyncratic stream also folds the symbol in.
+            # int32 multiply-mix wraps; constants are odd and < 2^31.
+            if k == stride:
+                pltpu.prng_seed(seed0 + jnp.int32(0x5bd1e995)
+                                + gbi * jnp.int32(0x27D4EB2F)
+                                + t2 * jnp.int32(0x165667B1))
+            if k == 0:
+                pltpu.prng_seed(seed0 + (si + 1) * jnp.int32(0x61C88647)
+                                + gbi * jnp.int32(0x7FEB352D)
+                                + t2 * jnp.int32(0x45D9F3B5))
+            return _uniform((s, b))
+
+    @pl.when(jnp.logical_and(bi == 0, si == 0))
+    def _init():
+        _init_acc(acc_ref)
+        _init_acc(port_ref)
+
+    @pl.when(si == 0)
+    def _zero_port():
+        curve_ref[...] = jnp.zeros(curve_ref.shape, jnp.float32)
+        for r_ in (pt_ref, pw_ref, plo_ref, po_ref):
+            r_[...] = jnp.zeros(r_.shape, jnp.float32)
+
+    final = _engine_lifecycle_loop(
+        draw, lambda i: (level_price_ref[0, i, 0], level_valid_ref[0, i, 0],
+                         level_kind_ref[0, i, 0]),
+        num_bars=num_bars, drift=drift, sig_dt=sig_dt, log_s0=log_s0,
+        eng=tuple(sym_ref[0, 0, 2 + k] for k in range(17)),
+        ml=tuple(ml_ref[0, k] for k in range(6)),
+        pol_w=tuple(tuple(pol_ref[a, d] for d in range(POLICY_FEATURE_DIM))
+                    for a in range(3)),
+        tm=tuple(tm_ref[0, k] for k in range(7)),
+        gd=tuple(gd_ref[0, k] for k in range(4)),
+        max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
+        noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
+               if use_noise else None),
+        policy_off=policy_off, young_bars=young_bars,
+        corr=beta_s, curve=(curve_ref, weight),
+    )
+    side, equity, dd, trades, wins, losses, escal, skips, hstate = final
+    _engine_accumulate(acc_ref.at[si], (), final, n_paths=s * b)
+
+    pt_ref[...] += trades
+    pw_ref[...] += wins
+    plo_ref[...] += losses
+    po_ref[...] = jnp.maximum(po_ref[...], jnp.abs(side))
+
+    @pl.when(si == n_sym - 1)
+    def _portfolio():
+        finals = curve_ref[num_bars - 1, :, :]
+        peak = jnp.zeros((s, b), jnp.float32)
+        pdd = jnp.zeros((s, b), jnp.float32)
+        for t in range(num_bars):
+            row = curve_ref[t, :, :]
+            peak = jnp.maximum(peak, row)
+            pdd = jnp.maximum(pdd, peak - row)
+        _engine_accumulate(
+            port_ref, (),
+            (po_ref[...], finals, pdd, pt_ref[...], pw_ref[...], plo_ref[...],
+             jnp.zeros((s, b), jnp.float32), (), ()),
+            n_paths=s * b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
+                     "volume_model", "escalation", "bar0_minute",
+                     "policy_gate_disabled", "young_bars", "interpret"),
+)
+def _engine_corr_impl(
+    seed, levels, params, s0, sigma, beta, weights, policy, ml_model,
+    touch_params, guard_params, noise, external_uniforms, market_uniforms,
+    derived, block_offset, *,
+    paths_per_symbol, num_bars, dt, lanes, policy_gate_disabled, escalation,
+    bar0_minute, volume_model, young_bars, interpret,
+):
+    block = ENGINE_SUB * lanes
+    n_blocks = paths_per_symbol // block
+    n_skip = len(SKIP_REASONS)
+    n_sym, n_lv = jnp.asarray(levels.price).shape
+
+    external_rng = external_uniforms is not None
+    use_noise = noise is not None
+    stride = _draw_stride("gbm", use_noise)
+    vm = (float(volume_model.base), float(volume_model.u_amp),
+          float(volume_model.noise_sigma), float(volume_model.ret_coupling),
+          int(volume_model.day_minutes), int(volume_model.open_minute))
+    kernel = functools.partial(
+        _engine_corr_kernel, num_bars=num_bars, max_levels=n_lv,
+        n_sym=n_sym, lanes=lanes, vm=vm, escalation=escalation,
+        external_rng=external_rng, use_noise=use_noise,
+        policy_off=bool(policy_gate_disabled), young_bars=young_bars,
+    )
+    eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
+                    levels.count > 0, g=n_sym, noise=noise)   # (S, ENG_COLS)
+    bcast = lambda x: jnp.broadcast_to(
+        jnp.asarray(x, jnp.float32).reshape(-1), (n_sym,))[:, None]
+    sym = jnp.concatenate(
+        [bcast(s0), bcast(sigma), eng]
+        + [bcast(d) for d in derived] + [bcast(beta), bcast(weights)], axis=1)
+    sym = jnp.pad(sym, ((0, 0), (0, 128 - sym.shape[1])))[:, None, :]
+    mlv, polv, tmv, gdv = _pack_shared(policy, ml_model, touch_params,
+                                       guard_params)
+    lp, lv = _level_rows(levels.price, levels.valid, n_lv)
+    lk = jnp.broadcast_to(
+        jnp.asarray(levels.kind, jnp.float32)[..., None], (n_sym, n_lv, 128))
+    seed_arr = jnp.stack([
+        jnp.asarray(seed, jnp.int32).reshape(()),
+        jnp.asarray(block_offset, jnp.int32).reshape(()),
+    ]).reshape(1, 2)
+
+    acc, port = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_sym),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda bi, si: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda bi, si: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 8), lambda bi, si: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda bi, si: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda bi, si: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 128), lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lv, 128), lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((1, 2 * (num_bars // 2), ENGINE_SUB, lanes),
+                         lambda bi, si: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, stride * (num_bars // 2), ENGINE_SUB, lanes),
+                         lambda bi, si: (si, bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] if external_rng else []),
+        out_specs=[
+            pl.BlockSpec((n_sym, 8, 128), lambda bi, si: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda bi, si: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_sym, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_bars, ENGINE_SUB, lanes), jnp.float32),
+            pltpu.VMEM((ENGINE_SUB, lanes), jnp.float32),
+            pltpu.VMEM((ENGINE_SUB, lanes), jnp.float32),
+            pltpu.VMEM((ENGINE_SUB, lanes), jnp.float32),
+            pltpu.VMEM((ENGINE_SUB, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*((seed_arr, mlv, polv, tmv, gdv, sym, lp, lv, lk)
+         + ((jnp.asarray(market_uniforms, jnp.float32),
+             jnp.asarray(external_uniforms, jnp.float32))
+            if external_rng else ())))
+
+    sym_stats, sym_skips, sym_escal = _unpack_acc_engine(acc, n_skip)
+    port_stats, _, _ = _unpack_acc_engine(port, 0)
+    return sym_stats, port_stats, sym_skips, sym_escal
+
+
+def mc_paths_pallas_engine_corr(
+    seed,
+    levels: Levels,        # batched [S, L<=32]
+    params: EngineParams,  # leaves may be scalars (shared) or [S] vectors
+    s0,                    # f32[S]
+    sigma,                 # f32[S]
+    beta,                  # f32[S] market loadings in [-1, 1]
+    weights,               # f32[S] book weights
+    *,
+    paths_per_symbol: int,
+    num_bars: int = 40,
+    dt: float = 1.0 / (390.0 * 252.0),
+    lanes: int = ENGINE_LANES,
+    policy=None,
+    ml_model: MlModel | None = None,
+    touch_params: T.TouchMemoryParams | None = None,
+    guard_params: G.GuardParams | None = None,
+    policy_gate_disabled: bool | None = None,
+    escalation: bool = True,
+    bar0_minute: int = 0,
+    volume_model: VolumeModel | None = None,
+    noise=None,               # McNoise; leaves may be [S] for per-symbol stds
+    interpret=False,
+    external_uniforms=None,   # f32[S, n_blocks, stride*(W//2), 8, lanes]
+    market_uniforms=None,     # f32[n_blocks, 2*(W//2), 8, lanes] (shared)
+    block_offset=0,           # global index of this launch's first block
+                              # (sharded runs: device d passes its start)
+):
+    """Correlated FULL-ENGINE universe, fully fused: per-symbol [S]
+    (PathStats, skip tables, escalations) AND the on-chip book accumulator
+    (final-R histogram + TRUE time-tracked portfolio drawdown) from ONE
+    launch — the fused form of ``parallel/portfolio.portfolio_mc_engine``,
+    exactness-tested against it under injected uniforms.  GBM bars with the
+    in-loop synthetic volume model (the correlated shock drives each
+    symbol's volume, so market-wide moves print volume on every book
+    member).  Per-symbol engine knobs ([S]-leaved EngineParams / noise
+    stds) ride the same slab as ``mc_paths_pallas_engine_universe``.
+    Returns ``(sym_stats, port_stats, skip_counts, escalations)`` in
+    ``portfolio_mc_engine`` order."""
+    if touch_params is None:
+        touch_params = T.TouchMemoryParams.default()
+    if guard_params is None:
+        guard_params = G.GuardParams.default()
+    if ml_model is None:
+        ml_model = MlModel.absent()
+    if policy_gate_disabled is None:
+        policy_gate_disabled = policy is None
+    if policy is None:
+        policy = OP.PolicyParams.init()
+    if volume_model is None:
+        volume_model = VolumeModel()
+    block = ENGINE_SUB * lanes
+    if paths_per_symbol % block != 0:
+        raise ValueError(f"paths_per_symbol must be a multiple of {block}")
+    if num_bars % 2 != 0:
+        raise ValueError("num_bars must be even (paired Box-Muller draws)")
+    lv_price = jnp.asarray(levels.price)
+    if lv_price.ndim != 2:
+        raise ValueError("levels must be [S, L]-batched (parallel.universe."
+                         "stack_levels)")
+    if lv_price.shape[1] > MAX_KERNEL_LEVELS:
+        raise ValueError(
+            f"pallas engine corr supports up to {MAX_KERNEL_LEVELS} level slots")
+    if int(touch_params.fatigue_hits) != TAP_SLOTS:
+        raise ValueError(f"engine kernel is built for fatigue_hits == {TAP_SLOTS}")
+    if int(guard_params.vol_short) != 5 or int(guard_params.vol_long) != VOL_RING:
+        raise ValueError("engine kernel is built for 5/20-bar guard MAs")
+    if (external_uniforms is None) != (market_uniforms is None):
+        raise ValueError("external_uniforms and market_uniforms go together")
+    return _engine_corr_impl(
+        seed, levels, params, jnp.asarray(s0, jnp.float32),
+        jnp.asarray(sigma, jnp.float32), jnp.asarray(beta, jnp.float32),
+        jnp.asarray(weights, jnp.float32), policy, ml_model, touch_params,
+        guard_params, noise, external_uniforms, market_uniforms,
+        _derived_consts(s0, sigma, dt), block_offset,
+        paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
+        lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
+        escalation=escalation, bar0_minute=int(bar0_minute),
+        volume_model=volume_model, young_bars=_young_bars(guard_params),
+        interpret=interpret,
+    )

@@ -2376,7 +2376,7 @@ def mc_paths_pallas_gated_universe(seed, levels, params, s0, sigma,
 # --------------------------------------------------------------------------
 
 def _gated_corr_kernel(
-    seed_ref,          # SMEM (1,1) i32
+    seed_ref,          # SMEM (1,2) i32: [seed, block_offset]
     gate_ref,          # SMEM (1,8) f32 gate knobs
     sym_ref,           # VMEM (1, 1, 128) f32 per-symbol row (_symbol_slab
                        #   cols incl. SYM_LOG_S0..SYM_DRIFT, SYM_BETA,
@@ -2427,6 +2427,12 @@ def _gated_corr_kernel(
             return blk.reshape(s, b)
     else:
         seed0 = seed_ref[0, 0]
+        # global block index: local grid step + the launch's block offset
+        # (sharded runs give device d offset d*blocks_per_dev, so the union
+        # of (market, idio) salts — and every count — is bitwise independent
+        # of the mesh shape, the same property the per-block kernels get
+        # from seed+block seeding)
+        gbi = bi + seed_ref[0, 1]
 
         def draw(t2, k):
             # per-step reseeding: the market stream hashes (seed, block,
@@ -2435,11 +2441,11 @@ def _gated_corr_kernel(
             # int32 multiply-mix wraps; constants are odd and < 2^31.
             if k == stride:
                 pltpu.prng_seed(seed0 + jnp.int32(0x5bd1e995)
-                                + bi * jnp.int32(0x27D4EB2F)
+                                + gbi * jnp.int32(0x27D4EB2F)
                                 + t2 * jnp.int32(0x165667B1))
             if k == 0:
                 pltpu.prng_seed(seed0 + (si + 1) * jnp.int32(0x61C88647)
-                                + bi * jnp.int32(0x7FEB352D)
+                                + gbi * jnp.int32(0x7FEB352D)
                                 + t2 * jnp.int32(0x45D9F3B5))
             return _uniform((s, b))
 
@@ -2515,6 +2521,8 @@ def _mc_paths_pallas_gated_corr_jit(
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, stride*(W//2), 8, lanes]
     market_uniforms=None,     # f32[n_blocks, 2*(W//2), 8, lanes] (shared)
+    block_offset=0,           # global index of this launch's first block
+                              # (sharded runs: device d passes its start)
 ):
     """Correlated gated universe, fully fused: per-symbol [S] PathStats AND
     the on-chip portfolio accumulator (final-R histogram + time-tracked book
@@ -2558,13 +2566,16 @@ def _mc_paths_pallas_gated_corr_jit(
     lp, lv = _level_rows(lv_price, levels.valid, n_lv)
     lk = jnp.broadcast_to(
         jnp.asarray(levels.kind, jnp.float32)[..., None], (n_sym, n_lv, 128))
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = jnp.stack([
+        jnp.asarray(seed, jnp.int32).reshape(()),
+        jnp.asarray(block_offset, jnp.int32).reshape(()),
+    ]).reshape(1, 2)
 
     acc, port = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_sym),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, si: (0, 0),
+            pl.BlockSpec((1, 2), lambda bi, si: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda bi, si: (0, 0),
                          memory_space=pltpu.SMEM),

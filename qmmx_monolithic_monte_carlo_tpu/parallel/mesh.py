@@ -249,3 +249,106 @@ def sharded_mc_paths_pallas(
             jnp.asarray(external_uniforms, jnp.float32),
             NamedSharding(mesh, P(axis))),)
     return run(*args)
+
+
+def sharded_mc_paths_pallas_corr(
+    mesh: Mesh,
+    seed,
+    levels: Levels,        # batched [S, L]
+    params: EngineParams,
+    s0,                    # f32[S]
+    sigma,                 # f32[S]
+    beta,                  # f32[S] market loadings
+    weights,               # f32[S] book weights
+    *,
+    paths_per_symbol: int,
+    num_bars: int = 40,
+    dt: float = 1.0 / (390.0 * 252.0),
+    lanes: int | None = None,
+    engine: bool = False,
+    gate=None,
+    noise=None,
+    axis: str = "paths",
+    interpret=False,
+    external_uniforms=None,   # f32[S, total_blocks, rows, 8, lanes]
+    market_uniforms=None,     # f32[total_blocks, 2*(W//2), 8, lanes]
+):
+    """Correlated BOOK MC sharded over the mesh: every device runs the fused
+    corr kernel (gated subset, or ``engine=True`` → the FULL 12-gate corr
+    kernel) on its shard of the per-symbol path budget; per-symbol AND
+    portfolio accumulators psum/pmin/pmax-merge over ICI.
+
+    Device d's launch passes ``block_offset = d * blocks_per_dev`` so the
+    kernels' (market, idio) PRNG salts hash GLOBAL block indices — counts
+    and histograms are bitwise independent of the mesh shape (sums differ
+    only by psum reduction order), the same property the per-block kernels
+    get from seed+block seeding."""
+    from ..ops import pallas_mc as PK
+    from ..ops import pallas_engine as PE
+
+    if engine and gate is not None:
+        raise ValueError("pass either gate= or engine=True")
+    if engine:
+        from ..ops import guard as G
+        from ..ops import touch as T
+        lanes = PE.ENGINE_LANES if lanes is None else lanes
+        kern = partial(PE.mc_paths_pallas_engine_corr, noise=noise,
+                       touch_params=T.TouchMemoryParams.default(),
+                       guard_params=G.GuardParams.default())
+        block = PE.ENGINE_SUB * lanes
+    else:
+        lanes = PK.GATED_LANES if lanes is None else lanes
+        kern = partial(PK.mc_paths_pallas_gated_corr, gate=gate, noise=noise)
+        block = PK.GATED_SUB * lanes
+
+    n_dev = mesh.shape[axis]
+    if paths_per_symbol % (n_dev * block) != 0:
+        raise ValueError(
+            f"paths_per_symbol ({paths_per_symbol}) must divide evenly into "
+            f"{n_dev} devices × the kernel block ({block})")
+    per_dev = paths_per_symbol // n_dev
+    blocks_per_dev = per_dev // block
+
+    from jax import shard_map
+
+    external_rng = external_uniforms is not None
+    in_specs = (P(axis),)
+    if external_rng:
+        in_specs = in_specs + (P(None, axis), P(axis))
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(),
+             check_vma=False)
+    def run(dev_off, *maybe_u):
+        out = kern(
+            seed, levels, params, s0, sigma, beta, weights,
+            paths_per_symbol=per_dev, num_bars=num_bars, dt=dt, lanes=lanes,
+            interpret=interpret, block_offset=dev_off[0],
+            **({"external_uniforms": maybe_u[0],
+                "market_uniforms": maybe_u[1]} if maybe_u else {}),
+        )
+
+        def merge(stats):
+            m = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), stats)
+            return m.replace(
+                min_r=jax.lax.pmin(stats.min_r, axis),
+                max_r=jax.lax.pmax(stats.max_r, axis),
+                max_dd=jax.lax.pmax(stats.max_dd, axis),
+            )
+        if engine:
+            sym, port, skips, escal = out
+            return (merge(sym), merge(port), jax.lax.psum(skips, axis),
+                    jax.lax.psum(escal, axis))
+        sym, port = out
+        return merge(sym), merge(port)
+
+    offs = jnp.arange(n_dev, dtype=jnp.int32) * jnp.int32(blocks_per_dev)
+    offs = jax.device_put(offs, NamedSharding(mesh, P(axis)))
+    args = (offs,)
+    if external_rng:
+        args = args + (
+            jax.device_put(jnp.asarray(external_uniforms, jnp.float32),
+                           NamedSharding(mesh, P(None, axis))),
+            jax.device_put(jnp.asarray(market_uniforms, jnp.float32),
+                           NamedSharding(mesh, P(axis))),
+        )
+    return run(*args)

@@ -38,14 +38,17 @@ VM = VolumeModel()
 
 
 def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False,
-                        w=W, s0=100.0, antithetic=False):
+                        w=W, s0=100.0, antithetic=False, um=None, beta=0.0):
     """Regenerate the kernel's streaming bars AND volumes with the same jnp
     f32 ops from the injected uniform layout (10 blocks per double-bar step:
     price-normal pair, volume-normal pair, then (u_high, u_low, tie) per
     half).  With ``noise``, u has stride 18 (per-bar execution-noise normal
     pairs at ks 10..17) and a third return carries the (4, P, W) normals.
     Odd ``w`` consumes a final draw block's first Box-Muller branch only
-    (the kernel's half-step tail)."""
+    (the kernel's half-step tail).  With ``um`` (the corr kernel's shared
+    market tensor, rows [2*t2, 2*t2+1]) the price shock becomes
+    ``beta*z_mkt + sqrt(1-beta^2)*eps`` — the correlated z also drives the
+    volume model, matching the engine corr kernel."""
     stride = 18 if with_noise else 10
     nrm = [[], [], [], []]
     drift = jnp.float32((0.0 - 0.5 * sigma * sigma) * DT)
@@ -66,6 +69,15 @@ def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False,
             z_pair = tuple(
                 jnp.concatenate([z[:, :half_l], -z[:, :half_l]], axis=1)
                 for z in z_pair)
+        if um is not None:
+            mrad = jnp.sqrt(-2.0 * jnp.log(jnp.asarray(um[2 * t2],
+                                                       jnp.float32)))
+            mang = 6.283185307179586 * jnp.asarray(um[2 * t2 + 1], jnp.float32)
+            zm_pair = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
+            bta = jnp.float32(beta)
+            perp = jnp.sqrt(jnp.maximum(jnp.float32(0.0), 1.0 - bta * bta))
+            z_pair = (bta * zm_pair[0] + perp * z_pair[0],
+                      bta * zm_pair[1] + perp * z_pair[1])
         vradius = jnp.sqrt(-2.0 * jnp.log(blk(2)))
         vangle = 6.283185307179586 * blk(3)
         zv_pair = (vradius * jnp.cos(vangle), vradius * jnp.sin(vangle))

@@ -253,6 +253,151 @@ def test_corr_kernel_matches_xla_oracle_exact_uniforms():
         np.asarray(port.hist), np.asarray(pstats.hist))
 
 
+def test_engine_corr_kernel_matches_xla_oracle_exact_uniforms():
+    """Fused FULL-ENGINE corr kernel vs sim/enginepath + the book combine
+    from the SAME injected uniforms: per-symbol counts, skip tables and
+    escalations exact; book counts and histogram exact; sums to f32 ulps."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        ENGINE_SUB,
+        mc_paths_pallas_engine_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.enginepath import (
+        engine_path_replay,
+    )
+
+    from .test_pallas_engine import _bars_from_uniforms
+
+    w, lanes = 16, 256
+    n = ENGINE_SUB * lanes
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sg = np.array([0.3, 0.4], np.float32)
+    beta = np.array([0.8, 0.6], np.float32)
+    wts = np.array([0.5, 0.5], np.float32)
+    rng = np.random.default_rng(23)
+    u = rng.uniform(1e-6, 1.0, (2, 1, 10 * (w // 2), ENGINE_SUB, lanes)
+                    ).astype(np.float32)
+    um = rng.uniform(1e-6, 1.0, (1, 2 * (w // 2), ENGINE_SUB, lanes)
+                     ).astype(np.float32)
+
+    sym, port, skips, escal = mc_paths_pallas_engine_corr(
+        0, lv, PARAMS, s0, sg, beta, wts,
+        paths_per_symbol=n, num_bars=w, lanes=lanes,
+        interpret=True, external_uniforms=u, market_uniforms=um)
+
+    port_curve = jnp.zeros((w, n), jnp.float32)
+    tr = jnp.zeros((n,), jnp.int32)
+    wi, lo = tr, tr
+    opn = jnp.zeros((n,), bool)
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv)
+        bars, tie = _bars_from_uniforms(
+            u[s, 0], float(sg[s]), lanes=lanes, w=w, s0=float(s0[s]),
+            um=um[0], beta=float(beta[s]))
+        out, curve = engine_path_replay(bars, lv_s, PARAMS, tie,
+                                        return_curve=True)
+        stats = PathStats.from_lifecycle(
+            equity=out.equity, trades=out.trades, wins=out.wins,
+            losses=out.losses, open_at_end=out.open_at_end,
+            max_dd=out.max_dd)
+        for fld in ("n", "n_entered", "n_tp", "n_stop", "n_open",
+                    "sum_trades"):
+            assert float(getattr(sym, fld)[s]) == float(getattr(stats, fld)), (
+                s, fld)
+        np.testing.assert_array_equal(
+            np.asarray(skips[s]), np.asarray(out.skip_counts))
+        assert float(escal[s]) == float(jnp.sum(out.escalations))
+        assert float(sym.sum_r[s]) == pytest.approx(
+            float(stats.sum_r), rel=1e-4, abs=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(sym.hist[s]), np.asarray(stats.hist))
+        port_curve = port_curve + wts[s] * curve
+        tr = tr + out.trades
+        wi = wi + out.wins
+        lo = lo + out.losses
+        opn = jnp.logical_or(opn, out.open_at_end)
+    final = port_curve[-1]
+    peak = jax.lax.cummax(jnp.maximum(port_curve, 0.0), axis=0)
+    pdd = jnp.max(peak - port_curve, axis=0)
+    pstats = PathStats.from_lifecycle(
+        equity=final, trades=tr, wins=wi, losses=lo, open_at_end=opn,
+        max_dd=pdd)
+    for fld in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+        assert float(getattr(port, fld)) == float(getattr(pstats, fld)), fld
+    assert float(port.sum_r) == pytest.approx(float(pstats.sum_r), rel=1e-4,
+                                              abs=1e-4)
+    assert float(port.max_dd) == pytest.approx(
+        float(pstats.max_dd), rel=1e-4, abs=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(port.hist), np.asarray(pstats.hist))
+
+
+def test_sharded_corr_kernels_match_single_device():
+    """Both corr kernels ride the mesh (parallel/mesh.sharded_mc_paths_pallas
+    _corr): a 2-device shard_map run over injected uniforms equals the
+    single-device kernel exactly on counts and histograms, per symbol AND
+    for the book (the psum/pmin/pmax merge of the portfolio accumulator)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        ENGINE_SUB,
+        mc_paths_pallas_engine_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import mesh as PM
+
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sg = np.array([0.3, 0.4], np.float32)
+    beta = np.array([0.8, 0.6], np.float32)
+    wts = np.array([0.5, 0.5], np.float32)
+    mesh = PM.make_mesh(2)
+    rng = np.random.default_rng(31)
+
+    def check(sh, single):
+        for f in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(sh, f)), np.asarray(getattr(single, f)), f)
+        np.testing.assert_array_equal(np.asarray(sh.hist),
+                                      np.asarray(single.hist))
+        np.testing.assert_allclose(np.asarray(sh.sum_r),
+                                   np.asarray(single.sum_r), rtol=1e-5)
+
+    # gated corr
+    w, lanes = 16, 256
+    u = rng.uniform(1e-6, 1.0, (2, 2, 8 * (w // 2), GATED_SUB, lanes)
+                    ).astype(np.float32)
+    um = rng.uniform(1e-6, 1.0, (2, 2 * (w // 2), GATED_SUB, lanes)
+                     ).astype(np.float32)
+    sh_sym, sh_port = PM.sharded_mc_paths_pallas_corr(
+        mesh, 0, lv, PARAMS, s0, sg, beta, wts,
+        paths_per_symbol=2 * GATED_SUB * lanes, num_bars=w, lanes=lanes,
+        interpret=True, external_uniforms=u, market_uniforms=um)
+    sym, port = mc_paths_pallas_gated_corr(
+        0, lv, PARAMS, s0, sg, beta, wts,
+        paths_per_symbol=2 * GATED_SUB * lanes, num_bars=w, lanes=lanes,
+        interpret=True, external_uniforms=u, market_uniforms=um)
+    check(sh_sym, sym)
+    check(sh_port, port)
+
+    # engine corr
+    w, lanes = 12, 128
+    u = rng.uniform(1e-6, 1.0, (2, 2, 10 * (w // 2), ENGINE_SUB, lanes)
+                    ).astype(np.float32)
+    um = rng.uniform(1e-6, 1.0, (2, 2 * (w // 2), ENGINE_SUB, lanes)
+                     ).astype(np.float32)
+    sh_sym, sh_port, sh_skips, sh_escal = PM.sharded_mc_paths_pallas_corr(
+        mesh, 0, lv, PARAMS, s0, sg, beta, wts,
+        paths_per_symbol=2 * ENGINE_SUB * lanes, num_bars=w, lanes=lanes,
+        engine=True, interpret=True, external_uniforms=u,
+        market_uniforms=um)
+    sym, port, skips, escal = mc_paths_pallas_engine_corr(
+        0, lv, PARAMS, s0, sg, beta, wts,
+        paths_per_symbol=2 * ENGINE_SUB * lanes, num_bars=w, lanes=lanes,
+        interpret=True, external_uniforms=u, market_uniforms=um)
+    check(sh_sym, sym)
+    check(sh_port, port)
+    np.testing.assert_array_equal(np.asarray(sh_skips), np.asarray(skips))
+    np.testing.assert_array_equal(np.asarray(sh_escal), np.asarray(escal))
+
+
 def test_corr_kernel_rejects_bad_shapes():
     lv = U.stack_levels(ROWS2, max_levels=4)
     s0 = np.array([100.0, 50.0], np.float32)
