@@ -99,6 +99,12 @@ def test_dryrun_gated_scalars_match_single_device():
     assert m, r.stdout
     gated_sum_r, gated_trades = float(m.group(1)), float(m.group(2))
     engine_sum_r, engine_trades = float(m.group(3)), float(m.group(4))
+    mb = re.search(
+        r"book_trades=(\d+) book_sum_r=(-?[\d.]+) book_max_dd=(-?[\d.]+)",
+        r.stdout)
+    assert mb, r.stdout
+    book_trades, book_sum_r = float(mb.group(1)), float(mb.group(2))
+    book_max_dd = float(mb.group(3))
 
     # single-device reference: same key, same (levels, params, shapes, block
     # layout) as __graft_entry__._dryrun_multichip_impl (4 paths-shards x 256)
@@ -127,3 +133,35 @@ def test_dryrun_gated_scalars_match_single_device():
     assert engine_trades == float(want_e.sum_trades)
     np.testing.assert_allclose(engine_sum_r, float(want_e.sum_r),
                                rtol=2e-4, atol=2e-3)
+
+    # book cell: single-device fused corr kernel on the SAME uniforms (the
+    # dryrun's dedicated rng stream, seed 42) must reproduce the mesh's
+    # book scalars (trades exactly, sums to psum reduction-order ulps)
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        mc_paths_pallas_engine_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+
+    lv2 = U.stack_levels([
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "orange", "type": "dashed", "index": 0, "price": 50.2}],
+    ], max_levels=4)
+    wb, lanes_c, npx = 12, 128, 4
+    rng_bk = np.random.default_rng(42)
+    uc = rng_bk.uniform(1e-6, 1.0, (2, npx, 10 * (wb // 2), 8, lanes_c)
+                        ).astype(np.float32)
+    umc = rng_bk.uniform(1e-6, 1.0, (npx, 2 * (wb // 2), 8, lanes_c)
+                         ).astype(np.float32)
+    _, want_bk, _, _ = mc_paths_pallas_engine_corr(
+        7, lv2, params,
+        np.array([100.0, 50.0], np.float32),
+        np.array([0.3, 0.4], np.float32),
+        np.array([0.8, 0.6], np.float32),
+        np.array([0.5, 0.5], np.float32),
+        paths_per_symbol=npx * 8 * lanes_c, num_bars=wb, lanes=lanes_c,
+        interpret=True, external_uniforms=uc, market_uniforms=umc)
+    assert book_trades == float(want_bk.sum_trades)
+    np.testing.assert_allclose(book_sum_r, float(want_bk.sum_r),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(book_max_dd, float(want_bk.max_dd),
+                               rtol=1e-4, atol=1e-4)
