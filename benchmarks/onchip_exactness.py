@@ -797,9 +797,9 @@ def check_engine_corr():
                     ).astype(np.float32)
     um = rng.uniform(1e-6, 1.0, (1, 2 * (w // 2), ENGINE_SUB, lanes)
                      ).astype(np.float32)
-    sym, port, skips, escal = mc_paths_pallas_engine_corr(
+    sym, port, skips, escal, hv = mc_paths_pallas_engine_corr(
         0, lv2, params, s0, sg, beta, wts,
-        paths_per_symbol=n, num_bars=w, lanes=lanes,
+        paths_per_symbol=n, num_bars=w, lanes=lanes, harvest=True,
         interpret=interp, external_uniforms=u, market_uniforms=um)
 
     port_curve = jnp.zeros((w, n), jnp.float32)
@@ -812,7 +812,7 @@ def check_engine_corr():
         bars, tie = mk_bars(u[s, 0], float(sg[s]), lanes=lanes, w=w,
                             s0=float(s0[s]), um=um[0], beta=float(beta[s]))
         out, curve = engine_path_replay(bars, lv_s, params, tie,
-                                        return_curve=True)
+                                        harvest=True, return_curve=True)
         stats = _PS.from_lifecycle(
             equity=out.equity, trades=out.trades, wins=out.wins,
             losses=out.losses, open_at_end=out.open_at_end,
@@ -820,10 +820,19 @@ def check_engine_corr():
         skips_diff = float(np.abs(np.asarray(skips[s])
                                   - np.asarray(out.skip_counts)).sum())
         skips_tot = float(np.asarray(out.skip_counts).sum())
+        hv_diff = float(np.abs(
+            np.asarray(hv.ml_counts[s]) - np.asarray(out.harvest.ml_counts)
+        ).sum())
         ok = _judge(f"engine-corr[{s}]", _slice_stats(sym, s), stats, extra={
             "escalations": [float(escal[s]), float(jnp.sum(out.escalations))],
             "skip_table_l1_frac": skips_diff / max(skips_tot, 1.0),
+            "harvest_labeled": [float(hv.n_labeled[s]),
+                                float(out.harvest.n_labeled)],
+            "harvest_l1_frac": hv_diff / max(
+                float(out.harvest.n_labeled), 1.0),
         }) and ok
+        ok = ok and (hv_diff / max(float(out.harvest.n_labeled), 1.0)
+                     <= HIST_L1_TOL)
         port_curve = port_curve + wts[s] * curve
         tr = tr + out.trades
         wi = wi + out.wins

@@ -681,7 +681,11 @@ def cmd_book(args):
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     engine = getattr(args, "engine", False)
-    skips = escal = None
+    harvest = getattr(args, "harvest", False)
+    if harvest and not engine:
+        raise SystemExit("--harvest needs --engine (the label harvest rides "
+                         "the full-engine ladder)")
+    skips = escal = hv = None
     if engine and backend == "pallas":
         from ..ops.pallas_engine import ENGINE_BLOCK, mc_paths_pallas_engine_corr
 
@@ -689,16 +693,23 @@ def cmd_book(args):
             raise SystemExit(f"--num-paths must be a multiple of "
                              f"{ENGINE_BLOCK} for the pallas engine corr "
                              f"kernel")
-        sym, port, skips, escal = mc_paths_pallas_engine_corr(
+        out = mc_paths_pallas_engine_corr(
             args.seed, lv, params, s0, sigma, beta, w,
-            paths_per_symbol=args.num_paths, num_bars=args.num_bars)
+            paths_per_symbol=args.num_paths, num_bars=args.num_bars,
+            harvest=harvest)
+        sym, port, skips, escal = out[:4]
+        if harvest:
+            hv = out[4]
     elif engine:
         from ..parallel.portfolio import portfolio_mc_engine
 
-        sym, port, skips, escal = portfolio_mc_engine(
+        out = portfolio_mc_engine(
             jax.random.key(args.seed), lv, params, s0, sigma, beta, w,
             num_paths=args.num_paths, num_bars=args.num_bars,
-            block_paths=min(args.num_paths, 1 << 12))
+            block_paths=min(args.num_paths, 1 << 12), harvest=harvest)
+        sym, port, skips, escal = out[:4]
+        if harvest:
+            hv = out[4]
     elif backend == "pallas":
         from ..ops.pallas_mc import GATED_BLOCK, mc_paths_pallas_gated_corr
 
@@ -715,6 +726,16 @@ def cmd_book(args):
             jax.random.key(args.seed), lv, params, s0, sigma, beta, w,
             num_paths=args.num_paths, num_bars=args.num_bars,
             block_paths=min(args.num_paths, 1 << 13))
+    ml_refreshed = None
+    if hv is not None:
+        # the book-level flywheel: per-symbol LR refresh on labels harvested
+        # from the CORRELATED run (ref :3833-3853 per book member)
+        from ..models import harvest as HVM
+        from ..parallel.universe import universe_policy_refresh
+
+        xs, ys, ws = HVM.ml_batch_from_harvest(
+            hv, stop_padding=params.stop_padding)
+        ml_refreshed = universe_policy_refresh(None, xs, ys, ws)
     for s in range(n):
         row = {
             "symbol": s, "beta": round(float(beta[s]), 4),
@@ -726,6 +747,10 @@ def cmd_book(args):
         }
         if escal is not None:
             row["escalations"] = int(escal[s])
+        if hv is not None:
+            row["labeled"] = float(hv.n_labeled[s])
+            row["ml_coef"] = [round(float(c), 6)
+                              for c in np.asarray(ml_refreshed.coef[s])]
         print(json.dumps(row))
     print(json.dumps({
         "portfolio": True, "mean_r": float(port.mean_r),
@@ -1116,6 +1141,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "escalation) instead of the gated subset")
     bk.add_argument("--backend", choices=["auto", "xla", "pallas"],
                     default="auto")
+    bk.add_argument("--harvest", action="store_true",
+                    help="with --engine: harvest per-symbol trade labels "
+                    "from the correlated run and refresh each symbol's ML "
+                    "gate (the learning flywheel at book level; adds "
+                    "labeled/ml_coef to each symbol row)")
     bk.set_defaults(fn=cmd_book)
 
     fw = sub.add_parser("flywheel", help="simulate->label->retrain->"

@@ -2522,6 +2522,7 @@ def _engine_corr_kernel(
     escalation: bool,
     external_rng: bool = False,
     use_noise: bool = False,
+    use_harvest: bool = False,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -2612,7 +2613,7 @@ def _engine_corr_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
                if use_noise else None),
-        policy_off=policy_off, young_bars=young_bars,
+        harvest=use_harvest, policy_off=policy_off, young_bars=young_bars,
         corr=beta_s, curve=(curve_ref, weight),
     )
     side, equity, dd, trades, wins, losses, escal, skips, hstate = final
@@ -2643,14 +2644,15 @@ def _engine_corr_kernel(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "young_bars", "interpret"),
+                     "policy_gate_disabled", "harvest", "young_bars",
+                     "interpret"),
 )
 def _engine_corr_impl(
     seed, levels, params, s0, sigma, beta, weights, policy, ml_model,
     touch_params, guard_params, noise, external_uniforms, market_uniforms,
     derived, block_offset, *,
     paths_per_symbol, num_bars, dt, lanes, policy_gate_disabled, escalation,
-    bar0_minute, volume_model, young_bars, interpret,
+    bar0_minute, volume_model, harvest, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2666,7 +2668,7 @@ def _engine_corr_impl(
     kernel = functools.partial(
         _engine_corr_kernel, num_bars=num_bars, max_levels=n_lv,
         n_sym=n_sym, lanes=lanes, vm=vm, escalation=escalation,
-        external_rng=external_rng, use_noise=use_noise,
+        external_rng=external_rng, use_noise=use_noise, use_harvest=harvest,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
@@ -2740,8 +2742,12 @@ def _engine_corr_impl(
              jnp.asarray(external_uniforms, jnp.float32))
             if external_rng else ())))
 
-    sym_stats, sym_skips, sym_escal = _unpack_acc_engine(acc, n_skip)
     port_stats, _, _ = _unpack_acc_engine(port, 0)
+    if harvest:
+        sym_stats, sym_skips, sym_escal, hv = _unpack_acc_engine(
+            acc, n_skip, harvest=True)
+        return sym_stats, port_stats, sym_skips, sym_escal, hv
+    sym_stats, sym_skips, sym_escal = _unpack_acc_engine(acc, n_skip)
     return sym_stats, port_stats, sym_skips, sym_escal
 
 
@@ -2767,6 +2773,7 @@ def mc_paths_pallas_engine_corr(
     bar0_minute: int = 0,
     volume_model: VolumeModel | None = None,
     noise=None,               # McNoise; leaves may be [S] for per-symbol stds
+    harvest: bool = False,    # per-symbol flywheel label stats
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, stride*(W//2), 8, lanes]
     market_uniforms=None,     # f32[n_blocks, 2*(W//2), 8, lanes] (shared)
@@ -2783,7 +2790,9 @@ def mc_paths_pallas_engine_corr(
     member).  Per-symbol engine knobs ([S]-leaved EngineParams / noise
     stds) ride the same slab as ``mc_paths_pallas_engine_universe``.
     Returns ``(sym_stats, port_stats, skip_counts, escalations)`` in
-    ``portfolio_mc_engine`` order."""
+    ``portfolio_mc_engine`` order; with ``harvest=True`` a 5-tuple ending
+    in the [S]-batched ``EngineHarvest`` (the learning flywheel's labeled
+    trade statistics, harvested from the CORRELATED book)."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
@@ -2823,6 +2832,7 @@ def mc_paths_pallas_engine_corr(
         paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, young_bars=_young_bars(guard_params),
+        volume_model=volume_model, harvest=bool(harvest),
+        young_bars=_young_bars(guard_params),
         interpret=interpret,
     )

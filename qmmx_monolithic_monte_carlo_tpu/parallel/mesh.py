@@ -268,6 +268,7 @@ def sharded_mc_paths_pallas_corr(
     engine: bool = False,
     gate=None,
     noise=None,
+    harvest: bool = False,    # engine only: psum-merged EngineHarvest
     axis: str = "paths",
     interpret=False,
     external_uniforms=None,   # f32[S, total_blocks, rows, 8, lanes]
@@ -288,11 +289,14 @@ def sharded_mc_paths_pallas_corr(
 
     if engine and gate is not None:
         raise ValueError("pass either gate= or engine=True")
+    if harvest and not engine:
+        raise ValueError("harvest=True needs engine=True")
     if engine:
         from ..ops import guard as G
         from ..ops import touch as T
         lanes = PE.ENGINE_LANES if lanes is None else lanes
         kern = partial(PE.mc_paths_pallas_engine_corr, noise=noise,
+                       harvest=harvest,
                        touch_params=T.TouchMemoryParams.default(),
                        guard_params=G.GuardParams.default())
         block = PE.ENGINE_SUB * lanes
@@ -335,9 +339,14 @@ def sharded_mc_paths_pallas_corr(
                 max_dd=jax.lax.pmax(stats.max_dd, axis),
             )
         if engine:
-            sym, port, skips, escal = out
-            return (merge(sym), merge(port), jax.lax.psum(skips, axis),
-                    jax.lax.psum(escal, axis))
+            sym, port, skips, escal = out[:4]
+            merged = (merge(sym), merge(port), jax.lax.psum(skips, axis),
+                      jax.lax.psum(escal, axis))
+            if harvest:
+                # every EngineHarvest leaf is a '+'-combined count/sum
+                merged = merged + (jax.tree_util.tree_map(
+                    lambda x: jax.lax.psum(x, axis), out[4]),)
+            return merged
         sym, port = out
         return merge(sym), merge(port)
 

@@ -48,6 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EngineParams
+from ..models import harvest as HV
 from ..ops import pathgen as PG
 from ..sim import enginepath, pathsim
 from ..sim.gatedpath import GateConfig, gated_path_replay
@@ -188,7 +189,7 @@ def portfolio_mc(
 @partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "block_paths", "escalation",
-                     "volume_model", "policy_gate_disabled"),
+                     "volume_model", "policy_gate_disabled", "harvest"),
 )
 def portfolio_mc_engine(
     key,
@@ -212,6 +213,7 @@ def portfolio_mc_engine(
     escalation: bool = True,
     bar0_minute=0,
     volume_model: PG.VolumeModel | None = None,
+    harvest: bool = False,
 ):
     """Correlated-universe MC under the FULL 12-gate engine.
 
@@ -231,7 +233,11 @@ def portfolio_mc_engine(
     [S] per-symbol ``PathStats``, the portfolio ``PathStats``, the [S, K]
     per-symbol first-fail gate-skip histogram (K = len(SKIP_REASONS) — the
     log-analyzer's skip table per book member), and the [S] total escalation
-    counts.  Defaults match ``mc_paths_engine`` (reference semantics
+    counts.  With ``harvest=True`` a 5-tuple ending in the [S]-batched
+    ``EngineHarvest`` (per-symbol labeled-trade statistics — the learning
+    flywheel's sufficient statistics, harvested from CORRELATED books so
+    per-symbol refreshes train on the co-movement regime they will trade
+    in).  Defaults match ``mc_paths_engine`` (reference semantics
     qmmx_monolithic.py:3353-3538 lifted to the book level)."""
     if volume_model is None:
         volume_model = PG.VolumeModel()
@@ -272,7 +278,7 @@ def portfolio_mc_engine(
                 guard_params=guard_params,
                 policy_gate_disabled=policy_gate_disabled,
                 escalation=escalation, bar0_minute=bar0_minute,
-                return_curve=True)
+                harvest=harvest, return_curve=True)
             stats = PathStats.from_lifecycle(
                 equity=out.equity, trades=out.trades, wins=out.wins,
                 losses=out.losses, open_at_end=out.open_at_end,
@@ -282,29 +288,36 @@ def portfolio_mc_engine(
                      wins_tot + out.wins,
                      losses_tot + out.losses,
                      jnp.logical_or(open_any, out.open_at_end))
-            return carry, (stats, out.skip_counts, jnp.sum(out.escalations))
+            ys = (stats, out.skip_counts, jnp.sum(out.escalations))
+            if harvest:
+                ys = ys + (out.harvest,)
+            return carry, ys
 
         zero_curve = jnp.zeros((num_bars, block_paths), jnp.float32)
         zi = jnp.zeros((block_paths,), jnp.int32)
         ((port_curve, trades_tot, wins_tot, losses_tot, open_any),
-         (sym_stats, sym_skips, sym_escal)) = jax.lax.scan(
+         ys) = jax.lax.scan(
             per_symbol,
             (zero_curve, zi, zi, zi, jnp.zeros((block_paths,), bool)),
             (sym_idx, levels, s0, sigma, beta, weights),
         )
+        sym_stats, sym_skips, sym_escal = ys[:3]
         final = port_curve[-1]
         peak = jax.lax.cummax(jnp.maximum(port_curve, 0.0), axis=0)
         port_dd = jnp.max(peak - port_curve, axis=0)
         port_stats = PathStats.from_lifecycle(
             equity=final, trades=trades_tot, wins=wins_tot,
             losses=losses_tot, open_at_end=open_any, max_dd=port_dd)
-        return sym_stats, port_stats, sym_skips, sym_escal
+        out = (sym_stats, port_stats, sym_skips, sym_escal)
+        return out + (ys[3],) if harvest else out
 
     def body(carry, b):
-        sym_c, port_c, skips_c, escal_c = carry
-        sym_s, port_s, skips, escal = one_block(b)
-        return (sym_c.merge(sym_s), port_c.merge(port_s),
-                skips_c + skips, escal_c + escal), None
+        out = one_block(b)
+        new = (carry[0].merge(out[0]), carry[1].merge(out[1]),
+               carry[2] + out[2], carry[3] + out[3])
+        if harvest:
+            new = new + (carry[4].merge(out[4]),)
+        return new, None
 
     zero_sym = jax.vmap(
         lambda _: PathStats.zero(pathsim.LIFE_HIST_LO, pathsim.LIFE_HIST_HI)
@@ -313,6 +326,8 @@ def portfolio_mc_engine(
     init = (zero_sym, zero_port,
             jnp.zeros((n_sym, n_skip), jnp.float32),
             jnp.zeros((n_sym,), jnp.int32))
-    (sym_stats, port_stats, skips, escal), _ = jax.lax.scan(
+    if harvest:
+        init = init + (HV.EngineHarvest.zero(n_sym),)
+    final_carry, _ = jax.lax.scan(
         body, init, jnp.arange(n_blocks, dtype=jnp.uint32))
-    return sym_stats, port_stats, skips, escal
+    return final_carry

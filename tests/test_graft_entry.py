@@ -100,11 +100,13 @@ def test_dryrun_gated_scalars_match_single_device():
     gated_sum_r, gated_trades = float(m.group(1)), float(m.group(2))
     engine_sum_r, engine_trades = float(m.group(3)), float(m.group(4))
     mb = re.search(
-        r"book_trades=(\d+) book_sum_r=(-?[\d.]+) book_max_dd=(-?[\d.]+)",
+        r"book_trades=(\d+) book_sum_r=(-?[\d.]+) book_max_dd=(-?[\d.]+) "
+        r"book_labeled=(\d+)",
         r.stdout)
     assert mb, r.stdout
     book_trades, book_sum_r = float(mb.group(1)), float(mb.group(2))
     book_max_dd = float(mb.group(3))
+    book_labeled = float(mb.group(4))
 
     # single-device reference: same key, same (levels, params, shapes, block
     # layout) as __graft_entry__._dryrun_multichip_impl (4 paths-shards x 256)
@@ -152,16 +154,19 @@ def test_dryrun_gated_scalars_match_single_device():
                         ).astype(np.float32)
     umc = rng_bk.uniform(1e-6, 1.0, (npx, 2 * (wb // 2), 8, lanes_c)
                          ).astype(np.float32)
-    _, want_bk, _, _ = mc_paths_pallas_engine_corr(
+    _, want_bk, _, _, want_hv = mc_paths_pallas_engine_corr(
         7, lv2, params,
         np.array([100.0, 50.0], np.float32),
         np.array([0.3, 0.4], np.float32),
         np.array([0.8, 0.6], np.float32),
         np.array([0.5, 0.5], np.float32),
         paths_per_symbol=npx * 8 * lanes_c, num_bars=wb, lanes=lanes_c,
-        interpret=True, external_uniforms=uc, market_uniforms=umc)
+        harvest=True, interpret=True, external_uniforms=uc,
+        market_uniforms=umc)
     assert book_trades == float(want_bk.sum_trades)
     np.testing.assert_allclose(book_sum_r, float(want_bk.sum_r),
                                rtol=2e-4, atol=2e-3)
     np.testing.assert_allclose(book_max_dd, float(want_bk.max_dd),
                                rtol=1e-4, atol=1e-4)
+    # the psum-merged book harvest reproduces the single-device label count
+    assert book_labeled == float(want_hv.n_labeled.sum())

@@ -383,19 +383,142 @@ def test_sharded_corr_kernels_match_single_device():
                     ).astype(np.float32)
     um = rng.uniform(1e-6, 1.0, (2, 2 * (w // 2), ENGINE_SUB, lanes)
                      ).astype(np.float32)
-    sh_sym, sh_port, sh_skips, sh_escal = PM.sharded_mc_paths_pallas_corr(
-        mesh, 0, lv, PARAMS, s0, sg, beta, wts,
-        paths_per_symbol=2 * ENGINE_SUB * lanes, num_bars=w, lanes=lanes,
-        engine=True, interpret=True, external_uniforms=u,
-        market_uniforms=um)
-    sym, port, skips, escal = mc_paths_pallas_engine_corr(
+    sh_sym, sh_port, sh_skips, sh_escal, sh_hv = (
+        PM.sharded_mc_paths_pallas_corr(
+            mesh, 0, lv, PARAMS, s0, sg, beta, wts,
+            paths_per_symbol=2 * ENGINE_SUB * lanes, num_bars=w, lanes=lanes,
+            engine=True, harvest=True, interpret=True, external_uniforms=u,
+            market_uniforms=um))
+    sym, port, skips, escal, hv = mc_paths_pallas_engine_corr(
         0, lv, PARAMS, s0, sg, beta, wts,
         paths_per_symbol=2 * ENGINE_SUB * lanes, num_bars=w, lanes=lanes,
-        interpret=True, external_uniforms=u, market_uniforms=um)
+        harvest=True, interpret=True, external_uniforms=u,
+        market_uniforms=um)
     check(sh_sym, sym)
     check(sh_port, port)
     np.testing.assert_array_equal(np.asarray(sh_skips), np.asarray(skips))
     np.testing.assert_array_equal(np.asarray(sh_escal), np.asarray(escal))
+    # the psum-merged book harvest: counts bitwise, sums to ulps
+    np.testing.assert_array_equal(np.asarray(sh_hv.ml_counts),
+                                  np.asarray(hv.ml_counts))
+    np.testing.assert_array_equal(np.asarray(sh_hv.pol_counts),
+                                  np.asarray(hv.pol_counts))
+    np.testing.assert_allclose(np.asarray(sh_hv.pol_sum_x1),
+                               np.asarray(hv.pol_sum_x1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_hv.pol_sum_x6),
+                               np.asarray(hv.pol_sum_x6), rtol=1e-5)
+
+
+def test_engine_corr_kernel_harvest_matches_per_symbol_replay():
+    """Book-level flywheel: the corr kernel's harvest=True returns the
+    [S]-batched EngineHarvest equal to per-symbol engine_path_replay
+    harvests of the SAME correlated tapes bitwise (counts) / to ulps
+    (sums), and harvesting does not perturb the book stats — so per-symbol
+    refreshes train on labels produced under the co-movement regime."""
+    from qmmx_monolithic_monte_carlo_tpu.models import harvest as HV
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        ENGINE_SUB,
+        mc_paths_pallas_engine_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.enginepath import (
+        engine_path_replay,
+    )
+
+    from .test_pallas_engine import _bars_from_uniforms
+
+    w, lanes = 12, 128
+    n = ENGINE_SUB * lanes
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sg = np.array([0.4, 0.5], np.float32)
+    beta = np.array([0.8, 0.6], np.float32)
+    wts = np.array([0.5, 0.5], np.float32)
+    params = EngineParams.default(stop_padding=0.15, tp_padding=0.10)
+    rng = np.random.default_rng(37)
+    u = rng.uniform(1e-6, 1.0, (2, 1, 10 * (w // 2), ENGINE_SUB, lanes)
+                    ).astype(np.float32)
+    um = rng.uniform(1e-6, 1.0, (1, 2 * (w // 2), ENGINE_SUB, lanes)
+                     ).astype(np.float32)
+
+    sym, port, skips, escal, hv = mc_paths_pallas_engine_corr(
+        0, lv, params, s0, sg, beta, wts,
+        paths_per_symbol=n, num_bars=w, lanes=lanes, harvest=True,
+        interpret=True, external_uniforms=u, market_uniforms=um)
+    assert hv.ml_counts.shape == (2, HV.ML_BUCKETS, 2)
+
+    # harvesting must not perturb the book simulation itself
+    b_sym, b_port, b_skips, b_escal = mc_paths_pallas_engine_corr(
+        0, lv, params, s0, sg, beta, wts,
+        paths_per_symbol=n, num_bars=w, lanes=lanes,
+        interpret=True, external_uniforms=u, market_uniforms=um)
+    for f in ("n", "n_entered", "n_tp", "n_stop", "sum_trades", "sum_r"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sym, f)), np.asarray(getattr(b_sym, f)), f)
+        np.testing.assert_array_equal(
+            np.asarray(getattr(port, f)), np.asarray(getattr(b_port, f)), f)
+    np.testing.assert_array_equal(np.asarray(skips), np.asarray(b_skips))
+    np.testing.assert_array_equal(np.asarray(escal), np.asarray(b_escal))
+
+    labeled = 0.0
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv)
+        bars, tie = _bars_from_uniforms(
+            u[s, 0], float(sg[s]), lanes=lanes, w=w, s0=float(s0[s]),
+            um=um[0], beta=float(beta[s]))
+        out = engine_path_replay(bars, lv_s, params, tie, harvest=True)
+        want = out.harvest
+        np.testing.assert_array_equal(np.asarray(hv.ml_counts[s]),
+                                      np.asarray(want.ml_counts))
+        np.testing.assert_array_equal(np.asarray(hv.pol_counts[s]),
+                                      np.asarray(want.pol_counts))
+        np.testing.assert_allclose(np.asarray(hv.pol_sum_x1[s]),
+                                   np.asarray(want.pol_sum_x1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(hv.pol_sum_x6[s]),
+                                   np.asarray(want.pol_sum_x6), rtol=1e-5)
+        # label count == closed trades == wins + losses of this symbol
+        assert float(hv.n_labeled[s]) == float(sym.n_tp[s] + sym.n_stop[s])
+        labeled += float(hv.n_labeled[s])
+    assert labeled > 0
+
+
+def test_portfolio_mc_engine_harvest_accumulates_and_refreshes():
+    """The XLA book pipeline's harvest=True: per-symbol label counts equal
+    the book's closed-trade counts across scan blocks, and the harvested
+    statistics drive the per-symbol batched LR refresh (BASELINE config 4's
+    shape) end to end."""
+    from qmmx_monolithic_monte_carlo_tpu.models import harvest as HV
+    from qmmx_monolithic_monte_carlo_tpu.parallel.portfolio import (
+        portfolio_mc_engine,
+    )
+
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sg = np.array([0.4, 0.5], np.float32)
+    w = np.array([0.6, 0.4], np.float32)
+    beta = np.array([0.7, 0.7], np.float32)
+    params = EngineParams.default(stop_padding=0.15, tp_padding=0.10)
+    sym, port, skips, escal, hv = portfolio_mc_engine(
+        jax.random.key(0), lv, params, s0, sg, beta, w,
+        num_paths=1 << 11, num_bars=24, block_paths=1 << 10, harvest=True)
+    assert hv.ml_counts.shape == (2, HV.ML_BUCKETS, 2)
+    np.testing.assert_allclose(
+        np.asarray(hv.n_labeled), np.asarray(sym.n_tp + sym.n_stop))
+    assert float(hv.n_labeled.sum()) > 0
+
+    # harvest must not perturb the book stats
+    b_sym, b_port, _, _ = portfolio_mc_engine(
+        jax.random.key(0), lv, params, s0, sg, beta, w,
+        num_paths=1 << 11, num_bars=24, block_paths=1 << 10)
+    for f in ("n", "n_entered", "n_tp", "n_stop", "sum_trades", "sum_r"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sym, f)), np.asarray(getattr(b_sym, f)), f)
+
+    # the harvested book feeds the per-symbol batched refresh (config 4)
+    xs, ys, ws = HV.ml_batch_from_harvest(
+        hv, stop_padding=params.stop_padding)
+    assert xs.shape == (2, 2 * HV.ML_BUCKETS, 4)
+    m = U.universe_policy_refresh(None, xs, ys, ws)
+    assert np.all(np.isfinite(np.asarray(m.coef)))
 
 
 def test_corr_kernel_rejects_bad_shapes():
