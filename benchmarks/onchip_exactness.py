@@ -847,6 +847,111 @@ def check_engine_corr():
     return ok
 
 
+def check_corr_samplers():
+    """Round-4f: samplers through the correlated-book FULL-ENGINE kernel —
+    bootstrap / block_bootstrap (JOINT recorded days: shared market
+    resample indices over each symbol's OWN history) and heston (price AND
+    variance shocks beta-mixed with the market factor) vs per-symbol
+    sim/enginepath replays + the book combine from the SAME uniforms."""
+    import os
+
+    import jax
+
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_engine import (
+        BOOT_DRAWS_PER_PAIR,
+        ENGINE_SUB,
+        HESTON_DRAWS_PER_PAIR,
+        _heston_tuple,
+        mc_paths_pallas_engine_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel import universe as U
+    from qmmx_monolithic_monte_carlo_tpu.sim.enginepath import (
+        engine_path_replay,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.pathsim import PathStats as _PS
+    from tests.test_corr_samplers import (
+        HPARAMS,
+        _corr_boot_bars,
+        _corr_heston_bars,
+    )
+    from tests.test_engine_bootstrap import _stacked_histories
+
+    interp = bool(int(os.environ.get("QMMX_EXACT_INTERPRET", "0")))
+    w, lanes = 16, 256
+    n = ENGINE_SUB * lanes
+    dt = 1.0 / (390.0 * 252.0)
+    lv2 = U.stack_levels([
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0}],
+        [{"color": "orange", "type": "dashed", "index": 0, "price": 50.2}],
+    ], max_levels=4)
+    s0 = np.array([100.0, 50.0], np.float32)
+    sg = np.array([0.3, 0.4], np.float32)
+    beta = np.array([0.8, 0.6], np.float32)
+    wts = np.array([0.5, 0.5], np.float32)
+    params = EngineParams.default(stop_padding=0.25, tp_padding=0.18)
+    hist2 = _stacked_histories([11, 23], 180)
+    hp = _heston_tuple(HPARAMS, 0.0, dt)
+    rng = np.random.default_rng(67)
+    ok = True
+    for mode in ("bootstrap", "block_bootstrap", "heston"):
+        boot = mode != "heston"
+        stride = BOOT_DRAWS_PER_PAIR if boot else HESTON_DRAWS_PER_PAIR
+        m_rows = 2 if boot else 4
+        u = rng.uniform(1e-6, 1.0, (2, 1, stride * (w // 2), ENGINE_SUB,
+                                    lanes)).astype(np.float32)
+        um = rng.uniform(1e-6, 1.0, (1, m_rows * (w // 2), ENGINE_SUB,
+                                     lanes)).astype(np.float32)
+        kw = (dict(sampler=mode, hist_bars=hist2,
+                   block_len=4 if mode == "block_bootstrap" else 10)
+              if boot else dict(sampler="heston", heston=HPARAMS))
+        sym, port, skips, escal = mc_paths_pallas_engine_corr(
+            0, lv2, params, s0, sg, beta, wts,
+            paths_per_symbol=n, num_bars=w, lanes=lanes, dt=dt,
+            interpret=interp, external_uniforms=u, market_uniforms=um, **kw)
+        port_curve = jnp.zeros((w, n), jnp.float32)
+        tr = jnp.zeros((n,), jnp.int32)
+        wi, lo = tr, tr
+        opn = jnp.zeros((n,), bool)
+        for s in range(2):
+            lv_s = jax.tree_util.tree_map(lambda x: x[s], lv2)
+            if boot:
+                hist_s = jax.tree_util.tree_map(lambda x: x[s], hist2)
+                bars, tie = _corr_boot_bars(
+                    u[s, 0], um[0], hist_s, w, lanes, float(s0[s]),
+                    block_len=4 if mode == "block_bootstrap" else None)
+            else:
+                bars, tie = _corr_heston_bars(
+                    u[s, 0], um[0], hp, float(beta[s]), w, lanes,
+                    s0=float(s0[s]))
+            out, curve = engine_path_replay(bars, lv_s, params, tie,
+                                            return_curve=True)
+            stats = _PS.from_lifecycle(
+                equity=out.equity, trades=out.trades, wins=out.wins,
+                losses=out.losses, open_at_end=out.open_at_end,
+                max_dd=out.max_dd)
+            skips_diff = float(np.abs(np.asarray(skips[s])
+                                      - np.asarray(out.skip_counts)).sum())
+            ok = _judge(f"corr-{mode}[{s}]", _slice_stats(sym, s), stats,
+                        extra={
+                "escalations": [float(escal[s]),
+                                float(jnp.sum(out.escalations))],
+                "skip_table_l1_frac": skips_diff / max(
+                    float(np.asarray(out.skip_counts).sum()), 1.0),
+            }) and ok
+            port_curve = port_curve + wts[s] * curve
+            tr = tr + out.trades
+            wi = wi + out.wins
+            lo = lo + out.losses
+            opn = jnp.logical_or(opn, out.open_at_end)
+        final = port_curve[-1]
+        peak = jax.lax.cummax(jnp.maximum(port_curve, 0.0), axis=0)
+        pdd = jnp.max(peak - port_curve, axis=0)
+        pstats = _PS.from_lifecycle(equity=final, trades=tr, wins=wi,
+                                    losses=lo, open_at_end=opn, max_dd=pdd)
+        ok = _judge(f"corr-{mode}-portfolio", port, pstats) and ok
+    return ok
+
+
 def check_corr_offset():
     """Round-4d: block-offset seeding of the corr kernels — ONE 2-block
     launch must equal TWO 1-block launches at offsets {0, 1} merged (the
@@ -920,6 +1025,7 @@ def main(only=None):
         "bootstrap": check_bootstrap,
         "corr": check_corr,
         "engine_corr": check_engine_corr,
+        "corr_samplers": check_corr_samplers,
         "corr_offset": check_corr_offset,
     }
     ok = True

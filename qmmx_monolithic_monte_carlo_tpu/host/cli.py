@@ -685,6 +685,27 @@ def cmd_book(args):
     if harvest and not engine:
         raise SystemExit("--harvest needs --engine (the label harvest rides "
                          "the full-engine ladder)")
+    sampler = getattr(args, "sampler", "gbm")
+    if sampler != "gbm" and not engine:
+        raise SystemExit("book --sampler needs --engine (the gated book "
+                         "backends are gbm-only)")
+    hist = None
+    if sampler in ("bootstrap", "block_bootstrap"):
+        import jax.numpy as jnp
+
+        from ..ops.pathgen import PathBars
+
+        # one joint recorded history, shared by every book member (the
+        # tables are RELATIVE geometry rebased onto each symbol's own s0;
+        # per-symbol CSVs would slot in as [S, H] rows here)
+        h1 = _hist_paths_bars(args)
+        hist = PathBars(*[jnp.broadcast_to(jnp.asarray(x, jnp.float32),
+                                           (n,) + x.shape)
+                          for x in h1])
+    samp_kw = dict(
+        sampler=sampler, hist_bars=hist,
+        block_len=getattr(args, "block_len", 10),
+        heston=_heston_dict(args) if sampler == "heston" else None)
     skips = escal = hv = None
     if engine and backend == "pallas":
         from ..ops.pallas_engine import ENGINE_BLOCK, mc_paths_pallas_engine_corr
@@ -696,7 +717,7 @@ def cmd_book(args):
         out = mc_paths_pallas_engine_corr(
             args.seed, lv, params, s0, sigma, beta, w,
             paths_per_symbol=args.num_paths, num_bars=args.num_bars,
-            harvest=harvest)
+            harvest=harvest, **samp_kw)
         sym, port, skips, escal = out[:4]
         if harvest:
             hv = out[4]
@@ -706,7 +727,8 @@ def cmd_book(args):
         out = portfolio_mc_engine(
             jax.random.key(args.seed), lv, params, s0, sigma, beta, w,
             num_paths=args.num_paths, num_bars=args.num_bars,
-            block_paths=min(args.num_paths, 1 << 12), harvest=harvest)
+            block_paths=min(args.num_paths, 1 << 12), harvest=harvest,
+            **samp_kw)
         sym, port, skips, escal = out[:4]
         if harvest:
             hv = out[4]
@@ -1146,6 +1168,24 @@ def build_parser() -> argparse.ArgumentParser:
                     "from the correlated run and refresh each symbol's ML "
                     "gate (the learning flywheel at book level; adds "
                     "labeled/ml_coef to each symbol row)")
+    bk.add_argument("--sampler",
+                    choices=["gbm", "bootstrap", "block_bootstrap",
+                             "heston"],
+                    default="gbm",
+                    help="with --engine: bootstrap family replays JOINT "
+                         "recorded days (shared resample indices — the "
+                         "book co-moves exactly as the joint history did; "
+                         "--bars-csv, real volumes); heston correlates "
+                         "price AND vol shocks through beta")
+    bk.add_argument("--bars-csv", default=None,
+                    help="recorded o/h/l/c/v history for bootstrap samplers "
+                         "(shared geometry, rebased per symbol)")
+    bk.add_argument("--block-len", type=int, default=10,
+                    help="block_bootstrap: contiguous run length")
+    for k, dv in (("v0", 0.04), ("kappa", 3.0), ("theta", 0.04),
+                  ("xi", 0.6), ("rho", -0.7)):
+        bk.add_argument(f"--heston-{k}", type=float, default=dv,
+                        help=f"heston sampler: {k} (default {dv})")
     bk.set_defaults(fn=cmd_book)
 
     fw = sub.add_parser("flywheel", help="simulate->label->retrain->"

@@ -302,9 +302,23 @@ def _engine_lifecycle_loop(
 
     def body(t2, st, young=False):
         if bootstrap:
-            z_pair = (draw(t2, 0), draw(t2, 1))      # per-bar index uniforms
+            if corr is not None:
+                # JOINT recorded days (book semantics): the resample indices
+                # come from the SHARED market stream — every book member
+                # replays the SAME historical bar each step, so the book's
+                # cross-sectional co-movement is exactly what the joint
+                # history had (beta is unused under bootstrap; ties/noise
+                # stay idiosyncratic).  Hardware draw-order discipline:
+                # market ks first (k == stride reseeds the market stream),
+                # then the idio ks (k == 0 reseeds the per-symbol stream) —
+                # ties ride ks 0/1 so the idio reseed always fires.
+                mk0 = _draw_stride(sampler, noise is not None)
+                z_pair = (draw(t2, mk0), draw(t2, mk0 + 1))
+                ties = (draw(t2, 0), draw(t2, 1))
+            else:
+                z_pair = (draw(t2, 0), draw(t2, 1))  # per-bar index uniforms
+                ties = (draw(t2, 2), draw(t2, 3))
             zv_pair = (None, None)
-            ties = (draw(t2, 2), draw(t2, 3))
             noise_k0 = 4
         else:
             if corr is not None:
@@ -316,6 +330,14 @@ def _engine_lifecycle_loop(
                 mrad = jnp.sqrt(-2.0 * jnp.log(draw(t2, mk0)))
                 mang = _TWO_PI * draw(t2, mk0 + 1)
                 zm_pair = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
+                if hes:
+                    # second market pair: the variance shock's factor
+                    # component (market-wide vol regime — a selloff raises
+                    # every book member's vol through the same loading)
+                    qmrad = jnp.sqrt(-2.0 * jnp.log(draw(t2, mk0 + 2)))
+                    qmang = _TWO_PI * draw(t2, mk0 + 3)
+                    zqm_pair = (qmrad * jnp.cos(qmang),
+                                qmrad * jnp.sin(qmang))
             u1 = draw(t2, 0)
             u2 = draw(t2, 1)
             radius = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -344,6 +366,10 @@ def _engine_lifecycle_loop(
                 qangle = _TWO_PI * uq2
                 zq_pair = (qradius * jnp.cos(qangle),
                            qradius * jnp.sin(qangle))
+                if corr is not None:
+                    # one-factor vol co-movement, same beta loading as price
+                    zq_pair = (corr * zqm_pair[0] + perp * zq_pair[0],
+                               corr * zqm_pair[1] + perp * zq_pair[1])
                 noise_k0 = 12
         for half in range(2):
             t_i = 2 * t2 + half
@@ -2512,7 +2538,8 @@ def _engine_corr_kernel(
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
     level_kind_ref,    # VMEM (1, L, 128) f32
-    *refs,             # [um_ref, u_ref (external rng)], acc_ref, port_ref,
+    *refs,             # [hist_ref (bootstrap, THIS symbol's table slab)],
+                       # [um_ref, u_ref (external rng)], acc_ref, port_ref,
                        # curve_ref + 4 portfolio scratch tiles
     num_bars: int,
     max_levels: int,
@@ -2523,6 +2550,10 @@ def _engine_corr_kernel(
     external_rng: bool = False,
     use_noise: bool = False,
     use_harvest: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
+    block_len: int = 0,
+    heston=None,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -2541,12 +2572,29 @@ def _engine_corr_kernel(
     volume-veto gates care about).  Each symbol's complete 12-gate lifecycle
     adds its weighted per-bar equity into ``curve_ref``; the last symbol
     folds the combined curve into the portfolio accumulator — final-R
-    histogram (book VaR/CVaR) plus TRUE time-tracked portfolio drawdown."""
+    histogram (book VaR/CVaR) plus TRUE time-tracked portfolio drawdown.
+
+    Samplers ride the market/idio split: ``bootstrap``/``block_bootstrap``
+    draw the resample indices from the MARKET stream — JOINT recorded days,
+    every book member replays the same historical bar each step, so the
+    cross-sectional co-movement is exactly the joint history's (beta unused;
+    ties/noise idiosyncratic); ``heston`` draws a SECOND market Box-Muller
+    pair for the variance shock's factor component (market-wide vol regime
+    through the same beta loading as price)."""
     s, b = ENGINE_SUB, lanes
-    stride = _draw_stride("gbm", use_noise)
+    stride = _draw_stride(sampler, use_noise)
+    # market blocks per double-bar step: heston adds the vol-shock pair
+    m_stride = 4 if sampler == "heston" else 2
     bi = pl.program_id(0)
     si = pl.program_id(1)
     refs = list(refs)
+    if sampler in ("bootstrap", "block_bootstrap"):
+        hist_ref = refs.pop(0)
+        hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
+                                        ti * 128:(ti + 1) * 128],
+                hist_len)
+    else:
+        hist = None
     if external_rng:
         um_ref = refs.pop(0)
         u_ref = refs.pop(0)
@@ -2563,8 +2611,8 @@ def _engine_corr_kernel(
 
     if external_rng:
         def draw(t2, k):
-            if k >= stride:        # market pair rows (shared across symbols)
-                blk = um_ref[0, pl.ds(t2 * 2 + (k - stride), 1)]
+            if k >= stride:        # market rows (shared across symbols)
+                blk = um_ref[0, pl.ds(t2 * m_stride + (k - stride), 1)]
                 return blk.reshape(s, b)
             return u_ref[0, 0, pl.ds(t2 * stride + k, 1)].reshape(s, b)
     else:
@@ -2613,7 +2661,9 @@ def _engine_corr_kernel(
         max_levels=max_levels, lanes=lanes, vm=vm, escalation=escalation,
         noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
                if use_noise else None),
-        harvest=use_harvest, policy_off=policy_off, young_bars=young_bars,
+        harvest=use_harvest, sampler=sampler, hist=hist,
+        block_len=block_len, heston=heston,
+        policy_off=policy_off, young_bars=young_bars,
         corr=beta_s, curve=(curve_ref, weight),
     )
     side, equity, dd, trades, wins, losses, escal, skips, hstate = final
@@ -2644,15 +2694,16 @@ def _engine_corr_kernel(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
                      "volume_model", "escalation", "bar0_minute",
-                     "policy_gate_disabled", "harvest", "young_bars",
-                     "interpret"),
+                     "policy_gate_disabled", "harvest", "sampler",
+                     "block_len", "heston", "young_bars", "interpret"),
 )
 def _engine_corr_impl(
     seed, levels, params, s0, sigma, beta, weights, policy, ml_model,
-    touch_params, guard_params, noise, external_uniforms, market_uniforms,
-    derived, block_offset, *,
+    touch_params, guard_params, noise, hist_bars, external_uniforms,
+    market_uniforms, derived, block_offset, *,
     paths_per_symbol, num_bars, dt, lanes, policy_gate_disabled, escalation,
-    bar0_minute, volume_model, harvest, young_bars, interpret,
+    bar0_minute, volume_model, harvest, sampler, block_len, heston,
+    young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2661,14 +2712,21 @@ def _engine_corr_impl(
 
     external_rng = external_uniforms is not None
     use_noise = noise is not None
-    stride = _draw_stride("gbm", use_noise)
+    stride = _draw_stride(sampler, use_noise)
+    m_stride = 4 if sampler == "heston" else 2
     vm = (float(volume_model.base), float(volume_model.u_amp),
           float(volume_model.noise_sigma), float(volume_model.ret_coupling),
           int(volume_model.day_minutes), int(volume_model.open_minute))
+    if sampler in ("bootstrap", "block_bootstrap"):
+        hist, hist_len = _hist_slab_batched(hist_bars, lanes)
+    else:
+        hist, hist_len = None, 0
     kernel = functools.partial(
         _engine_corr_kernel, num_bars=num_bars, max_levels=n_lv,
         n_sym=n_sym, lanes=lanes, vm=vm, escalation=escalation,
         external_rng=external_rng, use_noise=use_noise, use_harvest=harvest,
+        sampler=sampler, hist_len=hist_len, block_len=block_len,
+        heston=heston,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
@@ -2712,7 +2770,10 @@ def _engine_corr_impl(
             pl.BlockSpec((1, n_lv, 128), lambda bi, si: (si, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 2 * (num_bars // 2), ENGINE_SUB, lanes),
+            pl.BlockSpec((1,) + hist.shape[1:], lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
+            pl.BlockSpec((1, m_stride * (num_bars // 2), ENGINE_SUB, lanes),
                          lambda bi, si: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, stride * (num_bars // 2), ENGINE_SUB, lanes),
@@ -2738,6 +2799,7 @@ def _engine_corr_impl(
         ],
         interpret=interpret,
     )(*((seed_arr, mlv, polv, tmv, gdv, sym, lp, lv, lk)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(market_uniforms, jnp.float32),
              jnp.asarray(external_uniforms, jnp.float32))
             if external_rng else ())))
@@ -2774,9 +2836,15 @@ def mc_paths_pallas_engine_corr(
     volume_model: VolumeModel | None = None,
     noise=None,               # McNoise; leaves may be [S] for per-symbol stds
     harvest: bool = False,    # per-symbol flywheel label stats
+    sampler: str = "gbm",     # "gbm" | "bootstrap" | "block_bootstrap"
+                              # (JOINT recorded days) | "heston"
+    hist_bars=None,           # PathBars-like [S, H] o/h/l/c/v histories
+    block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, stride*(W//2), 8, lanes]
-    market_uniforms=None,     # f32[n_blocks, 2*(W//2), 8, lanes] (shared)
+    market_uniforms=None,     # f32[n_blocks, m*(W//2), 8, lanes] (shared;
+                              # m = 4 for heston, else 2)
     block_offset=0,           # global index of this launch's first block
                               # (sharded runs: device d passes its start)
 ):
@@ -2792,7 +2860,17 @@ def mc_paths_pallas_engine_corr(
     Returns ``(sym_stats, port_stats, skip_counts, escalations)`` in
     ``portfolio_mc_engine`` order; with ``harvest=True`` a 5-tuple ending
     in the [S]-batched ``EngineHarvest`` (the learning flywheel's labeled
-    trade statistics, harvested from the CORRELATED book)."""
+    trade statistics, harvested from the CORRELATED book).
+
+    Samplers: ``"bootstrap"``/``"block_bootstrap"`` replay JOINT recorded
+    days — the per-bar resample indices come from the shared market stream,
+    so every book member replays the SAME historical bar each step and the
+    book's cross-sectional co-movement is exactly what the joint [S, H]
+    ``hist_bars`` history had (``beta`` is unused; ties/noise stay
+    idiosyncratic — the reference MC replays one symbol's recorded bars,
+    :3353-3538; a book replays the joint days).  ``"heston"`` correlates
+    BOTH the price shock and the variance shock through the same beta
+    loading (a market selloff raises every member's vol)."""
     if touch_params is None:
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
@@ -2823,16 +2901,24 @@ def mc_paths_pallas_engine_corr(
         raise ValueError("engine kernel is built for 5/20-bar guard MAs")
     if (external_uniforms is None) != (market_uniforms is None):
         raise ValueError("external_uniforms and market_uniforms go together")
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError("engine corr kernel samplers: 'gbm' | 'bootstrap' | "
+                         "'block_bootstrap' | 'heston'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
+                         "recorded o/h/l/c/v histories, one row per symbol)")
     return _engine_corr_impl(
         seed, levels, params, jnp.asarray(s0, jnp.float32),
         jnp.asarray(sigma, jnp.float32), jnp.asarray(beta, jnp.float32),
         jnp.asarray(weights, jnp.float32), policy, ml_model, touch_params,
-        guard_params, noise, external_uniforms, market_uniforms,
+        guard_params, noise, hist_bars, external_uniforms, market_uniforms,
         _derived_consts(s0, sigma, dt), block_offset,
         paths_per_symbol=paths_per_symbol, num_bars=num_bars, dt=dt,
         lanes=lanes, policy_gate_disabled=bool(policy_gate_disabled),
         escalation=escalation, bar0_minute=int(bar0_minute),
-        volume_model=volume_model, harvest=bool(harvest),
+        volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        heston=_heston_tuple(heston, 0.0, dt),
         young_bars=_young_bars(guard_params),
         interpret=interpret,
     )

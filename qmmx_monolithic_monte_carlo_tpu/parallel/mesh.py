@@ -269,10 +269,15 @@ def sharded_mc_paths_pallas_corr(
     gate=None,
     noise=None,
     harvest: bool = False,    # engine only: psum-merged EngineHarvest
+    sampler: str = "gbm",     # engine only: full sampler set (JOINT
+                              # recorded days / correlated heston)
+    hist_bars=None,           # [S, H] histories, replicated to every device
+    block_len: int = 10,
+    heston=None,
     axis: str = "paths",
     interpret=False,
     external_uniforms=None,   # f32[S, total_blocks, rows, 8, lanes]
-    market_uniforms=None,     # f32[total_blocks, 2*(W//2), 8, lanes]
+    market_uniforms=None,     # f32[total_blocks, m*(W//2), 8, lanes]
 ):
     """Correlated BOOK MC sharded over the mesh: every device runs the fused
     corr kernel (gated subset, or ``engine=True`` → the FULL 12-gate corr
@@ -291,12 +296,16 @@ def sharded_mc_paths_pallas_corr(
         raise ValueError("pass either gate= or engine=True")
     if harvest and not engine:
         raise ValueError("harvest=True needs engine=True")
+    if sampler != "gbm" and not engine:
+        raise ValueError("sampler on the sharded book needs engine=True "
+                         "(the gated corr kernel is gbm-only)")
     if engine:
         from ..ops import guard as G
         from ..ops import touch as T
         lanes = PE.ENGINE_LANES if lanes is None else lanes
         kern = partial(PE.mc_paths_pallas_engine_corr, noise=noise,
-                       harvest=harvest,
+                       harvest=harvest, sampler=sampler, hist_bars=hist_bars,
+                       block_len=block_len, heston=heston,
                        touch_params=T.TouchMemoryParams.default(),
                        guard_params=G.GuardParams.default())
         block = PE.ENGINE_SUB * lanes

@@ -186,11 +186,6 @@ def portfolio_mc(
     return sym_stats, port_stats
 
 
-@partial(
-    jax.jit,
-    static_argnames=("num_paths", "num_bars", "block_paths", "escalation",
-                     "volume_model", "policy_gate_disabled", "harvest"),
-)
 def portfolio_mc_engine(
     key,
     levels: Levels,           # batched [S, L]
@@ -214,6 +209,11 @@ def portfolio_mc_engine(
     bar0_minute=0,
     volume_model: PG.VolumeModel | None = None,
     harvest: bool = False,
+    sampler: str = "gbm",     # "gbm" | "bootstrap" | "block_bootstrap"
+                              # (JOINT recorded days) | "heston"
+    hist_bars=None,           # PathBars-like [S, H] o/h/l/c/v histories
+    block_len: int = 10,      # block_bootstrap: contiguous run length
+    heston: dict | None = None,
 ):
     """Correlated-universe MC under the FULL 12-gate engine.
 
@@ -238,7 +238,52 @@ def portfolio_mc_engine(
     flywheel's sufficient statistics, harvested from CORRELATED books so
     per-symbol refreshes train on the co-movement regime they will trade
     in).  Defaults match ``mc_paths_engine`` (reference semantics
-    qmmx_monolithic.py:3353-3538 lifted to the book level)."""
+    qmmx_monolithic.py:3353-3538 lifted to the book level).
+
+    Samplers mirror the fused corr kernel (ops/pallas_engine
+    .mc_paths_pallas_engine_corr): ``"bootstrap"``/``"block_bootstrap"``
+    replay JOINT recorded days — the per-bar resample indices are drawn
+    ONCE per block from the market stream and shared by every symbol, each
+    gathering its OWN [S, H] ``hist_bars`` row (real volumes ride along;
+    ``beta`` is unused; ties stay idiosyncratic); ``"heston"`` mixes the
+    market factor into BOTH the price shock and the variance shock through
+    the same beta loading."""
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError("portfolio_mc_engine samplers: 'gbm' | 'bootstrap'"
+                         " | 'block_bootstrap' | 'heston'")
+    if sampler in ("bootstrap", "block_bootstrap"):
+        if hist_bars is None:
+            raise ValueError("sampler='bootstrap' requires hist_bars "
+                             "([S, H] recorded o/h/l/c/v histories)")
+    else:
+        hist_bars = None
+    h = dict(v0=0.04, kappa=3.0, theta=0.04, xi=0.6, rho=-0.7)
+    h.update(heston or {})
+    heston_vec = jnp.asarray(
+        [h["v0"], h["kappa"], h["theta"], h["xi"], h["rho"]], jnp.float32)
+    return _portfolio_mc_engine_impl(
+        key, levels, params, s0, sigma, beta, weights, hist_bars, heston_vec,
+        num_paths=num_paths, num_bars=num_bars, dt=dt, mu=mu,
+        block_paths=block_paths, policy=policy, ml_model=ml_model,
+        touch_params=touch_params, guard_params=guard_params,
+        policy_gate_disabled=policy_gate_disabled, escalation=escalation,
+        bar0_minute=bar0_minute, volume_model=volume_model, harvest=harvest,
+        sampler=sampler,
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "block_paths", "escalation",
+                     "volume_model", "policy_gate_disabled", "harvest",
+                     "sampler", "block_len"),
+)
+def _portfolio_mc_engine_impl(
+    key, levels, params, s0, sigma, beta, weights, hist_bars, heston_vec, *,
+    num_paths, num_bars, dt, mu, block_paths, policy, ml_model, touch_params,
+    guard_params, policy_gate_disabled, escalation, bar0_minute,
+    volume_model, harvest, sampler, block_len,
+):
     if volume_model is None:
         volume_model = PG.VolumeModel()
     if num_paths % block_paths != 0:
@@ -252,23 +297,126 @@ def portfolio_mc_engine(
     sym_idx = jnp.arange(n_sym, dtype=jnp.uint32)
     n_skip = len(enginepath.SKIP_REASONS)
 
+    bootstrap = sampler in ("bootstrap", "block_bootstrap")
+    if bootstrap:
+        # per-symbol relative-geometry tables [S, H] (shared precompute with
+        # every bootstrap backend — ops/pathgen.bootstrap_tables)
+        vol_h = getattr(hist_bars, "volume", None)
+        o_h = jnp.asarray(hist_bars.open, jnp.float32)
+        if o_h.ndim != 2:
+            raise ValueError("book bootstrap needs [S, H]-batched hist_bars")
+        vol_h = (jnp.zeros_like(o_h) if vol_h is None
+                 else jnp.asarray(vol_h, jnp.float32))
+        tabs = jax.vmap(PG.bootstrap_tables)(
+            o_h, jnp.asarray(hist_bars.high, jnp.float32),
+            jnp.asarray(hist_bars.low, jnp.float32),
+            jnp.asarray(hist_bars.close, jnp.float32), vol_h)
+        n_hist = tabs[0].shape[1]
+    else:
+        tabs = tuple(jnp.zeros((n_sym, 1), jnp.float32) for _ in range(5))
+
+    def _joint_idx(km):
+        """Shared recorded-day resample indices [P, W]: every book member
+        replays the SAME historical bar each step (the joint law IS the
+        joint history's)."""
+        if sampler == "block_bootstrap":
+            nb = -(-num_bars // block_len)
+            starts = jax.random.randint(
+                km, (block_paths, nb), 0, n_hist - block_len)
+            offs = jnp.arange(block_len)
+            return (starts[:, :, None] + offs[None, None, :]).reshape(
+                block_paths, -1)[:, :num_bars]
+        return jax.random.randint(
+            km, (block_paths, num_bars), 0, n_hist)
+
+    def _boot_bars(idx, tab_row, s0s):
+        logc, logh, logl, logo, vol = tab_row
+        r = logc[idx]
+        log_prev = jnp.log(s0s) + jnp.concatenate(
+            [jnp.zeros((block_paths, 1), jnp.float32),
+             jnp.cumsum(r[:, :-1], axis=-1)], axis=-1)
+        return PG.PathBars(
+            open=jnp.exp(log_prev + logo[idx]),
+            high=jnp.exp(log_prev + logh[idx]),
+            low=jnp.exp(log_prev + logl[idx]),
+            close=jnp.exp(log_prev + r),
+            volume=vol[idx])
+
+    def _heston_bars(ks, z, zq, s0s):
+        """Full-truncation Euler from MIXED shocks (ops/pathgen.heston_paths
+        with the normals replaced by the factor combinations; the vol shock
+        correlates with the price shock through rho within each symbol)."""
+        v0, kappa, theta, xi, rho = (heston_vec[i] for i in range(5))
+        rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho))
+        z2 = rho * z + rho_perp * zq
+        dtf = jnp.float32(dt)
+
+        def step(carry, zs):
+            logp, v = carry
+            z_s, z_v = zs
+            v_pos = jnp.maximum(v, 0.0)
+            sig_bar = jnp.sqrt(v_pos * dtf)
+            logp_new = (logp + (jnp.float32(mu) - 0.5 * v_pos) * dtf
+                        + sig_bar * z_s)
+            v_new = (v + kappa * (theta - v_pos) * dtf
+                     + xi * sig_bar * z_v)
+            return (logp_new, v_new), (logp_new, sig_bar)
+
+        log_s0 = jnp.log(s0s)
+        init = (jnp.full((block_paths,), log_s0),
+                jnp.full((block_paths,), v0))
+        (_, _), (log_close_t, sig_bar_t) = jax.lax.scan(
+            step, init, (z.T, z2.T))
+        log_close = log_close_t.T
+        sig_bar = sig_bar_t.T
+        log_open = jnp.concatenate(
+            [jnp.full((block_paths, 1), log_s0), log_close[:, :-1]], axis=-1)
+        log_hi, log_lo = PG._bridge_extremes(
+            prng.key_for(ks, prng.STREAM_BRIDGE_HI),
+            prng.key_for(ks, prng.STREAM_BRIDGE_LO),
+            log_open, log_close, sig_bar * sig_bar)
+        vol = volume_model.volumes(
+            ks, z, num_paths=block_paths, num_bars=num_bars)
+        return PG.PathBars(
+            open=jnp.exp(log_open), high=jnp.exp(log_hi),
+            low=jnp.exp(log_lo), close=jnp.exp(log_close), volume=vol)
+
     def one_block(b):
         km = prng.key_for(key, prng.STREAM_MARKET, b)
-        z_m = jax.random.normal(km, (block_paths, num_bars), jnp.float32)
+        if bootstrap:
+            joint_idx = _joint_idx(km)
+            z_m = zq_m = None
+        else:
+            z_m = jax.random.normal(km, (block_paths, num_bars), jnp.float32)
+            zq_m = (jax.random.normal(
+                prng.key_for(key, prng.STREAM_MARKET, b, 1),
+                (block_paths, num_bars), jnp.float32)
+                if sampler == "heston" else None)
 
         def per_symbol(carry, xs):
             port_curve, trades_tot, wins_tot, losses_tot, open_any = carry
-            si, lv, s0s, sgs, bts, wts = xs
+            si, lv, s0s, sgs, bts, wts, tab_row = xs
             ks = prng.key_for(key, prng.STREAM_PATH, b, si)
-            eps = jax.random.normal(ks, (block_paths, num_bars), jnp.float32)
-            z = bts * z_m + jnp.sqrt(
-                jnp.maximum(0.0, 1.0 - bts * bts)) * eps
-            vol = volume_model.volumes(
-                ks, z, num_paths=block_paths, num_bars=num_bars)
-            bars = _bars_from_shocks(
-                z, prng.key_for(ks, prng.STREAM_BRIDGE_HI),
-                prng.key_for(ks, prng.STREAM_BRIDGE_LO),
-                s0=s0s, mu=mu, sigma=sgs, dt=dt, volume=vol)
+            if bootstrap:
+                bars = _boot_bars(joint_idx, tab_row, s0s)
+            else:
+                eps = jax.random.normal(
+                    ks, (block_paths, num_bars), jnp.float32)
+                perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - bts * bts))
+                z = bts * z_m + perp * eps
+                if sampler == "heston":
+                    zq_e = jax.random.normal(
+                        prng.key_for(ks, prng.STREAM_PATH, 3),
+                        (block_paths, num_bars), jnp.float32)
+                    zq = bts * zq_m + perp * zq_e
+                    bars = _heston_bars(ks, z, zq, s0s)
+                else:
+                    vol = volume_model.volumes(
+                        ks, z, num_paths=block_paths, num_bars=num_bars)
+                    bars = _bars_from_shocks(
+                        z, prng.key_for(ks, prng.STREAM_BRIDGE_HI),
+                        prng.key_for(ks, prng.STREAM_BRIDGE_LO),
+                        s0=s0s, mu=mu, sigma=sgs, dt=dt, volume=vol)
             tie = jax.random.uniform(
                 prng.key_for(ks, prng.STREAM_TIE_COIN),
                 (block_paths, num_bars), jnp.float32)
@@ -299,7 +447,7 @@ def portfolio_mc_engine(
          ys) = jax.lax.scan(
             per_symbol,
             (zero_curve, zi, zi, zi, jnp.zeros((block_paths,), bool)),
-            (sym_idx, levels, s0, sigma, beta, weights),
+            (sym_idx, levels, s0, sigma, beta, weights, tabs),
         )
         sym_stats, sym_skips, sym_escal = ys[:3]
         final = port_curve[-1]
