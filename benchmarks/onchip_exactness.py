@@ -949,6 +949,73 @@ def check_corr_samplers():
         pstats = _PS.from_lifecycle(equity=final, trades=tr, wins=wi,
                                     losses=lo, open_at_end=opn, max_dd=pdd)
         ok = _judge(f"corr-{mode}-portfolio", port, pstats) and ok
+
+    # ---- gated corr kernel cells (the fast book path) ----
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        GATED_SUB,
+        _gated_stride,
+        _heston_tuple as _gt_heston_tuple,
+        mc_paths_pallas_gated_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import (
+        GateConfig,
+        gated_path_replay,
+    )
+    from tests.test_corr_samplers import (
+        _gated_corr_boot_bars,
+        _gated_corr_heston_bars,
+    )
+
+    gate = GateConfig.from_params(params)
+    ghp = _gt_heston_tuple(HPARAMS, 0.0, dt)
+    ng = GATED_SUB * lanes
+    for mode in ("bootstrap", "heston"):
+        boot = mode == "bootstrap"
+        stride = _gated_stride(mode, False)
+        m_rows = 2 if boot else 4
+        u = rng.uniform(1e-6, 1.0, (2, 1, stride * (w // 2), GATED_SUB,
+                                    lanes)).astype(np.float32)
+        um = rng.uniform(1e-6, 1.0, (1, m_rows * (w // 2), GATED_SUB,
+                                     lanes)).astype(np.float32)
+        kw = (dict(sampler="bootstrap", hist_bars=hist2)
+              if boot else dict(sampler="heston", heston=HPARAMS))
+        sym, port = mc_paths_pallas_gated_corr(
+            0, lv2, params, s0, sg, beta, wts,
+            paths_per_symbol=ng, num_bars=w, lanes=lanes, dt=dt,
+            interpret=interp, external_uniforms=u, market_uniforms=um, **kw)
+        port_curve = jnp.zeros((w, ng), jnp.float32)
+        tr = jnp.zeros((ng,), jnp.int32)
+        wi, lo = tr, tr
+        opn = jnp.zeros((ng,), bool)
+        for s in range(2):
+            lv_s = jax.tree_util.tree_map(lambda x: x[s], lv2)
+            if boot:
+                hist_s = jax.tree_util.tree_map(lambda x: x[s], hist2)
+                bars, tie = _gated_corr_boot_bars(
+                    u[s, 0], um[0], hist_s, w, lanes, float(s0[s]))
+            else:
+                bars, tie = _gated_corr_heston_bars(
+                    u[s, 0], um[0], ghp, float(beta[s]), w, lanes,
+                    s0=float(s0[s]))
+            out, curve = gated_path_replay(bars, lv_s, params, gate, tie,
+                                           return_curve=True)
+            stats = _PS.from_lifecycle(
+                equity=out.equity, trades=out.trades, wins=out.wins,
+                losses=out.losses, open_at_end=out.open_at_end,
+                max_dd=out.max_dd)
+            ok = _judge(f"gated-corr-{mode}[{s}]", _slice_stats(sym, s),
+                        stats) and ok
+            port_curve = port_curve + wts[s] * curve
+            tr = tr + out.trades
+            wi = wi + out.wins
+            lo = lo + out.losses
+            opn = jnp.logical_or(opn, out.open_at_end)
+        final = port_curve[-1]
+        peak = jax.lax.cummax(jnp.maximum(port_curve, 0.0), axis=0)
+        pdd = jnp.max(peak - port_curve, axis=0)
+        pstats = _PS.from_lifecycle(equity=final, trades=tr, wins=wi,
+                                    losses=lo, open_at_end=opn, max_dd=pdd)
+        ok = _judge(f"gated-corr-{mode}-portfolio", port, pstats) and ok
     return ok
 
 

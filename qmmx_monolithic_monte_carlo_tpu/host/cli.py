@@ -686,9 +686,6 @@ def cmd_book(args):
         raise SystemExit("--harvest needs --engine (the label harvest rides "
                          "the full-engine ladder)")
     sampler = getattr(args, "sampler", "gbm")
-    if sampler != "gbm" and not engine:
-        raise SystemExit("book --sampler needs --engine (the gated book "
-                         "backends are gbm-only)")
     hist = None
     if sampler in ("bootstrap", "block_bootstrap"):
         import jax.numpy as jnp
@@ -740,14 +737,15 @@ def cmd_book(args):
                              f"{GATED_BLOCK} for the pallas corr kernel")
         sym, port = mc_paths_pallas_gated_corr(
             args.seed, lv, params, s0, sigma, beta, w,
-            paths_per_symbol=args.num_paths, num_bars=args.num_bars)
+            paths_per_symbol=args.num_paths, num_bars=args.num_bars,
+            **samp_kw)
     else:
         from ..parallel.portfolio import portfolio_mc
 
         sym, port = portfolio_mc(
             jax.random.key(args.seed), lv, params, s0, sigma, beta, w,
             num_paths=args.num_paths, num_bars=args.num_bars,
-            block_paths=min(args.num_paths, 1 << 13))
+            block_paths=min(args.num_paths, 1 << 13), **samp_kw)
     ml_refreshed = None
     if hv is not None:
         # the book-level flywheel: per-symbol LR refresh on labels harvested
@@ -1172,11 +1170,12 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["gbm", "bootstrap", "block_bootstrap",
                              "heston"],
                     default="gbm",
-                    help="with --engine: bootstrap family replays JOINT "
-                         "recorded days (shared resample indices — the "
-                         "book co-moves exactly as the joint history did; "
-                         "--bars-csv, real volumes); heston correlates "
-                         "price AND vol shocks through beta")
+                    help="bootstrap family replays JOINT recorded days "
+                         "(shared resample indices — the book co-moves "
+                         "exactly as the joint history did; --bars-csv, "
+                         "real volumes); heston correlates price AND vol "
+                         "shocks through beta (gated and --engine ladders, "
+                         "both backends)")
     bk.add_argument("--bars-csv", default=None,
                     help="recorded o/h/l/c/v history for bootstrap samplers "
                          "(shared geometry, rebased per symbol)")

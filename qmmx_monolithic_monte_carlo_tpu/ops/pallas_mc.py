@@ -1218,8 +1218,20 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
 
     def body(t2, st, first=False):
         if bootstrap:
-            z_pair = (draw(t2, 0), draw(t2, 1))      # per-bar index uniforms
-            ties = (draw(t2, 2), draw(t2, 3))
+            if corr is not None:
+                # JOINT recorded days (book semantics, ops/pallas_engine
+                # corr-bootstrap mirror): resample indices come from the
+                # SHARED market stream — every book member replays the SAME
+                # historical bar each step (beta unused; ties/noise stay
+                # idiosyncratic).  Market ks first (k == stride reseeds the
+                # market stream), then ties on ks 0/1 (k == 0 reseeds the
+                # per-symbol stream).
+                mk0 = _gated_stride(sampler, noise is not None)
+                z_pair = (draw(t2, mk0), draw(t2, mk0 + 1))
+            else:
+                z_pair = (draw(t2, 0), draw(t2, 1))  # per-bar index uniforms
+            ties = ((draw(t2, 0), draw(t2, 1)) if corr is not None
+                    else (draw(t2, 2), draw(t2, 3)))
             noise_k0 = 4
         else:
             if corr is not None:
@@ -1231,6 +1243,13 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                 mrad = jnp.sqrt(-2.0 * jnp.log(draw(t2, mk0)))
                 mang = _TWO_PI * draw(t2, mk0 + 1)
                 zm_pair = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
+                if hes:
+                    # second market pair: the variance shock's factor
+                    # component (market-wide vol regime)
+                    qmrad = jnp.sqrt(-2.0 * jnp.log(draw(t2, mk0 + 2)))
+                    qmang = _TWO_PI * draw(t2, mk0 + 3)
+                    zqm_pair = (qmrad * jnp.cos(qmang),
+                                qmrad * jnp.sin(qmang))
             u1 = draw(t2, 0)
             u2 = draw(t2, 1)
             radius = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -1250,6 +1269,10 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                 qangle = _TWO_PI * draw(t2, 3)
                 zq_pair = (qradius * jnp.cos(qangle),
                            qradius * jnp.sin(qangle))
+                if corr is not None:
+                    # one-factor vol co-movement, same beta loading as price
+                    zq_pair = (beta_s * zqm_pair[0] + perp * zq_pair[0],
+                               beta_s * zqm_pair[1] + perp * zq_pair[1])
                 noise_k0 = 10
         for half in range(2):
             t_f = (2 * t2 + half).astype(jnp.float32)
@@ -2384,7 +2407,8 @@ def _gated_corr_kernel(
     level_price_ref,   # VMEM (1, L, 128) f32 — THIS symbol's level slab
     level_valid_ref,   # VMEM (1, L, 128) f32
     level_kind_ref,    # VMEM (1, L, 128) f32
-    *refs,             # [um_ref, u_ref (external rng)], acc_ref, port_ref,
+    *refs,             # [hist_ref (bootstrap, THIS symbol's table slab)],
+                       # [um_ref, u_ref (external rng)], acc_ref, port_ref,
                        # curve_ref + 4 portfolio scratch tiles
     num_bars: int,
     max_levels: int,
@@ -2392,6 +2416,10 @@ def _gated_corr_kernel(
     lanes: int,
     external_rng: bool = False,
     use_noise: bool = False,
+    sampler: str = "gbm",
+    hist_len: int = 0,
+    block_len: int = 0,
+    heston=None,
 ):
     """Correlated gated universe (parallel/portfolio.py model) on a
     (block, symbol) grid — SYMBOL IS THE INNER AXIS so one path block's
@@ -2407,12 +2435,25 @@ def _gated_corr_kernel(
     ``curve_ref`` scratch; the last symbol folds the combined curve into
     the portfolio accumulator — final R histogram (→ VaR/CVaR of the BOOK)
     plus TRUE time-tracked portfolio drawdown (peak over the combined
-    curve), which no per-symbol aggregation can produce."""
+    curve), which no per-symbol aggregation can produce.
+
+    Samplers ride the market/idio split (ops/pallas_engine corr mirror):
+    bootstrap/block_bootstrap draw the resample indices from the MARKET
+    stream (JOINT recorded days); heston draws a SECOND market pair for
+    the variance shock's factor component."""
     s, b = GATED_SUB, lanes
-    stride = _gated_stride("gbm", use_noise)
+    stride = _gated_stride(sampler, use_noise)
+    m_stride = 4 if sampler == "heston" else 2
     bi = pl.program_id(0)
     si = pl.program_id(1)
     refs = list(refs)
+    if sampler in ("bootstrap", "block_bootstrap"):
+        hist_ref = refs.pop(0)
+        hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
+                                        ti * 128:(ti + 1) * 128],
+                hist_len)
+    else:
+        hist = None
     if external_rng:
         um_ref = refs.pop(0)
         u_ref = refs.pop(0)
@@ -2420,8 +2461,8 @@ def _gated_corr_kernel(
 
     if external_rng:
         def draw(t2, k):
-            if k >= stride:        # market pair rows (shared across symbols)
-                blk = um_ref[0, pl.ds(t2 * 2 + (k - stride), 1)]
+            if k >= stride:        # market rows (shared across symbols)
+                blk = um_ref[0, pl.ds(t2 * m_stride + (k - stride), 1)]
             else:
                 blk = u_ref[0, 0, pl.ds(t2 * stride + k, 1)]
             return blk.reshape(s, b)
@@ -2470,6 +2511,7 @@ def _gated_corr_kernel(
         max_levels=max_levels, lanes=lanes,
         noise=(tuple(sym_ref[0, 0, 5 + k] for k in range(4))
                if use_noise else None),
+        sampler=sampler, hist=hist, block_len=block_len, heston=heston,
         corr=sym_ref[0, 0, SYM_BETA],
         curve=(curve_ref, sym_ref[0, 0, SYM_WEIGHT]),
     )
@@ -2500,7 +2542,7 @@ def _gated_corr_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
-                     "interpret"),
+                     "sampler", "block_len", "heston", "interpret"),
 )
 def _mc_paths_pallas_gated_corr_jit(
     seed,
@@ -2518,9 +2560,14 @@ def _mc_paths_pallas_gated_corr_jit(
     lanes: int = GATED_LANES,
     noise=None,
     derived=None,
+    sampler: str = "gbm",
+    hist_bars=None,           # PathBars-like [S, H] (bootstrap family)
+    block_len: int = 0,
+    heston=None,              # static _heston_tuple (wrapper converts)
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, stride*(W//2), 8, lanes]
-    market_uniforms=None,     # f32[n_blocks, 2*(W//2), 8, lanes] (shared)
+    market_uniforms=None,     # f32[n_blocks, m*(W//2), 8, lanes] (shared;
+                              # m = 4 for heston, else 2)
     block_offset=0,           # global index of this launch's first block
                               # (sharded runs: device d passes its start)
 ):
@@ -2546,12 +2593,19 @@ def _mc_paths_pallas_gated_corr_jit(
     n_blocks = paths_per_symbol // block
     use_noise = noise is not None
     external_rng = external_uniforms is not None
-    stride = _gated_stride("gbm", use_noise)
+    stride = _gated_stride(sampler, use_noise)
+    m_stride = 4 if sampler == "heston" else 2
     u_rows = stride * (num_bars // 2)
+    if sampler in ("bootstrap", "block_bootstrap"):
+        hist, hist_len = _hist_slab_batched(hist_bars, lanes)
+    else:
+        hist, hist_len = None, 0
 
     kernel = functools.partial(
         _gated_corr_kernel, num_bars=num_bars, max_levels=n_lv, n_sym=n_sym,
         lanes=lanes, external_rng=external_rng, use_noise=use_noise,
+        sampler=sampler, hist_len=hist_len, block_len=block_len,
+        heston=heston,
     )
     gvec = jnp.stack([
         jnp.asarray(gate.q_min_prob, jnp.float32),
@@ -2588,7 +2642,10 @@ def _mc_paths_pallas_gated_corr_jit(
             pl.BlockSpec((1, n_lv, 128), lambda bi, si: (si, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([
-            pl.BlockSpec((1, 2 * (num_bars // 2), GATED_SUB, lanes),
+            pl.BlockSpec((1,) + hist.shape[1:], lambda bi, si: (si, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] if hist is not None else []) + ([
+            pl.BlockSpec((1, m_stride * (num_bars // 2), GATED_SUB, lanes),
                          lambda bi, si: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, u_rows, GATED_SUB, lanes),
@@ -2614,6 +2671,7 @@ def _mc_paths_pallas_gated_corr_jit(
         ],
         interpret=interpret,
     )(*((seed_arr, gvec, sym, lp, lv, lk)
+         + ((hist,) if hist is not None else ())
          + ((jnp.asarray(market_uniforms, jnp.float32),
              jnp.asarray(external_uniforms, jnp.float32))
             if external_rng else ())))
@@ -2623,10 +2681,25 @@ def _mc_paths_pallas_gated_corr_jit(
 
 def mc_paths_pallas_gated_corr(seed, levels, params, s0, sigma, beta,
                                weights, gate=None, *,
-                               dt=1.0 / (390.0 * 252.0), **kw):
+                               dt=1.0 / (390.0 * 252.0), sampler="gbm",
+                               hist_bars=None, block_len=10, heston=None,
+                               **kw):
     """Public correlated gated-universe entry (see
     ``_mc_paths_pallas_gated_corr_jit``): host-derives the per-symbol
-    constants (``_derived_consts``) like every universe shim."""
+    constants (``_derived_consts``) like every universe shim.  Samplers:
+    ``bootstrap``/``block_bootstrap`` replay JOINT recorded days (shared
+    market resample indices over each symbol's own [S, H] ``hist_bars``;
+    beta unused, ties idiosyncratic); ``heston`` beta-mixes the market
+    factor into both the price and the variance shocks."""
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError("gated corr kernel samplers: 'gbm' | 'bootstrap' | "
+                         "'block_bootstrap' | 'heston'")
+    if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
+        raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
+                         "recorded o/h/l/c/v histories, one row per symbol)")
     return _mc_paths_pallas_gated_corr_jit(
         seed, levels, params, s0, sigma, beta, weights, gate, dt=dt,
-        derived=_derived_consts(s0, sigma, dt), **kw)
+        derived=_derived_consts(s0, sigma, dt), sampler=sampler,
+        hist_bars=hist_bars,
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        heston=_heston_tuple(heston, 0.0, dt), **kw)

@@ -296,9 +296,6 @@ def sharded_mc_paths_pallas_corr(
         raise ValueError("pass either gate= or engine=True")
     if harvest and not engine:
         raise ValueError("harvest=True needs engine=True")
-    if sampler != "gbm" and not engine:
-        raise ValueError("sampler on the sharded book needs engine=True "
-                         "(the gated corr kernel is gbm-only)")
     if engine:
         from ..ops import guard as G
         from ..ops import touch as T
@@ -311,7 +308,9 @@ def sharded_mc_paths_pallas_corr(
         block = PE.ENGINE_SUB * lanes
     else:
         lanes = PK.GATED_LANES if lanes is None else lanes
-        kern = partial(PK.mc_paths_pallas_gated_corr, gate=gate, noise=noise)
+        kern = partial(PK.mc_paths_pallas_gated_corr, gate=gate, noise=noise,
+                       sampler=sampler, hist_bars=hist_bars,
+                       block_len=block_len, heston=heston)
         block = PK.GATED_SUB * lanes
 
     n_dev = mesh.shape[axis]

@@ -82,7 +82,98 @@ def _bars_from_shocks(z, khi, klo, *, s0, mu, sigma, dt,
                 else jnp.asarray(volume, jnp.float32)))
 
 
-@partial(jax.jit, static_argnames=("num_paths", "num_bars", "block_paths"))
+def _book_tables(hist_bars, n_sym):
+    """Per-symbol relative-geometry tables [S, H] (shared precompute with
+    every bootstrap backend — ops/pathgen.bootstrap_tables)."""
+    o_h = jnp.asarray(hist_bars.open, jnp.float32)
+    if o_h.ndim != 2:
+        raise ValueError("book bootstrap needs [S, H]-batched hist_bars")
+    vol_h = getattr(hist_bars, "volume", None)
+    vol_h = (jnp.zeros_like(o_h) if vol_h is None
+             else jnp.asarray(vol_h, jnp.float32))
+    tabs = jax.vmap(PG.bootstrap_tables)(
+        o_h, jnp.asarray(hist_bars.high, jnp.float32),
+        jnp.asarray(hist_bars.low, jnp.float32),
+        jnp.asarray(hist_bars.close, jnp.float32), vol_h)
+    return tabs, tabs[0].shape[1]
+
+
+def _joint_resample_idx(km, *, num_paths, num_bars, n_hist, block_len=0):
+    """Shared recorded-day resample indices [P, W]: every book member
+    replays the SAME historical bar each step (JOINT recorded days — the
+    book's joint law IS the joint history's)."""
+    if block_len:
+        nb = -(-num_bars // block_len)
+        starts = jax.random.randint(
+            km, (num_paths, nb), 0, n_hist - block_len)
+        offs = jnp.arange(block_len)
+        return (starts[:, :, None] + offs[None, None, :]).reshape(
+            num_paths, -1)[:, :num_bars]
+    return jax.random.randint(km, (num_paths, num_bars), 0, n_hist)
+
+
+def _boot_bars_from_idx(idx, tab_row, s0s, *, num_paths):
+    """Gather one symbol's channels at the shared indices and rebase onto
+    its own s0 (ops/pathgen.bootstrap_paths with given indices)."""
+    logc, logh, logl, logo, vol = tab_row
+    r = logc[idx]
+    log_prev = jnp.log(s0s) + jnp.concatenate(
+        [jnp.zeros((num_paths, 1), jnp.float32),
+         jnp.cumsum(r[:, :-1], axis=-1)], axis=-1)
+    return PG.PathBars(
+        open=jnp.exp(log_prev + logo[idx]),
+        high=jnp.exp(log_prev + logh[idx]),
+        low=jnp.exp(log_prev + logl[idx]),
+        close=jnp.exp(log_prev + r),
+        volume=vol[idx])
+
+
+def _heston_bars_from_shocks(ks, z, zq, s0s, heston_vec, *, mu, dt,
+                             num_paths):
+    """Full-truncation Euler from MIXED shocks (ops/pathgen.heston_paths
+    with the normals replaced by the factor combinations; the vol shock
+    correlates with the price shock through rho within each symbol).
+    Volume is zeros — engine callers overwrite it with the volume model."""
+    v0, kappa, theta, xi, rho = (heston_vec[i] for i in range(5))
+    rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho))
+    z2 = rho * z + rho_perp * zq
+    dtf = jnp.float32(dt)
+    num_bars = z.shape[1]
+
+    def step(carry, zs):
+        logp, v = carry
+        z_s, z_v = zs
+        v_pos = jnp.maximum(v, 0.0)
+        sig_bar = jnp.sqrt(v_pos * dtf)
+        logp_new = (logp + (jnp.float32(mu) - 0.5 * v_pos) * dtf
+                    + sig_bar * z_s)
+        v_new = v + kappa * (theta - v_pos) * dtf + xi * sig_bar * z_v
+        return (logp_new, v_new), (logp_new, sig_bar)
+
+    log_s0 = jnp.log(s0s)
+    init = (jnp.full((num_paths,), log_s0), jnp.full((num_paths,), v0))
+    (_, _), (log_close_t, sig_bar_t) = jax.lax.scan(step, init, (z.T, z2.T))
+    log_close = log_close_t.T
+    sig_bar = sig_bar_t.T
+    log_open = jnp.concatenate(
+        [jnp.full((num_paths, 1), log_s0), log_close[:, :-1]], axis=-1)
+    log_hi, log_lo = PG._bridge_extremes(
+        prng.key_for(ks, prng.STREAM_BRIDGE_HI),
+        prng.key_for(ks, prng.STREAM_BRIDGE_LO),
+        log_open, log_close, sig_bar * sig_bar)
+    return PG.PathBars(
+        open=jnp.exp(log_open), high=jnp.exp(log_hi),
+        low=jnp.exp(log_lo), close=jnp.exp(log_close),
+        volume=jnp.zeros((num_paths, num_bars), jnp.float32))
+
+
+def _heston_vec(heston):
+    h = dict(v0=0.04, kappa=3.0, theta=0.04, xi=0.6, rho=-0.7)
+    h.update(heston or {})
+    return jnp.asarray(
+        [h["v0"], h["kappa"], h["theta"], h["xi"], h["rho"]], jnp.float32)
+
+
 def portfolio_mc(
     key,
     levels: Levels,           # batched [S, L]
@@ -99,6 +190,10 @@ def portfolio_mc(
     dt: float = 1.0 / (390.0 * 252.0),
     mu: float = 0.0,
     block_paths: int = 1 << 13,
+    sampler: str = "gbm",
+    hist_bars=None,           # PathBars-like [S, H] (bootstrap family)
+    block_len: int = 10,
+    heston: dict | None = None,
 ) -> tuple[PathStats, PathStats]:
     """Correlated-universe gated MC: returns ([S] per-symbol PathStats,
     portfolio PathStats).
@@ -108,7 +203,34 @@ def portfolio_mc(
     ``cvar`` describe per-path portfolio total R, ``max_dd`` is the worst
     peak-tracked drawdown of the per-path portfolio equity CURVE, ``n_tp``/
     ``n_stop``/``sum_trades`` aggregate trades over the whole book, and
-    ``n_entered`` counts paths where ANY symbol traded."""
+    ``n_entered`` counts paths where ANY symbol traded.  Samplers follow
+    ``portfolio_mc_engine`` (JOINT recorded days / correlated heston)."""
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError("portfolio_mc samplers: 'gbm' | 'bootstrap' | "
+                         "'block_bootstrap' | 'heston'")
+    if sampler in ("bootstrap", "block_bootstrap"):
+        if hist_bars is None:
+            raise ValueError("sampler='bootstrap' requires hist_bars "
+                             "([S, H] recorded o/h/l/c/v histories)")
+    else:
+        hist_bars = None
+    return _portfolio_mc_impl(
+        key, levels, params, s0, sigma, beta, weights, gate, hist_bars,
+        _heston_vec(heston), num_paths=num_paths, num_bars=num_bars, dt=dt,
+        mu=mu, block_paths=block_paths, sampler=sampler,
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_paths", "num_bars", "block_paths", "sampler",
+                     "block_len"),
+)
+def _portfolio_mc_impl(
+    key, levels, params, s0, sigma, beta, weights, gate, hist_bars,
+    heston_vec, *,
+    num_paths, num_bars, dt, mu, block_paths, sampler, block_len,
+):
     if gate is None:
         gate = GateConfig.from_params(params)
     if num_paths % block_paths != 0:
@@ -121,21 +243,49 @@ def portfolio_mc(
     n_sym = s0.shape[0]
     sym_idx = jnp.arange(n_sym, dtype=jnp.uint32)
 
+    bootstrap = sampler in ("bootstrap", "block_bootstrap")
+    tabs, n_hist = _book_tables(hist_bars, n_sym) if bootstrap else (
+        tuple(jnp.zeros((n_sym, 1), jnp.float32) for _ in range(5)), 0)
+
     def one_block(b):
         km = prng.key_for(key, prng.STREAM_MARKET, b)
-        z_m = jax.random.normal(km, (block_paths, num_bars), jnp.float32)
+        if bootstrap:
+            joint_idx = _joint_resample_idx(
+                km, num_paths=block_paths, num_bars=num_bars, n_hist=n_hist,
+                block_len=block_len)
+            z_m = zq_m = None
+        else:
+            z_m = jax.random.normal(km, (block_paths, num_bars), jnp.float32)
+            zq_m = (jax.random.normal(
+                prng.key_for(key, prng.STREAM_MARKET, b, 1),
+                (block_paths, num_bars), jnp.float32)
+                if sampler == "heston" else None)
 
         def per_symbol(carry, xs):
             port_curve, trades_tot, wins_tot, losses_tot, open_any = carry
-            si, lv, s0s, sgs, bts, wts = xs
+            si, lv, s0s, sgs, bts, wts, tab_row = xs
             ks = prng.key_for(key, prng.STREAM_PATH, b, si)
-            eps = jax.random.normal(ks, (block_paths, num_bars), jnp.float32)
-            z = bts * z_m + jnp.sqrt(
-                jnp.maximum(0.0, 1.0 - bts * bts)) * eps
-            bars = _bars_from_shocks(
-                z, prng.key_for(ks, prng.STREAM_BRIDGE_HI),
-                prng.key_for(ks, prng.STREAM_BRIDGE_LO),
-                s0=s0s, mu=mu, sigma=sgs, dt=dt)
+            if bootstrap:
+                bars = _boot_bars_from_idx(joint_idx, tab_row, s0s,
+                                           num_paths=block_paths)
+            else:
+                eps = jax.random.normal(
+                    ks, (block_paths, num_bars), jnp.float32)
+                perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - bts * bts))
+                z = bts * z_m + perp * eps
+                if sampler == "heston":
+                    zq_e = jax.random.normal(
+                        prng.key_for(ks, prng.STREAM_PATH, 3),
+                        (block_paths, num_bars), jnp.float32)
+                    zq = bts * zq_m + perp * zq_e
+                    bars = _heston_bars_from_shocks(
+                        ks, z, zq, s0s, heston_vec, mu=mu, dt=dt,
+                        num_paths=block_paths)
+                else:
+                    bars = _bars_from_shocks(
+                        z, prng.key_for(ks, prng.STREAM_BRIDGE_HI),
+                        prng.key_for(ks, prng.STREAM_BRIDGE_LO),
+                        s0=s0s, mu=mu, sigma=sgs, dt=dt)
             tie = jax.random.uniform(
                 prng.key_for(ks, prng.STREAM_TIE_COIN),
                 (block_paths, num_bars), jnp.float32)
@@ -158,7 +308,7 @@ def portfolio_mc(
             jax.lax.scan(
                 per_symbol,
                 (zero_curve, zi, zi, zi, jnp.zeros((block_paths,), bool)),
-                (sym_idx, levels, s0, sigma, beta, weights),
+                (sym_idx, levels, s0, sigma, beta, weights, tabs),
             )
         )
         # portfolio curve → final R + TRUE time-tracked drawdown (peak over
@@ -257,12 +407,9 @@ def portfolio_mc_engine(
                              "([S, H] recorded o/h/l/c/v histories)")
     else:
         hist_bars = None
-    h = dict(v0=0.04, kappa=3.0, theta=0.04, xi=0.6, rho=-0.7)
-    h.update(heston or {})
-    heston_vec = jnp.asarray(
-        [h["v0"], h["kappa"], h["theta"], h["xi"], h["rho"]], jnp.float32)
     return _portfolio_mc_engine_impl(
-        key, levels, params, s0, sigma, beta, weights, hist_bars, heston_vec,
+        key, levels, params, s0, sigma, beta, weights, hist_bars,
+        _heston_vec(heston),
         num_paths=num_paths, num_bars=num_bars, dt=dt, mu=mu,
         block_paths=block_paths, policy=policy, ml_model=ml_model,
         touch_params=touch_params, guard_params=guard_params,
@@ -298,88 +445,25 @@ def _portfolio_mc_engine_impl(
     n_skip = len(enginepath.SKIP_REASONS)
 
     bootstrap = sampler in ("bootstrap", "block_bootstrap")
-    if bootstrap:
-        # per-symbol relative-geometry tables [S, H] (shared precompute with
-        # every bootstrap backend — ops/pathgen.bootstrap_tables)
-        vol_h = getattr(hist_bars, "volume", None)
-        o_h = jnp.asarray(hist_bars.open, jnp.float32)
-        if o_h.ndim != 2:
-            raise ValueError("book bootstrap needs [S, H]-batched hist_bars")
-        vol_h = (jnp.zeros_like(o_h) if vol_h is None
-                 else jnp.asarray(vol_h, jnp.float32))
-        tabs = jax.vmap(PG.bootstrap_tables)(
-            o_h, jnp.asarray(hist_bars.high, jnp.float32),
-            jnp.asarray(hist_bars.low, jnp.float32),
-            jnp.asarray(hist_bars.close, jnp.float32), vol_h)
-        n_hist = tabs[0].shape[1]
-    else:
-        tabs = tuple(jnp.zeros((n_sym, 1), jnp.float32) for _ in range(5))
+    tabs, n_hist = _book_tables(hist_bars, n_sym) if bootstrap else (
+        tuple(jnp.zeros((n_sym, 1), jnp.float32) for _ in range(5)), 0)
 
     def _joint_idx(km):
-        """Shared recorded-day resample indices [P, W]: every book member
-        replays the SAME historical bar each step (the joint law IS the
-        joint history's)."""
-        if sampler == "block_bootstrap":
-            nb = -(-num_bars // block_len)
-            starts = jax.random.randint(
-                km, (block_paths, nb), 0, n_hist - block_len)
-            offs = jnp.arange(block_len)
-            return (starts[:, :, None] + offs[None, None, :]).reshape(
-                block_paths, -1)[:, :num_bars]
-        return jax.random.randint(
-            km, (block_paths, num_bars), 0, n_hist)
+        return _joint_resample_idx(
+            km, num_paths=block_paths, num_bars=num_bars, n_hist=n_hist,
+            block_len=block_len if sampler == "block_bootstrap" else 0)
 
     def _boot_bars(idx, tab_row, s0s):
-        logc, logh, logl, logo, vol = tab_row
-        r = logc[idx]
-        log_prev = jnp.log(s0s) + jnp.concatenate(
-            [jnp.zeros((block_paths, 1), jnp.float32),
-             jnp.cumsum(r[:, :-1], axis=-1)], axis=-1)
-        return PG.PathBars(
-            open=jnp.exp(log_prev + logo[idx]),
-            high=jnp.exp(log_prev + logh[idx]),
-            low=jnp.exp(log_prev + logl[idx]),
-            close=jnp.exp(log_prev + r),
-            volume=vol[idx])
+        return _boot_bars_from_idx(idx, tab_row, s0s,
+                                   num_paths=block_paths)
 
     def _heston_bars(ks, z, zq, s0s):
-        """Full-truncation Euler from MIXED shocks (ops/pathgen.heston_paths
-        with the normals replaced by the factor combinations; the vol shock
-        correlates with the price shock through rho within each symbol)."""
-        v0, kappa, theta, xi, rho = (heston_vec[i] for i in range(5))
-        rho_perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho))
-        z2 = rho * z + rho_perp * zq
-        dtf = jnp.float32(dt)
-
-        def step(carry, zs):
-            logp, v = carry
-            z_s, z_v = zs
-            v_pos = jnp.maximum(v, 0.0)
-            sig_bar = jnp.sqrt(v_pos * dtf)
-            logp_new = (logp + (jnp.float32(mu) - 0.5 * v_pos) * dtf
-                        + sig_bar * z_s)
-            v_new = (v + kappa * (theta - v_pos) * dtf
-                     + xi * sig_bar * z_v)
-            return (logp_new, v_new), (logp_new, sig_bar)
-
-        log_s0 = jnp.log(s0s)
-        init = (jnp.full((block_paths,), log_s0),
-                jnp.full((block_paths,), v0))
-        (_, _), (log_close_t, sig_bar_t) = jax.lax.scan(
-            step, init, (z.T, z2.T))
-        log_close = log_close_t.T
-        sig_bar = sig_bar_t.T
-        log_open = jnp.concatenate(
-            [jnp.full((block_paths, 1), log_s0), log_close[:, :-1]], axis=-1)
-        log_hi, log_lo = PG._bridge_extremes(
-            prng.key_for(ks, prng.STREAM_BRIDGE_HI),
-            prng.key_for(ks, prng.STREAM_BRIDGE_LO),
-            log_open, log_close, sig_bar * sig_bar)
+        bars = _heston_bars_from_shocks(
+            ks, z, zq, s0s, heston_vec, mu=mu, dt=dt,
+            num_paths=block_paths)
         vol = volume_model.volumes(
             ks, z, num_paths=block_paths, num_bars=num_bars)
-        return PG.PathBars(
-            open=jnp.exp(log_open), high=jnp.exp(log_hi),
-            low=jnp.exp(log_lo), close=jnp.exp(log_close), volume=vol)
+        return bars._replace(volume=vol)
 
     def one_block(b):
         km = prng.key_for(key, prng.STREAM_MARKET, b)

@@ -500,3 +500,264 @@ def test_engine_corr_sampler_validation():
         mc_paths_pallas_engine_corr(
             0, lv, EngineParams.default(), S0, SG, BETA, WTS,
             paths_per_symbol=n, num_bars=8, lanes=128, sampler="cauchy")
+
+
+# ---- gated corr samplers ---------------------------------------------------
+# The fast book path (139M sym-paths/s on gbm) runs the same sampler set:
+# mirrors of the gated kernel's draw layouts with the market/idio split.
+
+def _gated_corr_boot_bars(u_s, um, hist_s, w, lanes, s0, block_len=None):
+    """Gated corr-kernel mirror: JOINT indices from the market rows (2 per
+    double-bar step), ties from idio rows 0/1 (stride 4)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        GATED_SUB,
+        _gated_stride,
+    )
+
+    logc, logh, logl, logo, _vol = PG.bootstrap_tables(
+        hist_s.open, hist_s.high, hist_s.low, hist_s.close, hist_s.volume)
+    hf = jnp.float32(logc.shape[0])
+    stride = _gated_stride("bootstrap", False)
+    log_s = jnp.full((GATED_SUB, lanes), jnp.float32(np.log(s0)))
+    cur = jnp.zeros((GATED_SUB, lanes), jnp.float32)
+    opens, closes, highs, lows, ties = [], [], [], [], []
+    for t in range(w):
+        t2, half = divmod(t, 2)
+        uu = jnp.asarray(um[2 * t2 + half], jnp.float32)     # MARKET index
+        tie = jnp.asarray(u_s[stride * t2 + half], jnp.float32)
+        if block_len is None:
+            idx = jnp.minimum(jnp.floor(uu * hf), hf - 1.0).astype(jnp.int32)
+        else:
+            bl = jnp.float32(block_len)
+            off = t % block_len
+            if off == 0:
+                cur = jnp.minimum(jnp.floor(uu * (hf - bl)), hf - bl - 1.0)
+            idx = (cur + jnp.float32(off)).astype(jnp.int32)
+        opens.append(jnp.exp(log_s + logo[idx]))
+        closes.append(jnp.exp(log_s + logc[idx]))
+        highs.append(jnp.exp(log_s + logh[idx]))
+        lows.append(jnp.exp(log_s + logl[idx]))
+        ties.append(tie)
+        log_s = log_s + logc[idx]
+
+    def flat(rows):
+        return jnp.stack(rows, axis=-1).reshape(GATED_SUB * lanes, w)
+
+    return PG.PathBars(open=flat(opens), high=flat(highs), low=flat(lows),
+                       close=flat(closes), volume=None), flat(ties)
+
+
+def _gated_corr_heston_bars(u_s, um, hp, beta, w, lanes, s0=100.0):
+    """Gated corr-kernel Heston mirror: market rows 4 per double-bar step
+    (price pair then variance pair); both shocks beta-mixed."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        GATED_SUB,
+        _gated_stride,
+    )
+
+    v0, kappa, theta, xi, rho, mu, dt = hp
+    rho_perp = float(np.sqrt(max(0.0, 1.0 - rho * rho)))
+    perp = jnp.float32(np.sqrt(max(0.0, 1.0 - beta * beta)))
+    beta = jnp.float32(beta)
+    stride = _gated_stride("heston", False)
+    dtf = jnp.float32(dt)
+    two_pi = 6.283185307179586
+    log_s = jnp.full((GATED_SUB, lanes), jnp.float32(np.log(s0)))
+    v = jnp.full((GATED_SUB, lanes), jnp.float32(v0))
+    opens, closes, highs, lows, ties = [], [], [], [], []
+    for t2 in range(w // 2):
+        blk = lambda k: jnp.asarray(u_s[stride * t2 + k], jnp.float32)
+        mblk = lambda k: jnp.asarray(um[4 * t2 + k], jnp.float32)
+        mrad = jnp.sqrt(-2.0 * jnp.log(mblk(0)))
+        mang = two_pi * mblk(1)
+        zm = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
+        qmrad = jnp.sqrt(-2.0 * jnp.log(mblk(2)))
+        qmang = two_pi * mblk(3)
+        zqm = (qmrad * jnp.cos(qmang), qmrad * jnp.sin(qmang))
+        rad = jnp.sqrt(-2.0 * jnp.log(blk(0)))
+        ang = two_pi * blk(1)
+        ze = (rad * jnp.cos(ang), rad * jnp.sin(ang))
+        z_pair = tuple(beta * zm[i] + perp * ze[i] for i in range(2))
+        qrad = jnp.sqrt(-2.0 * jnp.log(blk(2)))
+        qang = two_pi * blk(3)
+        zqe = (qrad * jnp.cos(qang), qrad * jnp.sin(qang))
+        zq_pair = tuple(beta * zqm[i] + perp * zqe[i] for i in range(2))
+        for half in range(2):
+            z, zq = z_pair[half], zq_pair[half]
+            u3 = blk(4 + 3 * half)
+            u4 = blk(5 + 3 * half)
+            tie = blk(6 + 3 * half)
+            v_pos = jnp.maximum(v, 0.0)
+            sig_bar = jnp.sqrt(v_pos * dtf)
+            log_open = log_s
+            log_close = (log_s + (jnp.float32(mu) - 0.5 * v_pos) * dtf
+                         + sig_bar * z)
+            sig2dt = v_pos * dtf
+            v = (v + jnp.float32(kappa) * (jnp.float32(theta) - v_pos) * dtf
+                 + jnp.float32(xi) * sig_bar
+                 * (jnp.float32(rho) * z + jnp.float32(rho_perp) * zq))
+            d2 = (log_close - log_open) ** 2
+            highs.append(jnp.exp(0.5 * (
+                log_open + log_close
+                + jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u3)))))
+            lows.append(jnp.exp(0.5 * (
+                log_open + log_close
+                - jnp.sqrt(d2 - 2.0 * sig2dt * jnp.log(u4)))))
+            opens.append(jnp.exp(log_open))
+            closes.append(jnp.exp(log_close))
+            ties.append(tie)
+            log_s = log_close
+
+    def flat(rows):
+        return jnp.stack(rows, axis=-1).reshape(GATED_SUB * lanes, w)
+
+    return PG.PathBars(open=flat(opens), high=flat(highs), low=flat(lows),
+                       close=flat(closes), volume=None), flat(ties)
+
+
+def _check_gated_book(sym, port, per_symbol, w, n, wts):
+    port_curve = jnp.zeros((w, n), jnp.float32)
+    tr = jnp.zeros((n,), jnp.int32)
+    wi, lo = tr, tr
+    opn = jnp.zeros((n,), bool)
+    for s, (out, curve) in enumerate(per_symbol):
+        stats = PathStats.from_lifecycle(
+            equity=out.equity, trades=out.trades, wins=out.wins,
+            losses=out.losses, open_at_end=out.open_at_end,
+            max_dd=out.max_dd)
+        for fld in ("n", "n_entered", "n_tp", "n_stop", "n_open",
+                    "sum_trades"):
+            assert float(getattr(sym, fld)[s]) == float(getattr(stats, fld)), (
+                s, fld)
+        np.testing.assert_array_equal(
+            np.asarray(sym.hist[s]), np.asarray(stats.hist))
+        port_curve = port_curve + wts[s] * curve
+        tr = tr + out.trades
+        wi = wi + out.wins
+        lo = lo + out.losses
+        opn = jnp.logical_or(opn, out.open_at_end)
+    final = port_curve[-1]
+    peak = jax.lax.cummax(jnp.maximum(port_curve, 0.0), axis=0)
+    pdd = jnp.max(peak - port_curve, axis=0)
+    pstats = PathStats.from_lifecycle(
+        equity=final, trades=tr, wins=wi, losses=lo, open_at_end=opn,
+        max_dd=pdd)
+    for fld in ("n", "n_entered", "n_tp", "n_stop", "n_open", "sum_trades"):
+        assert float(getattr(port, fld)) == float(getattr(pstats, fld)), fld
+    np.testing.assert_array_equal(
+        np.asarray(port.hist), np.asarray(pstats.hist))
+
+
+def test_gated_corr_bootstrap_exact():
+    """Gated corr kernel under JOINT recorded days == per-symbol
+    gated_path_replay + book combine (iid AND block form)."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        GATED_SUB,
+        _gated_stride,
+        mc_paths_pallas_gated_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import (
+        GateConfig,
+        gated_path_replay,
+    )
+
+    w, lanes = 16, 128
+    n = GATED_SUB * lanes
+    stride = _gated_stride("bootstrap", False)
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    hist2 = _stacked_histories([11, 23], 180)
+    params = EngineParams.default(stop_padding=0.25, tp_padding=0.18)
+    gate = GateConfig.from_params(params)
+    rng = np.random.default_rng(71)
+    for bl in (None, 4):
+        u = rng.uniform(1e-6, 1.0, (2, 1, stride * (w // 2), GATED_SUB,
+                                    lanes)).astype(np.float32)
+        um = rng.uniform(1e-6, 1.0, (1, 2 * (w // 2), GATED_SUB, lanes)
+                         ).astype(np.float32)
+        sym, port = mc_paths_pallas_gated_corr(
+            0, lv, params, S0, SG, BETA, WTS,
+            paths_per_symbol=n, num_bars=w, lanes=lanes,
+            sampler="bootstrap" if bl is None else "block_bootstrap",
+            hist_bars=hist2, block_len=bl or 10,
+            interpret=True, external_uniforms=u, market_uniforms=um)
+        per_symbol = []
+        for s in range(2):
+            lv_s = jax.tree_util.tree_map(lambda x: x[s], lv)
+            hist_s = jax.tree_util.tree_map(lambda x: x[s], hist2)
+            bars, tie = _gated_corr_boot_bars(
+                u[s, 0], um[0], hist_s, w, lanes, float(S0[s]), block_len=bl)
+            per_symbol.append(gated_path_replay(bars, lv_s, params, gate,
+                                                tie, return_curve=True))
+        _check_gated_book(sym, port, per_symbol, w, n, WTS)
+
+
+def test_gated_corr_heston_exact():
+    """Gated corr kernel under correlated Heston == per-symbol
+    gated_path_replay + book combine."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        GATED_SUB,
+        _gated_stride,
+        _heston_tuple as _gated_heston_tuple,
+        mc_paths_pallas_gated_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.sim.gatedpath import (
+        GateConfig,
+        gated_path_replay,
+    )
+
+    w, lanes = 16, 128
+    n = GATED_SUB * lanes
+    stride = _gated_stride("heston", False)
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    params = EngineParams.default(stop_padding=0.25, tp_padding=0.18)
+    gate = GateConfig.from_params(params)
+    hp = _gated_heston_tuple(HPARAMS, 0.0, DT)
+    rng = np.random.default_rng(73)
+    u = rng.uniform(1e-6, 1.0, (2, 1, stride * (w // 2), GATED_SUB, lanes)
+                    ).astype(np.float32)
+    um = rng.uniform(1e-6, 1.0, (1, 4 * (w // 2), GATED_SUB, lanes)
+                     ).astype(np.float32)
+    sym, port = mc_paths_pallas_gated_corr(
+        0, lv, params, S0, SG, BETA, WTS,
+        paths_per_symbol=n, num_bars=w, lanes=lanes,
+        sampler="heston", heston=HPARAMS,
+        interpret=True, external_uniforms=u, market_uniforms=um)
+    per_symbol = []
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv)
+        bars, tie = _gated_corr_heston_bars(u[s, 0], um[0], hp,
+                                            float(BETA[s]), w, lanes,
+                                            s0=float(S0[s]))
+        per_symbol.append(gated_path_replay(bars, lv_s, params, gate, tie,
+                                            return_curve=True))
+    _check_gated_book(sym, port, per_symbol, w, n, WTS)
+
+
+def test_portfolio_mc_gated_samplers_run():
+    """The XLA gated book accepts the sampler set: joint-days identity for
+    bootstrap, heston differs from gbm on the same key."""
+    from qmmx_monolithic_monte_carlo_tpu.parallel.portfolio import (
+        portfolio_mc,
+    )
+
+    lv = U.stack_levels([ROWS2[0], ROWS2[0]], max_levels=4)
+    hist2 = _stacked_histories([7, 7], 160)
+    params = EngineParams.default(stop_padding=0.25, tp_padding=0.18)
+    sym, port = portfolio_mc(
+        jax.random.key(5), lv, params,
+        np.array([100.0, 100.0], np.float32), SG, BETA, WTS,
+        num_paths=1 << 10, num_bars=16, block_paths=1 << 9,
+        sampler="bootstrap", hist_bars=hist2)
+    for fld in ("n", "n_entered", "sum_trades"):
+        assert float(getattr(sym, fld)[0]) == float(getattr(sym, fld)[1]), fld
+    lv2 = U.stack_levels(ROWS2, max_levels=4)
+    h_sym, h_port = portfolio_mc(
+        jax.random.key(5), lv2, params, S0, SG, BETA, WTS,
+        num_paths=1 << 9, num_bars=12, block_paths=1 << 9,
+        sampler="heston", heston=HPARAMS)
+    g_sym, g_port = portfolio_mc(
+        jax.random.key(5), lv2, params, S0, SG, BETA, WTS,
+        num_paths=1 << 9, num_bars=12, block_paths=1 << 9)
+    assert float(h_port.n) == float(1 << 9)
+    assert (float(h_port.sum_r) != float(g_port.sum_r)
+            or float(h_port.sum_trades) != float(g_port.sum_trades))
