@@ -702,7 +702,8 @@ def cmd_book(args):
     samp_kw = dict(
         sampler=sampler, hist_bars=hist,
         block_len=getattr(args, "block_len", 10),
-        heston=_heston_dict(args) if sampler == "heston" else None)
+        heston=_heston_dict(args) if sampler == "heston" else None,
+        antithetic=getattr(args, "antithetic", False))
     skips = escal = hv = None
     if engine and backend == "pallas":
         from ..ops.pallas_engine import ENGINE_BLOCK, mc_paths_pallas_engine_corr
@@ -1181,6 +1182,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(shared geometry, rebased per symbol)")
     bk.add_argument("--block-len", type=int, default=10,
                     help="block_bootstrap: contiguous run length")
+    bk.add_argument("--antithetic", action="store_true",
+                    help="antithetic book pairs: market AND idio shocks "
+                         "sign-flipped per pair (gbm only)")
     for k, dv in (("v0", 0.04), ("kappa", 3.0), ("theta", 0.04),
                   ("xi", 0.6), ("rho", -0.7)):
         bk.add_argument(f"--heston-{k}", type=float, default=dv,

@@ -330,6 +330,11 @@ def _engine_lifecycle_loop(
                 mrad = jnp.sqrt(-2.0 * jnp.log(draw(t2, mk0)))
                 mang = _TWO_PI * draw(t2, mk0 + 1)
                 zm_pair = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
+                if antithetic:
+                    # a true antithetic BOOK pair flips the market shock
+                    # too — flipping only the idio residual would leave the
+                    # pair beta-correlated instead of mirrored
+                    zm_pair = (_anti(zm_pair[0]), _anti(zm_pair[1]))
                 if hes:
                     # second market pair: the variance shock's factor
                     # component (market-wide vol regime — a selloff raises
@@ -2554,6 +2559,7 @@ def _engine_corr_kernel(
     hist_len: int = 0,
     block_len: int = 0,
     heston=None,
+    antithetic: bool = False,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -2662,7 +2668,7 @@ def _engine_corr_kernel(
         noise=(tuple(sym_ref[0, 0, 2 + 17 + k] for k in range(4))
                if use_noise else None),
         harvest=use_harvest, sampler=sampler, hist=hist,
-        block_len=block_len, heston=heston,
+        block_len=block_len, heston=heston, antithetic=antithetic,
         policy_off=policy_off, young_bars=young_bars,
         corr=beta_s, curve=(curve_ref, weight),
     )
@@ -2695,7 +2701,8 @@ def _engine_corr_kernel(
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
                      "volume_model", "escalation", "bar0_minute",
                      "policy_gate_disabled", "harvest", "sampler",
-                     "block_len", "heston", "young_bars", "interpret"),
+                     "block_len", "heston", "antithetic", "young_bars",
+                     "interpret"),
 )
 def _engine_corr_impl(
     seed, levels, params, s0, sigma, beta, weights, policy, ml_model,
@@ -2703,7 +2710,7 @@ def _engine_corr_impl(
     market_uniforms, derived, block_offset, *,
     paths_per_symbol, num_bars, dt, lanes, policy_gate_disabled, escalation,
     bar0_minute, volume_model, harvest, sampler, block_len, heston,
-    young_bars, interpret,
+    antithetic, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = paths_per_symbol // block
@@ -2726,7 +2733,7 @@ def _engine_corr_impl(
         n_sym=n_sym, lanes=lanes, vm=vm, escalation=escalation,
         external_rng=external_rng, use_noise=use_noise, use_harvest=harvest,
         sampler=sampler, hist_len=hist_len, block_len=block_len,
-        heston=heston,
+        heston=heston, antithetic=antithetic,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
@@ -2841,6 +2848,8 @@ def mc_paths_pallas_engine_corr(
     hist_bars=None,           # PathBars-like [S, H] o/h/l/c/v histories
     block_len: int = 10,      # block_bootstrap: contiguous run length
     heston=None,              # heston: dict(v0, kappa, theta, xi, rho)
+    antithetic: bool = False, # lane-paired sign-flipped normals — market
+                              # AND idio flipped (gbm only)
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, stride*(W//2), 8, lanes]
     market_uniforms=None,     # f32[n_blocks, m*(W//2), 8, lanes] (shared;
@@ -2907,6 +2916,10 @@ def mc_paths_pallas_engine_corr(
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c/v histories, one row per symbol)")
+    if antithetic and sampler != "gbm":
+        raise ValueError("kernel antithetic pairs gbm normals only")
+    if antithetic and lanes % 256 != 0:
+        raise ValueError("antithetic needs lanes % 256 == 0 (half-tile pairs)")
     return _engine_corr_impl(
         seed, levels, params, jnp.asarray(s0, jnp.float32),
         jnp.asarray(sigma, jnp.float32), jnp.asarray(beta, jnp.float32),
@@ -2919,6 +2932,7 @@ def mc_paths_pallas_engine_corr(
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
         block_len=int(block_len) if sampler == "block_bootstrap" else 0,
         heston=_heston_tuple(heston, 0.0, dt),
+        antithetic=bool(antithetic),
         young_bars=_young_bars(guard_params),
         interpret=interpret,
     )

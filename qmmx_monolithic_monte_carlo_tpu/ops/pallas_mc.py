@@ -1243,6 +1243,9 @@ def _gated_lifecycle_loop(draw, get_level, *, num_bars, drift, sig_dt, log_s0,
                 mrad = jnp.sqrt(-2.0 * jnp.log(draw(t2, mk0)))
                 mang = _TWO_PI * draw(t2, mk0 + 1)
                 zm_pair = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
+                if antithetic:
+                    # antithetic BOOK pairs flip the market shock too
+                    zm_pair = (_anti(zm_pair[0]), _anti(zm_pair[1]))
                 if hes:
                     # second market pair: the variance shock's factor
                     # component (market-wide vol regime)
@@ -2420,6 +2423,7 @@ def _gated_corr_kernel(
     hist_len: int = 0,
     block_len: int = 0,
     heston=None,
+    antithetic: bool = False,
 ):
     """Correlated gated universe (parallel/portfolio.py model) on a
     (block, symbol) grid — SYMBOL IS THE INNER AXIS so one path block's
@@ -2512,6 +2516,7 @@ def _gated_corr_kernel(
         noise=(tuple(sym_ref[0, 0, 5 + k] for k in range(4))
                if use_noise else None),
         sampler=sampler, hist=hist, block_len=block_len, heston=heston,
+        antithetic=antithetic,
         corr=sym_ref[0, 0, SYM_BETA],
         curve=(curve_ref, sym_ref[0, 0, SYM_WEIGHT]),
     )
@@ -2542,7 +2547,8 @@ def _gated_corr_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("paths_per_symbol", "num_bars", "dt", "lanes",
-                     "sampler", "block_len", "heston", "interpret"),
+                     "sampler", "block_len", "heston", "antithetic",
+                     "interpret"),
 )
 def _mc_paths_pallas_gated_corr_jit(
     seed,
@@ -2564,6 +2570,7 @@ def _mc_paths_pallas_gated_corr_jit(
     hist_bars=None,           # PathBars-like [S, H] (bootstrap family)
     block_len: int = 0,
     heston=None,              # static _heston_tuple (wrapper converts)
+    antithetic: bool = False, # market AND idio lane-flipped (gbm only)
     interpret=False,
     external_uniforms=None,   # f32[S, n_blocks, stride*(W//2), 8, lanes]
     market_uniforms=None,     # f32[n_blocks, m*(W//2), 8, lanes] (shared;
@@ -2605,7 +2612,7 @@ def _mc_paths_pallas_gated_corr_jit(
         _gated_corr_kernel, num_bars=num_bars, max_levels=n_lv, n_sym=n_sym,
         lanes=lanes, external_rng=external_rng, use_noise=use_noise,
         sampler=sampler, hist_len=hist_len, block_len=block_len,
-        heston=heston,
+        heston=heston, antithetic=antithetic,
     )
     gvec = jnp.stack([
         jnp.asarray(gate.q_min_prob, jnp.float32),
@@ -2683,7 +2690,7 @@ def mc_paths_pallas_gated_corr(seed, levels, params, s0, sigma, beta,
                                weights, gate=None, *,
                                dt=1.0 / (390.0 * 252.0), sampler="gbm",
                                hist_bars=None, block_len=10, heston=None,
-                               **kw):
+                               antithetic=False, **kw):
     """Public correlated gated-universe entry (see
     ``_mc_paths_pallas_gated_corr_jit``): host-derives the per-symbol
     constants (``_derived_consts``) like every universe shim.  Samplers:
@@ -2697,9 +2704,14 @@ def mc_paths_pallas_gated_corr(seed, levels, params, s0, sigma, beta,
     if sampler in ("bootstrap", "block_bootstrap") and hist_bars is None:
         raise ValueError("sampler='bootstrap' requires hist_bars ([S, H] "
                          "recorded o/h/l/c/v histories, one row per symbol)")
+    if antithetic and sampler != "gbm":
+        raise ValueError("kernel antithetic pairs gbm normals only")
+    if antithetic and kw.get("lanes", GATED_LANES) % 256 != 0:
+        raise ValueError("antithetic needs lanes % 256 == 0 (half-tile pairs)")
     return _mc_paths_pallas_gated_corr_jit(
         seed, levels, params, s0, sigma, beta, weights, gate, dt=dt,
         derived=_derived_consts(s0, sigma, dt), sampler=sampler,
         hist_bars=hist_bars,
         block_len=int(block_len) if sampler == "block_bootstrap" else 0,
-        heston=_heston_tuple(heston, 0.0, dt), **kw)
+        heston=_heston_tuple(heston, 0.0, dt), antithetic=bool(antithetic),
+        **kw)

@@ -269,11 +269,12 @@ def sharded_mc_paths_pallas_corr(
     gate=None,
     noise=None,
     harvest: bool = False,    # engine only: psum-merged EngineHarvest
-    sampler: str = "gbm",     # engine only: full sampler set (JOINT
-                              # recorded days / correlated heston)
+    sampler: str = "gbm",     # full sampler set (JOINT recorded days /
+                              # correlated heston), both lifecycles
     hist_bars=None,           # [S, H] histories, replicated to every device
     block_len: int = 10,
     heston=None,
+    antithetic: bool = False,
     axis: str = "paths",
     interpret=False,
     external_uniforms=None,   # f32[S, total_blocks, rows, 8, lanes]
@@ -303,6 +304,7 @@ def sharded_mc_paths_pallas_corr(
         kern = partial(PE.mc_paths_pallas_engine_corr, noise=noise,
                        harvest=harvest, sampler=sampler, hist_bars=hist_bars,
                        block_len=block_len, heston=heston,
+                       antithetic=antithetic,
                        touch_params=T.TouchMemoryParams.default(),
                        guard_params=G.GuardParams.default())
         block = PE.ENGINE_SUB * lanes
@@ -310,7 +312,8 @@ def sharded_mc_paths_pallas_corr(
         lanes = PK.GATED_LANES if lanes is None else lanes
         kern = partial(PK.mc_paths_pallas_gated_corr, gate=gate, noise=noise,
                        sampler=sampler, hist_bars=hist_bars,
-                       block_len=block_len, heston=heston)
+                       block_len=block_len, heston=heston,
+                       antithetic=antithetic)
         block = PK.GATED_SUB * lanes
 
     n_dev = mesh.shape[axis]

@@ -194,6 +194,7 @@ def portfolio_mc(
     hist_bars=None,           # PathBars-like [S, H] (bootstrap family)
     block_len: int = 10,
     heston: dict | None = None,
+    antithetic: bool = False,
 ) -> tuple[PathStats, PathStats]:
     """Correlated-universe gated MC: returns ([S] per-symbol PathStats,
     portfolio PathStats).
@@ -214,22 +215,41 @@ def portfolio_mc(
                              "([S, H] recorded o/h/l/c/v histories)")
     else:
         hist_bars = None
+    _check_antithetic(antithetic, sampler, block_paths)
     return _portfolio_mc_impl(
         key, levels, params, s0, sigma, beta, weights, gate, hist_bars,
         _heston_vec(heston), num_paths=num_paths, num_bars=num_bars, dt=dt,
         mu=mu, block_paths=block_paths, sampler=sampler,
-        block_len=int(block_len) if sampler == "block_bootstrap" else 0)
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        antithetic=bool(antithetic))
+
+
+def _check_antithetic(antithetic, sampler, block_paths):
+    if antithetic and sampler != "gbm":
+        raise ValueError("book antithetic pairs gbm normals only")
+    if antithetic and block_paths % 2 != 0:
+        raise ValueError("antithetic requires an even block_paths")
+
+
+def _anti_normal(key, num_paths, num_bars, antithetic):
+    """[P, W] normals; with ``antithetic`` the second half of the path axis
+    is the first half negated (ops/pathgen.gbm_paths pairing)."""
+    if not antithetic:
+        return jax.random.normal(key, (num_paths, num_bars), jnp.float32)
+    z = jax.random.normal(key, (num_paths // 2, num_bars), jnp.float32)
+    return jnp.concatenate([z, -z], axis=0)
 
 
 @partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "block_paths", "sampler",
-                     "block_len"),
+                     "block_len", "antithetic"),
 )
 def _portfolio_mc_impl(
     key, levels, params, s0, sigma, beta, weights, gate, hist_bars,
     heston_vec, *,
     num_paths, num_bars, dt, mu, block_paths, sampler, block_len,
+    antithetic=False,
 ):
     if gate is None:
         gate = GateConfig.from_params(params)
@@ -255,7 +275,7 @@ def _portfolio_mc_impl(
                 block_len=block_len)
             z_m = zq_m = None
         else:
-            z_m = jax.random.normal(km, (block_paths, num_bars), jnp.float32)
+            z_m = _anti_normal(km, block_paths, num_bars, antithetic)
             zq_m = (jax.random.normal(
                 prng.key_for(key, prng.STREAM_MARKET, b, 1),
                 (block_paths, num_bars), jnp.float32)
@@ -269,8 +289,8 @@ def _portfolio_mc_impl(
                 bars = _boot_bars_from_idx(joint_idx, tab_row, s0s,
                                            num_paths=block_paths)
             else:
-                eps = jax.random.normal(
-                    ks, (block_paths, num_bars), jnp.float32)
+                eps = _anti_normal(ks, block_paths, num_bars,
+                                   antithetic)
                 perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - bts * bts))
                 z = bts * z_m + perp * eps
                 if sampler == "heston":
@@ -364,6 +384,7 @@ def portfolio_mc_engine(
     hist_bars=None,           # PathBars-like [S, H] o/h/l/c/v histories
     block_len: int = 10,      # block_bootstrap: contiguous run length
     heston: dict | None = None,
+    antithetic: bool = False, # market AND idio shocks flipped (gbm only)
 ):
     """Correlated-universe MC under the FULL 12-gate engine.
 
@@ -407,6 +428,7 @@ def portfolio_mc_engine(
                              "([S, H] recorded o/h/l/c/v histories)")
     else:
         hist_bars = None
+    _check_antithetic(antithetic, sampler, block_paths)
     return _portfolio_mc_engine_impl(
         key, levels, params, s0, sigma, beta, weights, hist_bars,
         _heston_vec(heston),
@@ -416,20 +438,21 @@ def portfolio_mc_engine(
         policy_gate_disabled=policy_gate_disabled, escalation=escalation,
         bar0_minute=bar0_minute, volume_model=volume_model, harvest=harvest,
         sampler=sampler,
-        block_len=int(block_len) if sampler == "block_bootstrap" else 0)
+        block_len=int(block_len) if sampler == "block_bootstrap" else 0,
+        antithetic=bool(antithetic))
 
 
 @partial(
     jax.jit,
     static_argnames=("num_paths", "num_bars", "block_paths", "escalation",
                      "volume_model", "policy_gate_disabled", "harvest",
-                     "sampler", "block_len"),
+                     "sampler", "block_len", "antithetic"),
 )
 def _portfolio_mc_engine_impl(
     key, levels, params, s0, sigma, beta, weights, hist_bars, heston_vec, *,
     num_paths, num_bars, dt, mu, block_paths, policy, ml_model, touch_params,
     guard_params, policy_gate_disabled, escalation, bar0_minute,
-    volume_model, harvest, sampler, block_len,
+    volume_model, harvest, sampler, block_len, antithetic=False,
 ):
     if volume_model is None:
         volume_model = PG.VolumeModel()
@@ -471,7 +494,7 @@ def _portfolio_mc_engine_impl(
             joint_idx = _joint_idx(km)
             z_m = zq_m = None
         else:
-            z_m = jax.random.normal(km, (block_paths, num_bars), jnp.float32)
+            z_m = _anti_normal(km, block_paths, num_bars, antithetic)
             zq_m = (jax.random.normal(
                 prng.key_for(key, prng.STREAM_MARKET, b, 1),
                 (block_paths, num_bars), jnp.float32)
@@ -484,8 +507,8 @@ def _portfolio_mc_engine_impl(
             if bootstrap:
                 bars = _boot_bars(joint_idx, tab_row, s0s)
             else:
-                eps = jax.random.normal(
-                    ks, (block_paths, num_bars), jnp.float32)
+                eps = _anti_normal(ks, block_paths, num_bars,
+                                   antithetic)
                 perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - bts * bts))
                 z = bts * z_m + perp * eps
                 if sampler == "heston":

@@ -733,6 +733,92 @@ def test_gated_corr_heston_exact():
     _check_gated_book(sym, port, per_symbol, w, n, WTS)
 
 
+def test_engine_corr_antithetic_exact():
+    """Antithetic BOOK pairs: market AND idio shocks lane-flipped; the
+    fused corr kernel equals per-symbol replays of the mirrored tapes plus
+    the exact book combine."""
+    from .test_pallas_engine import _bars_from_uniforms
+
+    w, lanes = 12, 256
+    n = ENGINE_SUB * lanes
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    params = EngineParams.default(stop_padding=0.25, tp_padding=0.18)
+    rng = np.random.default_rng(79)
+    u = rng.uniform(1e-6, 1.0, (2, 1, 10 * (w // 2), ENGINE_SUB, lanes)
+                    ).astype(np.float32)
+    um = rng.uniform(1e-6, 1.0, (1, 2 * (w // 2), ENGINE_SUB, lanes)
+                     ).astype(np.float32)
+    sym, port, skips, escal = mc_paths_pallas_engine_corr(
+        0, lv, params, S0, SG, BETA, WTS,
+        paths_per_symbol=n, num_bars=w, lanes=lanes, antithetic=True,
+        interpret=True, external_uniforms=u, market_uniforms=um)
+    per_symbol = []
+    for s in range(2):
+        lv_s = jax.tree_util.tree_map(lambda x: x[s], lv)
+        bars, tie = _bars_from_uniforms(
+            u[s, 0], float(SG[s]), lanes=lanes, w=w, s0=float(S0[s]),
+            um=um[0], beta=float(BETA[s]), antithetic=True)
+        per_symbol.append(EP.engine_path_replay(bars, lv_s, params, tie,
+                                                return_curve=True))
+    _check_book(sym, port, skips, escal, per_symbol, w, n, WTS)
+    # the pair structure is real: with beta=1 (pure market) and fresh-only
+    # bridge draws suppressed there is nothing to check beyond exactness —
+    # but antithetic must NOT equal the plain run
+    p_sym, _, _, _ = mc_paths_pallas_engine_corr(
+        0, lv, params, S0, SG, BETA, WTS,
+        paths_per_symbol=n, num_bars=w, lanes=lanes,
+        interpret=True, external_uniforms=u, market_uniforms=um)
+    assert (float(p_sym.sum_r[0]) != float(sym.sum_r[0])
+            or float(p_sym.sum_trades[0]) != float(sym.sum_trades[0]))
+
+
+def test_book_antithetic_validation():
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    hist2 = _stacked_histories([11, 23], 160)
+    from qmmx_monolithic_monte_carlo_tpu.ops.pallas_mc import (
+        mc_paths_pallas_gated_corr,
+    )
+    from qmmx_monolithic_monte_carlo_tpu.parallel.portfolio import (
+        portfolio_mc_engine,
+    )
+
+    with pytest.raises(ValueError, match="gbm"):
+        mc_paths_pallas_engine_corr(
+            0, lv, EngineParams.default(), S0, SG, BETA, WTS,
+            paths_per_symbol=ENGINE_SUB * 256, num_bars=8, lanes=256,
+            sampler="bootstrap", hist_bars=hist2, antithetic=True)
+    with pytest.raises(ValueError, match="lanes"):
+        mc_paths_pallas_gated_corr(
+            0, lv, EngineParams.default(), S0, SG, BETA, WTS,
+            paths_per_symbol=8 * 128, num_bars=8, lanes=128,
+            antithetic=True)
+    with pytest.raises(ValueError, match="gbm"):
+        portfolio_mc_engine(
+            jax.random.key(0), lv, EngineParams.default(), S0, SG, BETA,
+            WTS, num_paths=512, num_bars=8, block_paths=512,
+            sampler="heston", antithetic=True)
+
+
+def test_portfolio_mc_engine_antithetic_runs():
+    """XLA book antithetic: n preserved, pairs flip market+idio (differs
+    from the plain run on the same key)."""
+    from qmmx_monolithic_monte_carlo_tpu.parallel.portfolio import (
+        portfolio_mc_engine,
+    )
+
+    lv = U.stack_levels(ROWS2, max_levels=4)
+    params = EngineParams.default(stop_padding=0.25, tp_padding=0.18)
+    a_sym, a_port, _, _ = portfolio_mc_engine(
+        jax.random.key(9), lv, params, S0, SG, BETA, WTS,
+        num_paths=1 << 10, num_bars=12, block_paths=1 << 9, antithetic=True)
+    p_sym, p_port, _, _ = portfolio_mc_engine(
+        jax.random.key(9), lv, params, S0, SG, BETA, WTS,
+        num_paths=1 << 10, num_bars=12, block_paths=1 << 9)
+    assert float(a_port.n) == float(p_port.n) == float(1 << 10)
+    assert (float(a_port.sum_r) != float(p_port.sum_r)
+            or float(a_port.sum_trades) != float(p_port.sum_trades))
+
+
 def test_portfolio_mc_gated_samplers_run():
     """The XLA gated book accepts the sampler set: joint-days identity for
     bootstrap, heston differs from gbm on the same key."""

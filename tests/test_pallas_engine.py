@@ -74,6 +74,12 @@ def _bars_from_uniforms(u, sigma, lanes=LANES, vm=VM, with_noise=False,
                                                        jnp.float32)))
             mang = 6.283185307179586 * jnp.asarray(um[2 * t2 + 1], jnp.float32)
             zm_pair = (mrad * jnp.cos(mang), mrad * jnp.sin(mang))
+            if antithetic:
+                # antithetic BOOK pairs flip the market shock too
+                half_l = lanes // 2
+                zm_pair = tuple(
+                    jnp.concatenate([z[:, :half_l], -z[:, :half_l]], axis=1)
+                    for z in zm_pair)
             bta = jnp.float32(beta)
             perp = jnp.sqrt(jnp.maximum(jnp.float32(0.0), 1.0 - bta * bta))
             z_pair = (bta * zm_pair[0] + perp * z_pair[0],
