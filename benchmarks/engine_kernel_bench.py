@@ -92,7 +92,7 @@ def main():
 
     for lanes in args.lanes:
         modes = ([("full", {}), ("gen", {"gen_only": True}),
-                  ("no_d", {"skip_d": True})]
+                  ("no_d", {"skip_d": True}), ("nofold", {"no_fold": True})]
                  if args.stage_split else [("full", {})])
         for mode, mkw in modes:
             gen_only = mode == "gen"

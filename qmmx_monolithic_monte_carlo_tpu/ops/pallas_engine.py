@@ -1308,6 +1308,24 @@ def _engine_accumulate(acc_ref, pre: tuple, final, *, n_paths: int) -> None:
         acc_ref[row(ROW_HARVEST)] += hvec
 
 
+def _engine_keepalive(acc_ref, final) -> None:
+    """Roofline probe half of ``no_fold``: keep every final-state channel
+    live with one (1, 128) slice-add per tile — no cross-lane reductions,
+    no histogram, no min/max — so Mosaic cannot dead-code the engine loop
+    while the fold's cost is excluded.  Output stats are meaningless; the
+    mode exists to measure what `_engine_accumulate` costs (RESULTS.md
+    §4g / ROADMAP item 0)."""
+    side, equity, dd, trades, wins, losses, escal, skips, hstate = final
+    v = jnp.zeros((1, 128), jnp.float32)
+    for ch in ((side, equity, dd, trades, wins, losses, escal)
+               + tuple(skips) + tuple(hstate)):
+        # consume EVERY lane half (a 0:128 slice alone lets Mosaic
+        # dead-code the other vreg of the whole upstream dataflow)
+        for off in range(0, ch.shape[1], 128):
+            v = v + ch[0:1, off:off + 128]
+    acc_ref[ROW_SUM:ROW_SUM + 1, :] += v
+
+
 def _engine_kernel(
     seed_ref,          # SMEM (1,1) i32
     eng_ref,           # SMEM (1,ENG_COLS) f32 engine knobs + noise stds
@@ -1338,6 +1356,7 @@ def _engine_kernel(
     antithetic: bool = False,
     gen_only: bool = False,
     skip_d: bool = False,
+    no_fold: bool = False,
     policy_off: bool = False,
     young_bars: int = 0,
 ):
@@ -1386,7 +1405,10 @@ def _engine_kernel(
     def _init():
         _init_acc(acc_ref)
 
-    _engine_accumulate(acc_ref, (), final, n_paths=s * b)
+    if no_fold:
+        _engine_keepalive(acc_ref, final)
+    else:
+        _engine_accumulate(acc_ref, (), final, n_paths=s * b)
 
 
 ENG_COLS = 21   # 17 engine knobs + 4 execution-noise stds (zero when off)
@@ -1529,6 +1551,8 @@ def mc_paths_pallas_engine(
     antithetic: bool = False, # lane-paired sign-flipped normals (gbm only)
     gen_only: bool = False,   # roofline mode: generate bars, skip the engine
     skip_d: bool = False,     # roofline mode: skip the minute-close pipeline
+    no_fold: bool = False,    # roofline mode: full engine, skip the fold
+                              # (keepalive slice-adds only; stats meaningless)
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, stride*ceil(num_bars/2), 8, lanes]
 ):
@@ -1588,7 +1612,7 @@ def mc_paths_pallas_engine(
         volume_model=volume_model, harvest=bool(harvest), sampler=sampler,
         block_len=int(block_len) if sampler == "block_bootstrap" else 0,
         heston=_heston_tuple(heston, mu, dt), antithetic=bool(antithetic),
-        gen_only=bool(gen_only), skip_d=bool(skip_d),
+        gen_only=bool(gen_only), skip_d=bool(skip_d), no_fold=bool(no_fold),
         young_bars=_young_bars(guard_params), interpret=interpret,
     )
 
@@ -1602,7 +1626,7 @@ def mc_paths_pallas_engine(
     static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "volume_model", "escalation", "bar0_minute",
                      "policy_gate_disabled", "harvest", "sampler", "block_len",
-                     "heston", "antithetic", "gen_only", "skip_d",
+                     "heston", "antithetic", "gen_only", "skip_d", "no_fold",
                      "young_bars", "interpret"),
 )
 def _engine_impl(
@@ -1610,7 +1634,7 @@ def _engine_impl(
     noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
     sigma, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
     volume_model, harvest, sampler, block_len, heston, antithetic, gen_only,
-    skip_d, young_bars, interpret,
+    skip_d, no_fold, young_bars, interpret,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1634,7 +1658,8 @@ def _engine_impl(
         escalation=escalation, external_rng=external_rng, use_noise=use_noise,
         use_harvest=harvest, sampler=sampler, hist_len=hist_len,
         block_len=block_len, heston=heston, antithetic=antithetic,
-        gen_only=gen_only, skip_d=skip_d, policy_off=bool(policy_gate_disabled),
+        gen_only=gen_only, skip_d=skip_d, no_fold=no_fold,
+        policy_off=bool(policy_gate_disabled),
         young_bars=young_bars,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
