@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
+
 import jax.numpy as jnp
 from flax import struct
 
@@ -64,6 +66,9 @@ def parse_prob_threshold(raw) -> float:
     return val
 
 
+_ENGINE_DEFAULT_CACHE: dict = {}
+
+
 @struct.dataclass
 class EngineParams:
     """Device pytree of the engine's numeric knobs (defaults = reference defaults)."""
@@ -87,6 +92,26 @@ class EngineParams:
 
     @classmethod
     def default(cls, **overrides) -> "EngineParams":
+        # cache by (override items, default backend) when the values are
+        # hashable scalars — eager jnp scalar creation over the axon tunnel
+        # is ~3-8 ms/op and hot MC wrappers build defaults per launch (see
+        # ops/guard.GuardParams.default); sweep builders passing arrays
+        # fall through to the uncached path
+        try:
+            key = (tuple(sorted(overrides.items())), jax.default_backend())
+            hash(key)
+        except TypeError:
+            key = None
+        if key is not None:
+            cached = _ENGINE_DEFAULT_CACHE.get(key)
+            if cached is None:
+                cached = cls._build_default(**overrides)
+                _ENGINE_DEFAULT_CACHE[key] = cached
+            return cached
+        return cls._build_default(**overrides)
+
+    @classmethod
+    def _build_default(cls, **overrides) -> "EngineParams":
         vals = dict(
             contact_prox=0.05,
             cooldown_s=8.0,

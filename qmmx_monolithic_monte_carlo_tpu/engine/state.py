@@ -10,6 +10,9 @@ mutate live state).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -183,12 +186,9 @@ class MlModel:
 
     @classmethod
     def absent(cls) -> "MlModel":
-        return cls(
-            coef=jnp.zeros((4,), jnp.float32),
-            intercept=jnp.float32(0.0),
-            n_features=jnp.int32(4),
-            present=jnp.asarray(False),
-        )
+        # cached singleton per default backend (eager scalar creation over
+        # the axon tunnel is ~3-8 ms/op; see ops/guard.GuardParams.default)
+        return _ml_absent(jax.default_backend())
 
     @classmethod
     def from_weights(cls, coef, intercept, n_features: int = 4) -> "MlModel":
@@ -200,3 +200,13 @@ class MlModel:
             n_features=jnp.int32(n_features),
             present=jnp.asarray(True),
         )
+
+
+@functools.lru_cache(maxsize=None)
+def _ml_absent(backend: str) -> "MlModel":
+    return MlModel(
+        coef=jnp.zeros((4,), jnp.float32),
+        intercept=jnp.float32(0.0),
+        n_features=jnp.int32(4),
+        present=jnp.asarray(False),
+    )

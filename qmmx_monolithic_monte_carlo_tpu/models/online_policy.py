@@ -16,6 +16,8 @@ event stream — updates are order-dependent (true SGD), so a scan, not a mean.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -39,13 +41,22 @@ class PolicyParams:
     @classmethod
     def init(cls, lr: float = 0.03, l2: float = 1e-6,
              use_perceptron: bool = False, dim: int = POLICY_FEATURE_DIM) -> "PolicyParams":
-        return cls(
-            w_entry=jnp.zeros((len(ENTRY_ACTIONS), dim), jnp.float32),
-            w_exit=jnp.zeros((len(EXIT_ACTIONS), dim), jnp.float32),
-            lr=jnp.float32(lr),
-            l2=jnp.float32(l2),
-            use_perceptron=jnp.asarray(use_perceptron),
-        )
+        # cached per (args, default backend): eager scalar creation over the
+        # axon tunnel is ~3-8 ms/op (see ops/guard.GuardParams.default)
+        return _policy_init(float(lr), float(l2), bool(use_perceptron),
+                            int(dim), jax.default_backend())
+
+
+@functools.lru_cache(maxsize=None)
+def _policy_init(lr: float, l2: float, use_perceptron: bool, dim: int,
+                 backend: str) -> "PolicyParams":
+    return PolicyParams(
+        w_entry=jnp.zeros((len(ENTRY_ACTIONS), dim), jnp.float32),
+        w_exit=jnp.zeros((len(EXIT_ACTIONS), dim), jnp.float32),
+        lr=jnp.float32(lr),
+        l2=jnp.float32(l2),
+        use_perceptron=jnp.asarray(use_perceptron),
+    )
 
 
 def _sigmoid_clamped(z):

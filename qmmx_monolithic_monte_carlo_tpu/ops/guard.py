@@ -9,6 +9,9 @@ the carry; the 60-minute window is a mask over the ring.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -36,15 +39,24 @@ class GuardParams:
 
     @classmethod
     def default(cls) -> "GuardParams":
-        return cls(
-            box_lookback_ms=jnp.int32(60 * 60_000),
-            min_bars=jnp.int32(30),
-            compression_bp=jnp.float32(18.0),
-            vol_short=jnp.int32(5),
-            vol_long=jnp.int32(20),
-            vol_k=jnp.float32(1.40),
-            reenter_clear_bars=jnp.int32(3),
-        )
+        # cached singleton (per default backend): eager jnp scalar creation
+        # costs ~3-8 ms/op over the axon tunnel, and the hot MC wrappers
+        # construct defaults per launch — fresh scalars each call were
+        # ~120 ms/launch of pure host dispatch (benchmarks/gen_gap_bisect.py)
+        return _default_guard_params(jax.default_backend())
+
+
+@functools.lru_cache(maxsize=None)
+def _default_guard_params(backend: str) -> "GuardParams":
+    return GuardParams(
+        box_lookback_ms=jnp.int32(60 * 60_000),
+        min_bars=jnp.int32(30),
+        compression_bp=jnp.float32(18.0),
+        vol_short=jnp.int32(5),
+        vol_long=jnp.int32(20),
+        vol_k=jnp.float32(1.40),
+        reenter_clear_bars=jnp.int32(3),
+    )
 
 
 @struct.dataclass

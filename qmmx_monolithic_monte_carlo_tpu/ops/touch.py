@@ -21,6 +21,9 @@ slot index, which differs only in that aliasing corner (documented, not replicat
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -96,16 +99,23 @@ class TouchMemoryParams:
 
     @classmethod
     def default(cls) -> "TouchMemoryParams":
-        return cls(
-            tol_bps=jnp.float32(8.0),
-            min_time_gap_ms=jnp.int32(180_000),
-            min_price_gap_bps=jnp.float32(4.0),
-            decay=jnp.float32(0.85),
-            max_bounces=jnp.int32(2),
-            fatigue_hits=jnp.int32(3),
-            fatigue_window_ms=jnp.int32(30 * 60_000),
-            fatigue_vol_k=jnp.float32(1.20),
-        )
+        # cached singleton per default backend (eager scalar creation over
+        # the axon tunnel is ~3-8 ms/op; see ops/guard.GuardParams.default)
+        return _default_touch_params(jax.default_backend())
+
+
+@functools.lru_cache(maxsize=None)
+def _default_touch_params(backend: str) -> "TouchMemoryParams":
+    return TouchMemoryParams(
+        tol_bps=jnp.float32(8.0),
+        min_time_gap_ms=jnp.int32(180_000),
+        min_price_gap_bps=jnp.float32(4.0),
+        decay=jnp.float32(0.85),
+        max_bounces=jnp.int32(2),
+        fatigue_hits=jnp.int32(3),
+        fatigue_window_ms=jnp.int32(30 * 60_000),
+        fatigue_vol_k=jnp.float32(1.20),
+    )
 
 
 @struct.dataclass
