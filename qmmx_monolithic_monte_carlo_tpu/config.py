@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from .utils import tracectx
+
 # Full settings-key inventory of the reference (SURVEY.md §5; sources cited per key).
 SETTINGS_DEFAULTS: dict[str, str] = {
     "symbol": "SPY",                      # :2037
@@ -97,11 +99,15 @@ class EngineParams:
         # is ~3-8 ms/op and hot MC wrappers build defaults per launch (see
         # ops/guard.GuardParams.default); sweep builders passing arrays
         # fall through to the uncached path
-        try:
-            key = (tuple(sorted(overrides.items())), jax.default_backend())
-            hash(key)
-        except TypeError:
+        if not tracectx.eager():     # never cache under a trace
             key = None
+        else:
+            try:
+                key = (tuple(sorted(overrides.items())),
+                       jax.default_backend())
+                hash(key)
+            except TypeError:
+                key = None
         if key is not None:
             cached = _ENGINE_DEFAULT_CACHE.get(key)
             if cached is None:

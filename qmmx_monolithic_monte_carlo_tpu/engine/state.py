@@ -19,6 +19,7 @@ from flax import struct
 from ..ops.guard import GuardState
 from ..ops.touch import ContactState, TouchMemoryState
 from ..types import DIR_UNKNOWN, SIDE_FLAT
+from ..utils import tracectx
 
 # recent_bars buffer length (reference trims to 240, :1822)
 RECENT_BARS = 240
@@ -187,7 +188,10 @@ class MlModel:
     @classmethod
     def absent(cls) -> "MlModel":
         # cached singleton per default backend (eager scalar creation over
-        # the axon tunnel is ~3-8 ms/op; see ops/guard.GuardParams.default)
+        # the axon tunnel is ~3-8 ms/op; see ops/guard.GuardParams.default);
+        # never cached under a trace (utils/tracectx)
+        if not tracectx.eager():
+            return _build_ml_absent()
         return _ml_absent(jax.default_backend())
 
     @classmethod
@@ -204,6 +208,10 @@ class MlModel:
 
 @functools.lru_cache(maxsize=None)
 def _ml_absent(backend: str) -> "MlModel":
+    return _build_ml_absent()
+
+
+def _build_ml_absent() -> "MlModel":
     return MlModel(
         coef=jnp.zeros((4,), jnp.float32),
         intercept=jnp.float32(0.0),

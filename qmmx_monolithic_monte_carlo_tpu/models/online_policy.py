@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..ops.features import POLICY_FEATURE_DIM
+from ..utils import tracectx
 
 ENTRY_ACTIONS = ("go_long", "go_short", "skip")
 EXIT_ACTIONS = ("exit_now", "hold")
@@ -42,7 +43,11 @@ class PolicyParams:
     def init(cls, lr: float = 0.03, l2: float = 1e-6,
              use_perceptron: bool = False, dim: int = POLICY_FEATURE_DIM) -> "PolicyParams":
         # cached per (args, default backend): eager scalar creation over the
-        # axon tunnel is ~3-8 ms/op (see ops/guard.GuardParams.default)
+        # axon tunnel is ~3-8 ms/op (see ops/guard.GuardParams.default);
+        # never cached under a trace (utils/tracectx)
+        if not tracectx.eager():
+            return _build_policy_init(float(lr), float(l2),
+                                      bool(use_perceptron), int(dim))
         return _policy_init(float(lr), float(l2), bool(use_perceptron),
                             int(dim), jax.default_backend())
 
@@ -50,6 +55,11 @@ class PolicyParams:
 @functools.lru_cache(maxsize=None)
 def _policy_init(lr: float, l2: float, use_perceptron: bool, dim: int,
                  backend: str) -> "PolicyParams":
+    return _build_policy_init(lr, l2, use_perceptron, dim)
+
+
+def _build_policy_init(lr: float, l2: float, use_perceptron: bool,
+                       dim: int) -> "PolicyParams":
     return PolicyParams(
         w_entry=jnp.zeros((len(ENTRY_ACTIONS), dim), jnp.float32),
         w_exit=jnp.zeros((len(EXIT_ACTIONS), dim), jnp.float32),

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..types import SIDE_LONG, SIDE_SHORT
+from ..utils import tracectx
 
 REGIME_UNKNOWN = 0
 REGIME_ACCUMULATION = 1
@@ -42,12 +43,14 @@ class GuardParams:
         # cached singleton (per default backend): eager jnp scalar creation
         # costs ~3-8 ms/op over the axon tunnel, and the hot MC wrappers
         # construct defaults per launch — fresh scalars each call were
-        # ~120 ms/launch of pure host dispatch (benchmarks/gen_gap_bisect.py)
+        # ~120 ms/launch of pure host dispatch (benchmarks/gen_gap_bisect.py).
+        # NEVER cache under a trace (tracers would leak; utils/tracectx)
+        if not tracectx.eager():
+            return _build_default_guard()
         return _default_guard_params(jax.default_backend())
 
 
-@functools.lru_cache(maxsize=None)
-def _default_guard_params(backend: str) -> "GuardParams":
+def _build_default_guard() -> "GuardParams":
     return GuardParams(
         box_lookback_ms=jnp.int32(60 * 60_000),
         min_bars=jnp.int32(30),
@@ -57,6 +60,11 @@ def _default_guard_params(backend: str) -> "GuardParams":
         vol_k=jnp.float32(1.40),
         reenter_clear_bars=jnp.int32(3),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _default_guard_params(backend: str) -> "GuardParams":
+    return _build_default_guard()
 
 
 @struct.dataclass

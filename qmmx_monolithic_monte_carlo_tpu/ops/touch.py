@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..types import Levels
+from ..utils import tracectx
 
 # sides for LevelTouchMemory arrays
 TM_LONG = 0
@@ -100,12 +101,19 @@ class TouchMemoryParams:
     @classmethod
     def default(cls) -> "TouchMemoryParams":
         # cached singleton per default backend (eager scalar creation over
-        # the axon tunnel is ~3-8 ms/op; see ops/guard.GuardParams.default)
+        # the axon tunnel is ~3-8 ms/op; see ops/guard.GuardParams.default);
+        # never cached under a trace (utils/tracectx)
+        if not tracectx.eager():
+            return _build_default_touch()
         return _default_touch_params(jax.default_backend())
 
 
 @functools.lru_cache(maxsize=None)
 def _default_touch_params(backend: str) -> "TouchMemoryParams":
+    return _build_default_touch()
+
+
+def _build_default_touch() -> "TouchMemoryParams":
     return TouchMemoryParams(
         tol_bps=jnp.float32(8.0),
         min_time_gap_ms=jnp.int32(180_000),
