@@ -51,8 +51,11 @@ def should_exit(
     """``should_exit`` (:754-895).  The reference's early ``return hold`` guards
     (no levels / not near / no volume trend) become a combined hold mask."""
     price = jnp.asarray(current_price, jnp.float32)
-    idx, dist = F.nearest_level(levels, price)
-    level_price = levels.price[idx]
+    # winner's price rides the running-min select — a [P]-indexed gather here
+    # runs every bar of the scaled scan (ops/features.nearest_level_full).
+    # Invalid-winner price is 0.0 instead of the raw table row; every consumer
+    # is gated on level_valid/can_decide, which require a valid nearest level.
+    idx, dist, level_price, _ = F.nearest_level_full(levels, price)
     has_levels = levels.count > 0
     near = dist <= proximity_window
 

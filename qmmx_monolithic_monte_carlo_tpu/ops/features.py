@@ -51,6 +51,32 @@ def nearest_level(levels: Levels, price) -> tuple[jnp.ndarray, jnp.ndarray]:
     return best_i, best_d
 
 
+def nearest_level_full(levels: Levels, price):
+    """``nearest_level`` that also selects the winner's price and kind through
+    the same running-min — no ``table[idx]`` gather afterwards.  A [P]-indexed
+    gather is the same TPU trap as the argmin (see above): the round-4 XLA
+    diet bisect measured the per-(path)-gather forms at ~70% of the whole
+    engine pipeline (benchmarks/xla_diet_bisect.py).  Returns
+    (idx, dist, level_price, level_kind) — price 0.0 where invalid (matching
+    ``where(valid, price, 0)`` tables), kind i32."""
+    price = jnp.asarray(price, jnp.float32)
+    best_d = jnp.full(price.shape, _INF, jnp.float32)
+    best_i = jnp.zeros(price.shape, jnp.int32)
+    best_px = jnp.zeros(price.shape, jnp.float32)
+    best_k = jnp.zeros(price.shape, jnp.int32)
+    kind = jnp.asarray(levels.kind, jnp.int32)
+    for i in range(levels.max_levels):
+        d = jnp.abs(price - levels.price[..., i])
+        d = jnp.where(levels.valid[..., i], d, _INF)
+        better = d < best_d
+        best_d = jnp.where(better, d, best_d)
+        best_i = jnp.where(better, i, best_i)
+        px_i = jnp.where(levels.valid[..., i], levels.price[..., i], 0.0)
+        best_px = jnp.where(better, px_i, best_px)
+        best_k = jnp.where(better, kind[..., i], best_k)
+    return best_i, best_d, best_px, best_k
+
+
 def confluence_count(levels: Levels, anchor_price, within) -> jnp.ndarray:
     """Number of valid levels within ``within`` of ``anchor_price`` (includes the
     anchor level itself, exactly like :1886)."""

@@ -94,6 +94,69 @@ class RegularGuardState:
         )
 
 
+def _regime_update(
+    params: G.GuardParams,
+    *,
+    price_now,             # f32[P] — this bar's close
+    box_low_w, box_high_w,  # f32[P] — 60-min window extremes incl. this bar
+    vol_ma_s, s_def, vol_ma_l, l_def,  # guard window MAs (:1279-1283)
+    n_win,                 # i32 — bars in the window after this push
+    box_low, box_high, box_valid, regime, inside_count,  # prior scalars [P]
+):
+    """_update_state (:1284-1339) on precomputed window stats — the shared
+    regime machine body behind ``guard_push`` and ``lean_guard_push``.
+    Returns the five updated guard scalars."""
+    box_height = box_high_w - box_low_w
+    compress_thresh = price_now * (params.compression_bp / 10000.0)
+    mas_ok = jnp.logical_and(
+        jnp.logical_and(s_def, vol_ma_s != 0.0), jnp.logical_and(l_def, vol_ma_l != 0.0)
+    )
+
+    in_breakout = jnp.logical_or(
+        regime == G.REGIME_BREAKOUT_UP, regime == G.REGIME_BREAKOUT_DOWN
+    )
+    compressed = box_height <= jnp.maximum(1e-6, compress_thresh)
+
+    regime = jnp.where(
+        compressed,
+        jnp.where(in_breakout, regime, G.REGIME_ACCUMULATION),
+        jnp.where(in_breakout, regime, G.REGIME_UNKNOWN),
+    )
+    box_low = jnp.where(compressed, box_low_w, box_low)
+    box_high = jnp.where(compressed, box_high_w, box_high)
+    box_valid = jnp.logical_or(compressed, box_valid)
+
+    spike = jnp.logical_and(mas_ok, vol_ma_s > params.vol_k * vol_ma_l)
+    can_check = jnp.logical_and(box_valid, mas_ok)
+    up = jnp.logical_and(can_check, jnp.logical_and(price_now > box_high + 1e-6, spike))
+    down = jnp.logical_and(
+        can_check,
+        jnp.logical_and(jnp.logical_not(up), jnp.logical_and(price_now < box_low - 1e-6, spike)),
+    )
+    regime = jnp.where(up, G.REGIME_BREAKOUT_UP,
+                       jnp.where(down, G.REGIME_BREAKOUT_DOWN, regime))
+    inside_count = jnp.where(jnp.logical_or(up, down), 0, inside_count)
+
+    in_breakout2 = jnp.logical_or(
+        regime == G.REGIME_BREAKOUT_UP, regime == G.REGIME_BREAKOUT_DOWN
+    )
+    inside = jnp.logical_and(box_low <= price_now, price_now <= box_high)
+    do_track = jnp.logical_and(in_breakout2, box_valid)
+    inside_count = jnp.where(
+        do_track, jnp.where(inside, inside_count + 1, 0), inside_count
+    )
+    cleared = jnp.logical_and(
+        do_track, jnp.logical_and(inside, inside_count >= params.reenter_clear_bars)
+    )
+    regime = jnp.where(cleared, G.REGIME_ACCUMULATION, regime)
+
+    too_few = n_win < params.min_bars
+    regime = jnp.where(too_few, G.REGIME_UNKNOWN, regime)
+    box_valid = jnp.where(too_few, False, box_valid)
+    inside_count = jnp.where(too_few, 0, inside_count)
+    return box_low, box_high, box_valid, regime, inside_count
+
+
 def guard_push(
     st: RegularGuardState,
     params: G.GuardParams,
@@ -119,8 +182,6 @@ def guard_push(
     price_now = c[..., 0]
     box_low_w = jnp.min(jnp.where(in_win, l, jnp.inf), axis=-1)
     box_high_w = jnp.max(jnp.where(in_win, h, -jnp.inf), axis=-1)
-    box_height = box_high_w - box_low_w
-    compress_thresh = price_now * (params.compression_bp / 10000.0)
 
     def win_tail_mean(k):
         # guard-internal MA (:1279-1283): defined only when the window holds
@@ -132,55 +193,118 @@ def guard_push(
 
     vol_ma_s, s_def = win_tail_mean(params.vol_short)
     vol_ma_l, l_def = win_tail_mean(params.vol_long)
-    mas_ok = jnp.logical_and(
-        jnp.logical_and(s_def, vol_ma_s != 0.0), jnp.logical_and(l_def, vol_ma_l != 0.0)
-    )
 
-    in_breakout = jnp.logical_or(
-        st.regime == G.REGIME_BREAKOUT_UP, st.regime == G.REGIME_BREAKOUT_DOWN
+    box_low, box_high, box_valid, regime, inside_count = _regime_update(
+        params, price_now=price_now, box_low_w=box_low_w, box_high_w=box_high_w,
+        vol_ma_s=vol_ma_s, s_def=s_def, vol_ma_l=vol_ma_l, l_def=l_def,
+        n_win=n_win, box_low=st.box_low, box_high=st.box_high,
+        box_valid=st.box_valid, regime=st.regime, inside_count=st.inside_count,
     )
-    compressed = box_height <= jnp.maximum(1e-6, compress_thresh)
-
-    regime = jnp.where(
-        compressed,
-        jnp.where(in_breakout, st.regime, G.REGIME_ACCUMULATION),
-        jnp.where(in_breakout, st.regime, G.REGIME_UNKNOWN),
-    )
-    box_low = jnp.where(compressed, box_low_w, st.box_low)
-    box_high = jnp.where(compressed, box_high_w, st.box_high)
-    box_valid = jnp.logical_or(compressed, st.box_valid)
-
-    spike = jnp.logical_and(mas_ok, vol_ma_s > params.vol_k * vol_ma_l)
-    can_check = jnp.logical_and(box_valid, mas_ok)
-    up = jnp.logical_and(can_check, jnp.logical_and(price_now > box_high + 1e-6, spike))
-    down = jnp.logical_and(
-        can_check,
-        jnp.logical_and(jnp.logical_not(up), jnp.logical_and(price_now < box_low - 1e-6, spike)),
-    )
-    regime = jnp.where(up, G.REGIME_BREAKOUT_UP,
-                       jnp.where(down, G.REGIME_BREAKOUT_DOWN, regime))
-    inside_count = jnp.where(jnp.logical_or(up, down), 0, st.inside_count)
-
-    in_breakout2 = jnp.logical_or(
-        regime == G.REGIME_BREAKOUT_UP, regime == G.REGIME_BREAKOUT_DOWN
-    )
-    inside = jnp.logical_and(box_low <= price_now, price_now <= box_high)
-    do_track = jnp.logical_and(in_breakout2, box_valid)
-    inside_count = jnp.where(
-        do_track, jnp.where(inside, inside_count + 1, 0), inside_count
-    )
-    cleared = jnp.logical_and(
-        do_track, jnp.logical_and(inside, inside_count >= params.reenter_clear_bars)
-    )
-    regime = jnp.where(cleared, G.REGIME_ACCUMULATION, regime)
-
-    too_few = n_win < params.min_bars
-    regime = jnp.where(too_few, G.REGIME_UNKNOWN, regime)
-    box_valid = jnp.where(too_few, False, box_valid)
-    inside_count = jnp.where(too_few, 0, inside_count)
-
     return RegularGuardState(
         high=h, low=l, close=c, volume=v,
+        box_low=box_low, box_high=box_high, box_valid=box_valid,
+        regime=regime, inside_count=inside_count,
+    )
+
+
+# --------------------------------------------------------------------------
+# lean guard: the fused kernel's windowed form, for the streaming XLA pipeline
+# --------------------------------------------------------------------------
+
+@struct.dataclass
+class LeanGuardState:
+    """Ring-free guard state for the scaled scan pipelines (ROADMAP r5 item 2:
+    ``RegularGuardState`` carries 4×64-slot f32 rings ≈ 1 KB/path through every
+    scan step; the decisions only need the 60-min window EXTREMES and volume
+    MAs the caller's bar ring already holds).  Mirrors the fused kernel's
+    layout (ops/pallas_engine.py run_low/run_high): running extremes when the
+    whole horizon fits inside the window, 61-slot extreme rings otherwise
+    (min/max are exactly order-free, so both forms are bitwise the window
+    min/max).  ``run_low/run_high`` are f32[P] (running) or
+    f32[P, GUARD_WINDOW_BARS] (windowed) — ±inf sentinels are the reduction
+    identities, so unfilled slots need no masking."""
+
+    run_low: jnp.ndarray   # f32[P] | f32[P, 61]
+    run_high: jnp.ndarray  # f32[P] | f32[P, 61]
+    box_low: jnp.ndarray   # f32[P]
+    box_high: jnp.ndarray  # f32[P]
+    box_valid: jnp.ndarray  # bool[P]
+    regime: jnp.ndarray    # i32[P] (G.REGIME_*)
+    inside_count: jnp.ndarray  # i32[P]
+
+    @classmethod
+    def zeros(cls, p: int, *, windowed: bool) -> "LeanGuardState":
+        shape = (p, GUARD_WINDOW_BARS) if windowed else (p,)
+        return cls(
+            run_low=jnp.full(shape, jnp.inf, jnp.float32),
+            run_high=jnp.full(shape, -jnp.inf, jnp.float32),
+            box_low=jnp.zeros((p,), jnp.float32),
+            box_high=jnp.zeros((p,), jnp.float32),
+            box_valid=jnp.zeros((p,), bool),
+            regime=jnp.full((p,), G.REGIME_UNKNOWN, jnp.int32),
+            inside_count=jnp.zeros((p,), jnp.int32),
+        )
+
+
+def lean_guard_push(
+    st: LeanGuardState,
+    params: G.GuardParams,
+    *,
+    bar_index,             # i32 — bars pushed BEFORE this one (0 for the first)
+    high, low, close,      # f32[P]
+    vol_ring,              # f32[P, R] newest-first, ALREADY holding this bar
+) -> LeanGuardState:
+    """``guard_push`` without the carried bar rings: extremes from the running
+    min/max (or 61-slot extreme rings), volume MAs from the caller's shared
+    newest-first volume ring (``ring_v`` in sim/enginepath — slot 0 must
+    already hold this bar's volume).
+
+    Bitwise-exact vs ``guard_push`` (tests/test_regular.py) provided the
+    guard's vol windows fit the caller's ring (``vol_short``/``vol_long`` <=
+    ``vol_ring.shape[-1]``; the reference hardcodes 5/20, :1250): the masked
+    sum below zero-pads the ring to GUARD_RING slots, so the summed array —
+    and hence XLA's reduction — is elementwise identical to guard_push's."""
+    h = jnp.asarray(high, jnp.float32)
+    l = jnp.asarray(low, jnp.float32)
+    c = jnp.asarray(close, jnp.float32)
+    n = jnp.asarray(bar_index, jnp.int32) + 1          # bars now held
+    n_win = jnp.minimum(n, GUARD_WINDOW_BARS)
+
+    windowed = st.run_low.ndim == 2
+    if windowed:
+        run_low = ring_push(st.run_low, l)
+        run_high = ring_push(st.run_high, h)
+        box_low_w = jnp.min(run_low, axis=-1)
+        box_high_w = jnp.max(run_high, axis=-1)
+    else:
+        run_low = jnp.minimum(st.run_low, l)
+        run_high = jnp.maximum(st.run_high, h)
+        box_low_w = run_low
+        box_high_w = run_high
+
+    r = vol_ring.shape[-1]
+    v = (jnp.pad(vol_ring, ((0, 0), (0, GUARD_RING - r)))
+         if r < GUARD_RING else vol_ring[..., :GUARD_RING])
+    slot = jnp.arange(GUARD_RING)
+    in_win = slot[None, :] < n_win
+
+    def win_tail_mean(k):
+        sel = jnp.logical_and(in_win, slot[None, :] < k)
+        s = jnp.sum(jnp.where(sel, v, 0.0), axis=-1)
+        defined = n_win >= k
+        return jnp.where(defined, s / jnp.maximum(k, 1).astype(jnp.float32), 0.0), defined
+
+    vol_ma_s, s_def = win_tail_mean(params.vol_short)
+    vol_ma_l, l_def = win_tail_mean(params.vol_long)
+
+    box_low, box_high, box_valid, regime, inside_count = _regime_update(
+        params, price_now=c, box_low_w=box_low_w, box_high_w=box_high_w,
+        vol_ma_s=vol_ma_s, s_def=s_def, vol_ma_l=vol_ma_l, l_def=l_def,
+        n_win=n_win, box_low=st.box_low, box_high=st.box_high,
+        box_valid=st.box_valid, regime=st.regime, inside_count=st.inside_count,
+    )
+    return LeanGuardState(
+        run_low=run_low, run_high=run_high,
         box_low=box_low, box_high=box_high, box_valid=box_valid,
         regime=regime, inside_count=inside_count,
     )
@@ -336,12 +460,22 @@ def touch_allow(
     side,        # i32[P] (T.TM_LONG / T.TM_SHORT)
     now_ms,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """allow_trade_at (:1222-1239), batched gather over (level, side)."""
-    p = st.count.shape[0]
-    rows = jnp.arange(p)
-    cnt = st.count[rows, level_idx, side]
-    last_ts = st.last_ts[rows, level_idx, side]
-    has = st.has_last[rows, level_idx, side]
+    """allow_trade_at (:1222-1239), batched select over (level, side).
+
+    One-hot masked reductions instead of ``st.count[arange(P), idx, side]``:
+    XLA lowers that per-path advanced-indexing gather catastrophically on TPU
+    — the round-4 diet bisect measured it at ~70% of the ENTIRE engine
+    pipeline (benchmarks/xla_diet_bisect.py ``no_tallow``).  Integer/bool
+    sums over a one-hot mask are bitwise the gathered element."""
+    l = st.count.shape[1]
+    sel = jnp.logical_and(
+        jnp.arange(l, dtype=jnp.int32)[None, :, None]
+        == jnp.asarray(level_idx, jnp.int32)[:, None, None],
+        jnp.arange(2, dtype=jnp.int32)[None, None, :]
+        == jnp.asarray(side, jnp.int32)[:, None, None])        # [P, L, 2]
+    cnt = jnp.sum(jnp.where(sel, st.count, 0), axis=(1, 2))
+    last_ts = jnp.sum(jnp.where(sel, st.last_ts, 0), axis=(1, 2))
+    has = jnp.any(jnp.logical_and(sel, st.has_last), axis=(1, 2))
     budget_blocked = cnt >= params.max_bounces
     cooldown_blocked = jnp.logical_and(
         has, (jnp.asarray(now_ms, jnp.int32) - last_ts) < params.min_time_gap_ms

@@ -164,7 +164,6 @@ def engine_path_replay(
     n_lvl = levels.max_levels
     lvl_iota = jnp.arange(n_lvl, dtype=jnp.int32)
     lvl_price_f = jnp.where(levels.valid, levels.price, 0.0)
-    lvl_kind = jnp.asarray(levels.kind, jnp.int32)
     has_levels = levels.count > 0
     cooldown_ms = (jnp.asarray(params.cooldown_s, jnp.float32) * 1000.0).astype(jnp.int32)
     bar0_minute = jnp.asarray(bar0_minute, jnp.int32)
@@ -272,10 +271,10 @@ def engine_path_replay(
             DIR_UNKNOWN,
         ).astype(jnp.int32)
         reason = first_fail(reason, direction == DIR_UNKNOWN, Reason.DIR_UNKNOWN)
-        # 6) nearest level / TOO_FAR (:1543-1555)
-        idx, dist = F.nearest_level(levels, c)
-        lvlp = lvl_price_f[idx]
-        lvlk = lvl_kind[idx]
+        # 6) nearest level / TOO_FAR (:1543-1555) — winner's price/kind ride
+        # the running-min select (a [P]-indexed table gather is a TPU trap,
+        # ops/features.nearest_level_full)
+        idx, dist, lvlp, lvlk = F.nearest_level_full(levels, c)
         reason = first_fail(reason, dist > params.contact_prox, Reason.TOO_FAR)
 
         # 7) contact latch + LEVEL_OVERTOUCHED (:1557-1587); the latch mutates
@@ -293,7 +292,9 @@ def engine_path_replay(
         latch_new = jnp.logical_and(latch_new, levels.valid[None, :])
         c_counts = jnp.where(reached7[:, None], counts_new, c_counts)
         c_latch = jnp.where(reached7[:, None], latch_new, c_latch)
-        tc = jnp.take_along_axis(c_counts, idx[:, None], axis=1)[:, 0]
+        # one-hot select, not take_along_axis: per-path gathers are the TPU
+        # trap the diet bisect flagged (i32 masked sum == the gathered element)
+        tc = jnp.sum(jnp.where(is_nearest, c_counts, 0), axis=1)
         reason = first_fail(reason, tc >= params.overtouch_limit,
                             Reason.LEVEL_OVERTOUCHED)
 
@@ -433,8 +434,8 @@ def engine_path_replay(
         n_after = t + 1
         vol_ma_s = R.tail_mean_minclose(ring_v, n_after, 5)
         vol_ma_l = R.tail_mean_minclose(ring_v, n_after, 20)
-        guard = R.guard_push(guard, guard_params, bar_index=t,
-                             high=h, low=l, close=c, volume=v)
+        guard = R.lean_guard_push(guard, guard_params, bar_index=t,
+                                  high=h, low=l, close=c, vol_ring=ring_v)
         acc_now = guard.regime == G.REGIME_ACCUMULATION
         touch = R.touch_register(
             touch, touch_params, levels, ts_ms=now_ms,
@@ -465,7 +466,7 @@ def engine_path_replay(
         jnp.asarray(paths.open, jnp.float32)[:, 0],  # prev close (unused at t=0)
         jnp.zeros((p, n_lvl), jnp.int32),      # contact counts
         jnp.zeros((p, n_lvl), bool),           # contact latch
-        R.RegularGuardState.zeros(p),
+        R.LeanGuardState.zeros(p, windowed=w > R.GUARD_WINDOW_BARS),
         R.RegularTouchState.zeros(p, n_lvl),
         jnp.zeros((p, BARS_RING), jnp.float32),  # close ring (newest-first)
         jnp.zeros((p, BARS_RING), jnp.float32),  # volume ring

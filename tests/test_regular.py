@@ -160,6 +160,56 @@ def test_regular_touch_matches_reference_touch():
         assert int(np.asarray(lean_t.count[0]).sum()) > 0  # tape touched levels
 
 
+def test_lean_guard_matches_guard_push_bitwise():
+    """The ring-free LeanGuardState (the scaled pipeline's guard after the
+    round-4 state diet) must be BITWISE guard_push on every bar: min/max are
+    order-free, and the vol-MA masked sums see elementwise-identical arrays
+    (zero-padded shared ring == guard's own ring under the slot<k mask).
+    Covers both forms: running extremes (horizon <= 61) and the 61-slot
+    windowed extreme rings (horizon > 61)."""
+    params = G.GuardParams.default()
+    p = 4
+    for w, windowed in ((50, False), (220, True)):
+        tapes = [_bar_tape(seed, w) for seed in (0, 1, 5, 6)]
+        h = np.stack([tp[0] for tp in tapes])
+        l = np.stack([tp[1] for tp in tapes])
+        c = np.stack([tp[2] for tp in tapes])
+        v = np.stack([tp[3] for tp in tapes])
+
+        @jax.jit
+        def run(h, l, c, v, _windowed=windowed):
+            def step(carry, inp):
+                ref, lean, ring_v = carry
+                hh, ll, cc, vv, t = inp
+                ring_v = R.ring_push(ring_v, vv)
+                ref = R.guard_push(ref, params, bar_index=t, high=hh, low=ll,
+                                   close=cc, volume=vv)
+                lean = R.lean_guard_push(lean, params, bar_index=t, high=hh,
+                                         low=ll, close=cc, vol_ring=ring_v)
+                out = (ref.box_low, ref.box_high, ref.box_valid, ref.regime,
+                       ref.inside_count, lean.box_low, lean.box_high,
+                       lean.box_valid, lean.regime, lean.inside_count)
+                return (ref, lean, ring_v), out
+
+            init = (R.RegularGuardState.zeros(p),
+                    R.LeanGuardState.zeros(p, windowed=_windowed),
+                    jnp.zeros((p, 32), jnp.float32))
+            xs = (h.T, l.T, c.T, v.T,
+                  jnp.arange(h.shape[1], dtype=jnp.int32))
+            _, outs = jax.lax.scan(step, init, xs)
+            return outs
+
+        outs = run(jnp.asarray(h), jnp.asarray(l), jnp.asarray(c),
+                   jnp.asarray(v))
+        names = ("box_low", "box_high", "box_valid", "regime", "inside_count")
+        for i, name in enumerate(names):
+            np.testing.assert_array_equal(
+                np.asarray(outs[i]), np.asarray(outs[i + 5]),
+                err_msg=f"{name} w={w}")
+        # the tape exercised the machine (saw accumulation at least once)
+        assert (np.asarray(outs[3]) == G.REGIME_ACCUMULATION).any()
+
+
 def test_tail_mean_minclose_matches_lifecycle_formula():
     rng = np.random.default_rng(7)
     vols = rng.lognormal(10, 0.5, 40).astype(np.float32)
