@@ -10,9 +10,11 @@ collapses all of that:
   SHIFT each bar instead of rotating a head — a static concat in XLA, free
   register renaming in a Pallas kernel);
 * the guard's 60-minute window == the newest 61 slots;
-* the touch memory's 30-minute fatigue window == the newest 31 slots, and at
-  most one tap per edge per bar means a 32-slot shifted ring holds every
-  in-window tap in age order.
+* edge taps age monotonically, so an 8-deep per-edge STACK (pushed only when
+  a tap fires) answers the fatigue query: the k-th newest tap being inside
+  the 30-minute window ⟺ >= k in-window taps exist, and the newest k slots
+  ARE the last-k in-window set (the fused kernel's 3-deep form,
+  ops/pallas_engine.py:15-17, generalized to fatigue_hits <= 8).
 
 Every function here is exactness-tested against its ops/guard.py //
 ops/touch.py counterpart on regularly-spaced sequences
@@ -41,9 +43,14 @@ BAR_MS = 60_000
 GUARD_RING = 64
 GUARD_WINDOW_BARS = 61
 
-# fatigue window: ts >= now - 30 min covers ages 0..30 → 31 bars (:1128);
-# ≤1 tap per edge per bar → a 32-slot shifted ring holds all of them
-TAP_RING = 32
+# edge-tap stack: taps push newest-first ONLY when one fires, so slot k-1
+# holding an in-window tap ⟺ >= k in-window taps exist (taps age
+# monotonically — the fused kernel's argument, ops/pallas_engine.py:15-17).
+# Depth 8 supports fatigue_hits <= 8 (reference default 3, :1127); the
+# round-4 diet bisect measured the old 32-slot one-push-per-bar rings'
+# per-bar cumsum at 28% of the whole engine pipeline.
+TAP_STACK = 8
+TAP_NEVER = -(1 << 30)   # empty-slot timestamp sentinel (never in-window)
 
 
 def ring_push(ring: jnp.ndarray, new: jnp.ndarray) -> jnp.ndarray:
@@ -327,16 +334,15 @@ def guard_allow_trade(regime, side) -> jnp.ndarray:
 
 @struct.dataclass
 class RegularTouchState:
-    """Batched [P, ...] LevelTouchMemory; tap rings newest-first, one shift
-    per bar (a non-tap bar writes an invalid slot 0)."""
+    """Batched [P, ...] LevelTouchMemory; per-edge tap STACKS newest-first,
+    shifted only when a tap fires (empty slots hold the TAP_NEVER ts)."""
 
     count: jnp.ndarray      # i32[P, L, 2]
     last_ts: jnp.ndarray    # i32[P, L, 2]
     last_px: jnp.ndarray    # f32[P, L, 2]
     has_last: jnp.ndarray   # bool[P, L, 2]
-    tap_ts: jnp.ndarray     # i32[P, 2, TAP_RING]
-    tap_ratio: jnp.ndarray  # f32[P, 2, TAP_RING]
-    tap_valid: jnp.ndarray  # bool[P, 2, TAP_RING]
+    tap_ts: jnp.ndarray     # i32[P, 2, TAP_STACK]
+    tap_ratio: jnp.ndarray  # f32[P, 2, TAP_STACK]
 
     @classmethod
     def zeros(cls, p: int, max_levels: int) -> "RegularTouchState":
@@ -345,9 +351,8 @@ class RegularTouchState:
             last_ts=jnp.zeros((p, max_levels, 2), jnp.int32),
             last_px=jnp.zeros((p, max_levels, 2), jnp.float32),
             has_last=jnp.zeros((p, max_levels, 2), bool),
-            tap_ts=jnp.zeros((p, 2, TAP_RING), jnp.int32),
-            tap_ratio=jnp.zeros((p, 2, TAP_RING), jnp.float32),
-            tap_valid=jnp.zeros((p, 2, TAP_RING), bool),
+            tap_ts=jnp.full((p, 2, TAP_STACK), TAP_NEVER, jnp.int32),
+            tap_ratio=jnp.zeros((p, 2, TAP_STACK), jnp.float32),
         )
 
     def reset_box(self, do_reset) -> "RegularTouchState":
@@ -358,9 +363,8 @@ class RegularTouchState:
             last_ts=jnp.where(m[:, None, None], 0, self.last_ts),
             last_px=jnp.where(m[:, None, None], 0.0, self.last_px),
             has_last=jnp.where(m[:, None, None], False, self.has_last),
-            tap_ts=jnp.where(m[:, None, None], 0, self.tap_ts),
+            tap_ts=jnp.where(m[:, None, None], TAP_NEVER, self.tap_ts),
             tap_ratio=jnp.where(m[:, None, None], 0.0, self.tap_ratio),
-            tap_valid=jnp.where(m[:, None, None], False, self.tap_valid),
         )
 
 
@@ -422,33 +426,41 @@ def touch_register(
     ratio_ok = jnp.logical_and(jnp.logical_and(s_ma != 0.0, l_ma != 0.0), l_ma > 0)
     ratio = jnp.where(ratio_ok, s_ma / jnp.maximum(l_ma, 1e-30), 1.0)
 
+    # conditional stack push: the stack shifts only on edges that tapped
+    # (the old one-shift-per-bar 32-slot ring form cost a per-bar cumsum —
+    # 28% of the whole engine pipeline in the round-4 diet bisect)
     do_edge = jnp.stack([at_top, at_bot], axis=-1)          # [P, 2]
-    tap_ts = ring_push(st.tap_ts, jnp.where(do_edge, ts, 0))
-    tap_ratio = ring_push(st.tap_ratio, jnp.where(do_edge, ratio[:, None], 0.0))
-    tap_valid = ring_push(st.tap_valid, do_edge)
+    new_ts = jnp.broadcast_to(jnp.asarray(ts, jnp.int32), do_edge.shape)
+    new_ratio = jnp.broadcast_to(ratio[:, None], do_edge.shape)
+    tap_ts = jnp.where(do_edge[..., None],
+                       ring_push(st.tap_ts, new_ts), st.tap_ts)
+    tap_ratio = jnp.where(do_edge[..., None],
+                          ring_push(st.tap_ratio, new_ratio), st.tap_ratio)
 
     return RegularTouchState(
         count=count, last_ts=last_ts, last_px=last_px, has_last=has_last,
-        tap_ts=tap_ts, tap_ratio=tap_ratio, tap_valid=tap_valid,
+        tap_ts=tap_ts, tap_ratio=tap_ratio,
     )
 
 
 def edge_fatigued(st: RegularTouchState, params: T.TouchMemoryParams, now_ms) -> jnp.ndarray:
     """edge_fatigued (:1199-1220) → [P] of T.EDGE_TOP/EDGE_BOT/EDGE_NONE.
 
-    Slot order IS age order, so the last ``fatigue_hits`` in-window taps are
-    the first k valid in-window slots."""
+    Stack slots are newest-first with monotonically aging timestamps, so the
+    ``fatigue_hits``-th newest tap (slot k-1) being in-window ⟺ at least k
+    in-window taps exist, and slots 0..k-1 ARE the last-k in-window set —
+    no per-slot rank cumsum needed.  Requires ``fatigue_hits <= TAP_STACK``
+    (8; the reference default is 3, :1127) — a larger k never fatigues."""
     now = jnp.asarray(now_ms, jnp.int32)
-    in_win = jnp.logical_and(st.tap_valid,
-                             st.tap_ts >= now - params.fatigue_window_ms)  # [P,2,R]
-    rank = jnp.cumsum(in_win.astype(jnp.int32), axis=-1)   # 1-based among in-win
-    k = params.fatigue_hits
-    lastk = jnp.logical_and(in_win, rank <= k)
-    n_in = jnp.sum(in_win.astype(jnp.int32), axis=-1)      # [P, 2]
+    k = jnp.asarray(params.fatigue_hits, jnp.int32)
+    slot = jnp.arange(TAP_STACK)[None, None, :]
+    in_win = st.tap_ts >= now - params.fatigue_window_ms     # [P, 2, S]
+    kth_in = jnp.sum(
+        jnp.where(jnp.logical_and(slot == k - 1, in_win), 1, 0), axis=-1) > 0
+    lastk = slot < k
     avg = jnp.sum(jnp.where(lastk, st.tap_ratio, 0.0), axis=-1) / jnp.maximum(
-        jnp.sum(lastk.astype(jnp.int32), axis=-1), 1
-    ).astype(jnp.float32)
-    fatigued = jnp.logical_and(n_in >= k, avg >= params.fatigue_vol_k)  # [P, 2]
+        k, 1).astype(jnp.float32)
+    fatigued = jnp.logical_and(kth_in, avg >= params.fatigue_vol_k)  # [P, 2]
     return jnp.where(fatigued[:, 0], T.EDGE_TOP,
                      jnp.where(fatigued[:, 1], T.EDGE_BOT, T.EDGE_NONE)).astype(jnp.int32)
 
