@@ -270,7 +270,9 @@ def lean_guard_push(
     guard's vol windows fit the caller's ring (``vol_short``/``vol_long`` <=
     ``vol_ring.shape[-1]``; the reference hardcodes 5/20, :1250): the masked
     sum below zero-pads the ring to GUARD_RING slots, so the summed array —
-    and hence XLA's reduction — is elementwise identical to guard_push's."""
+    and hence XLA's reduction — is elementwise identical to guard_push's.
+    Windows wider than the caller's ring would silently under-sum —
+    ``sim.enginepath._check_state_envelope`` rejects them at launch."""
     h = jnp.asarray(high, jnp.float32)
     l = jnp.asarray(low, jnp.float32)
     c = jnp.asarray(close, jnp.float32)
@@ -450,7 +452,9 @@ def edge_fatigued(st: RegularTouchState, params: T.TouchMemoryParams, now_ms) ->
     ``fatigue_hits``-th newest tap (slot k-1) being in-window ⟺ at least k
     in-window taps exist, and slots 0..k-1 ARE the last-k in-window set —
     no per-slot rank cumsum needed.  Requires ``fatigue_hits <= TAP_STACK``
-    (8; the reference default is 3, :1127) — a larger k never fatigues."""
+    (8; the reference default is 3, :1127) — a larger k never fatigues,
+    which is why ``sim.enginepath._check_state_envelope`` rejects it at
+    launch (the old 32-slot ring form supported up to 31)."""
     now = jnp.asarray(now_ms, jnp.int32)
     k = jnp.asarray(params.fatigue_hits, jnp.int32)
     slot = jnp.arange(TAP_STACK)[None, None, :]
@@ -478,7 +482,13 @@ def touch_allow(
     XLA lowers that per-path advanced-indexing gather catastrophically on TPU
     — the round-4 diet bisect measured it at ~70% of the ENTIRE engine
     pipeline (benchmarks/xla_diet_bisect.py ``no_tallow``).  Integer/bool
-    sums over a one-hot mask are bitwise the gathered element."""
+    sums over a one-hot mask are bitwise the gathered element.
+
+    Requires ``level_idx`` in [0, L) and ``side`` in {0, 1}: an out-of-range
+    index selects NOTHING (cnt=0, has=False → trade allowed), where a gather
+    would have clamped to the last element.  Every current caller gets idx
+    from ``nearest_level`` (always in-range); do not rely on clamp semantics
+    here."""
     l = st.count.shape[1]
     sel = jnp.logical_and(
         jnp.arange(l, dtype=jnp.int32)[None, :, None]

@@ -95,6 +95,36 @@ SKIP_REASONS = (
 )
 
 
+def _check_state_envelope(touch_params, guard_params) -> None:
+    """Reject params the windowed XLA state forms would SILENTLY mishandle.
+
+    The round-4 diet replaced unbounded rank-cumsum / 64-slot-ring forms with
+    windowed ones: ``edge_fatigued``'s 8-deep tap stack never fatigues for
+    ``fatigue_hits > TAP_STACK`` (the kth-newest-slot test goes vacuously
+    false), and ``lean_guard_push`` zero-pads volume slots past the shared
+    ``BARS_RING``(=32)-bar ring, under-summing ``vol_short``/``vol_long``
+    windows wider than the ring.  Both would diverge from the reference
+    (qmmx_monolithic.py:1199-1220, :1250) without erroring, so check once at
+    launch, host-side.  Skipped when the params are tracers (a jitted caller
+    validated concrete values before tracing — mc_paths_engine's wrapper)."""
+    try:
+        fh = int(touch_params.fatigue_hits)
+        vs = int(guard_params.vol_short)
+        vl = int(guard_params.vol_long)
+    except TypeError:  # traced — concrete validation already ran (or n/a)
+        return
+    if fh > R.TAP_STACK:
+        raise ValueError(
+            f"fatigue_hits={fh} exceeds the XLA tap stack depth "
+            f"({R.TAP_STACK}): edge fatigue would silently never fire. "
+            "Raise ops.regular.TAP_STACK or use the trial-scale engine.")
+    if vs > BARS_RING or vl > BARS_RING:
+        raise ValueError(
+            f"guard vol windows ({vs}/{vl}) exceed the shared "
+            f"{BARS_RING}-bar volume ring: the MAs would silently "
+            "under-sum. Raise sim.enginepath.BARS_RING.")
+
+
 @struct.dataclass
 class EngineLifecycleOutcome:
     """Per-path results of the full-engine lifecycle ([P] each) plus
@@ -152,6 +182,7 @@ def engine_path_replay(
         touch_params = T.TouchMemoryParams.default()
     if guard_params is None:
         guard_params = G.GuardParams.default()
+    _check_state_envelope(touch_params, guard_params)
     if ml_model is None:
         ml_model = MlModel.absent()
     if policy_gate_disabled is None:
@@ -537,7 +568,7 @@ def _one_block_engine(
                      "antithetic", "block_len", "escalation", "volume_model",
                      "policy_gate_disabled", "harvest"),
 )
-def mc_paths_engine(
+def _mc_paths_engine_jit(
     key,
     levels: Levels,
     params: EngineParams,
@@ -605,3 +636,20 @@ def mc_paths_engine(
     if harvest:
         return stats, skips, escal, hv
     return stats, skips, escal
+
+
+def mc_paths_engine(key, levels, params, *, touch_params=None,
+                    guard_params=None, **kw):
+    """Validating entry for the jitted engine pipeline: params the windowed
+    XLA state forms cannot represent are rejected HERE with a host-side check
+    (inside the jit they are tracers and ``_check_state_envelope`` skips) —
+    see its docstring for the failure modes.  Defaults are known-good."""
+    if touch_params is not None or guard_params is not None:
+        _check_state_envelope(
+            touch_params if touch_params is not None
+            else T.TouchMemoryParams.default(),
+            guard_params if guard_params is not None
+            else G.GuardParams.default())
+    return _mc_paths_engine_jit(key, levels, params,
+                                touch_params=touch_params,
+                                guard_params=guard_params, **kw)

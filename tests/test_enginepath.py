@@ -152,3 +152,35 @@ def test_mc_paths_engine_streams_blocks():
         assert float(getattr(stats, f)) == float(getattr(again, f)), f
     np.testing.assert_array_equal(np.asarray(skips), np.asarray(skips1))
     assert int(escal) == int(escal1)
+
+
+def test_state_envelope_rejects_unrepresentable_params():
+    """(ADVICE r4) fatigue_hits > TAP_STACK and guard vol windows wider than
+    the shared BARS_RING would silently diverge in the windowed XLA forms —
+    the launch-time envelope check must reject them, and must keep accepting
+    the full representable range."""
+    from qmmx_monolithic_monte_carlo_tpu.ops import guard as G
+    from qmmx_monolithic_monte_carlo_tpu.ops import touch as T
+    from qmmx_monolithic_monte_carlo_tpu.ops.regular import TAP_STACK
+
+    params = EngineParams.default()
+    kw = dict(num_paths=1 << 8, num_bars=8, sigma=0.3, block_paths=1 << 8)
+
+    bad_touch = T.TouchMemoryParams.default().replace(
+        fatigue_hits=jnp.int32(TAP_STACK + 1))
+    with pytest.raises(ValueError, match="fatigue_hits"):
+        EP.mc_paths_engine(jax.random.key(0), LEVELS, params,
+                           touch_params=bad_touch, **kw)
+
+    bad_guard = G.GuardParams.default().replace(
+        vol_long=jnp.int32(EP.BARS_RING + 1))
+    with pytest.raises(ValueError, match="vol windows"):
+        EP.mc_paths_engine(jax.random.key(0), LEVELS, params,
+                           guard_params=bad_guard, **kw)
+
+    # the boundary of the envelope still runs
+    ok_touch = T.TouchMemoryParams.default().replace(
+        fatigue_hits=jnp.int32(TAP_STACK))
+    stats, _, _ = EP.mc_paths_engine(jax.random.key(0), LEVELS, params,
+                                     touch_params=ok_touch, **kw)
+    assert float(stats.n) == 1 << 8
