@@ -1,0 +1,109 @@
+"""Exact path-scale VaR/CVaR at 2^30 on the real chip (VERDICT r4 item 3).
+
+Runs the distributed-selection tail (sim/tailexact.py) over the first-contact
+XLA population at a scale where no sorted oracle can exist, and reports the
+machine-checkable certificate instead: count(x < v) < k <= count(x <= v)
+proves v IS the k-th order statistic of the selection population.
+
+    python benchmarks/exact_tail_hw.py [--log2-paths 30] [--cpu]
+
+Cross-scale sanity: at --log2-paths <= 20 the script ALSO sorts the
+population on host and asserts bitwise agreement (the same check
+tests/test_tailexact.py pins on CPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log2-paths", type=int, default=30)
+    ap.add_argument("--log2-block", type=int, default=20)
+    ap.add_argument("--num-bars", type=int, default=40)
+    ap.add_argument("--sigma", type=float, default=0.3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--q", type=float, default=0.05)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from qmmx_monolithic_monte_carlo_tpu.config import EngineParams
+    from qmmx_monolithic_monte_carlo_tpu.sim import pathsim, tailexact
+    from qmmx_monolithic_monte_carlo_tpu.types import Levels
+    from qmmx_monolithic_monte_carlo_tpu.utils import prng
+
+    levels = Levels.from_rows(
+        [
+            {"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+            {"color": "orange", "type": "dashed", "index": 0, "price": 100.5},
+            {"color": "teal", "type": "solid", "index": 0, "price": 99.5},
+        ],
+        max_levels=8,
+    )
+    num_paths = 1 << args.log2_paths
+    block = 1 << min(args.log2_block, args.log2_paths)
+    key = jax.random.key(args.seed)
+
+    t0 = time.perf_counter()
+    tail = tailexact.exact_tail_paths(
+        key, levels, EngineParams.default(), num_paths=num_paths,
+        block_paths=block, q=args.q, num_bars=args.num_bars,
+        sigma=args.sigma)
+    dt = time.perf_counter() - t0
+
+    out = {
+        "paths": num_paths,
+        "device": str(jax.devices()[0].device_kind),
+        "var": tail.var, "cvar": tail.cvar, "k": tail.k,
+        "n_entered": tail.n_entered,
+        "count_lt": tail.count_lt, "count_le": tail.count_le,
+        "certified": tail.certified, "passes": tail.passes,
+        "wall_s": round(dt, 2),
+        "paths_per_sec_through_selection": round(
+            num_paths * tail.passes / dt, 0),
+    }
+    if not tail.certified:
+        raise SystemExit(f"CERTIFICATE FAILED: {out}")
+
+    if args.log2_paths <= 20:
+        eqs = []
+        for b in range(num_paths // block):
+            bkey = prng.key_for(key, prng.STREAM_PATH, jnp.uint32(b))
+            paths = pathsim.sample_block(
+                bkey, block_paths=block, num_bars=args.num_bars, s0=100.0,
+                mu=0.0, sigma=args.sigma, dt=1.0 / (390.0 * 252.0),
+                sampler="gbm", hist_bars=None, antithetic=False)
+            tie = jax.random.uniform(
+                prng.key_for(bkey, prng.STREAM_TIE_COIN), (block,),
+                jnp.float32)
+            r, _, entered = pathsim.path_replay(
+                paths, levels, EngineParams.default(), tie)
+            eqs.append(np.asarray(r)[np.asarray(entered)])
+        eq = np.sort(np.concatenate(eqs))
+        k = tailexact.exact_tail_rank(len(eq), args.q)
+        var = float(eq[k - 1])
+        cvar = float(np.float32(np.sum(eq[:k], dtype=np.float64) / k))
+        out["oracle_var_bitwise"] = (var == tail.var)
+        out["oracle_cvar_bitwise"] = (cvar == tail.cvar)
+        if jax.devices()[0].platform == "cpu":
+            assert out["oracle_var_bitwise"] and out["oracle_cvar_bitwise"], out
+        # on accelerators the host collection is a THIRD compiled program —
+        # O(ulp) fusion differences can move a few boundary paths, so the
+        # bitwise flags are informational there; the certificate is the proof
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

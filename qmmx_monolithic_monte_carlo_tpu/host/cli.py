@@ -265,6 +265,15 @@ def cmd_paths(args):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    if getattr(args, "exact_tail", False):
+        if backend != "xla":
+            raise SystemExit(
+                "--exact-tail selects over the XLA pipeline's exact path "
+                "population; use --backend xla (the kernels draw their own "
+                "on-chip PRNG streams, so their population differs by seed "
+                "mapping, not statistics)")
+        if getattr(args, "ckpt_dir", None):
+            raise SystemExit("--exact-tail does not run under --ckpt-dir")
     sampler = getattr(args, "sampler", "gbm")
     hist = (_hist_paths_bars(args)
             if sampler in ("bootstrap", "block_bootstrap") else None)
@@ -363,6 +372,17 @@ def cmd_paths(args):
             "skips": {r.name: int(sv) for r, sv in
                       zip(EPATH.SKIP_REASONS, np.asarray(skips)) if sv},
         }
+        if getattr(args, "exact_tail", False):
+            from ..sim import tailexact
+
+            tail = tailexact.exact_tail_engine(
+                jax.random.key(args.seed), levels, params,
+                num_paths=args.num_paths, num_bars=args.num_bars, s0=args.s0,
+                sigma=args.sigma, block_paths=min(args.num_paths, 1 << 13),
+                noise=noise, sampler=sampler, hist_bars=hist,
+                block_len=block_len, heston=heston,
+                antithetic=args.antithetic)
+            out.update(_tail_fields(tail))
         print(json.dumps(out))
         return 0
     elif getattr(args, "gated", False):
@@ -439,8 +459,36 @@ def cmd_paths(args):
             "mean_trades": float(stats.mean_trades),
             "mean_dd": float(stats.mean_dd), "max_dd": float(stats.max_dd),
         })
+    if getattr(args, "exact_tail", False):
+        from ..sim import tailexact
+
+        common = dict(num_paths=args.num_paths, num_bars=args.num_bars,
+                      s0=args.s0, sigma=args.sigma,
+                      block_paths=min(args.num_paths, 1 << 17), noise=noise,
+                      sampler=sampler, hist_bars=hist, block_len=block_len,
+                      heston=heston, antithetic=args.antithetic)
+        if getattr(args, "gated", False):
+            tail = tailexact.exact_tail_gated(
+                jax.random.key(args.seed), levels, params, gate, **common)
+        else:
+            tail = tailexact.exact_tail_paths(
+                jax.random.key(args.seed), levels, params, **common)
+        out.update(_tail_fields(tail))
     print(json.dumps(out))
     return 0
+
+
+def _tail_fields(tail) -> dict:
+    """EXACT tail quantiles (sim/tailexact.py) replace the histogram
+    estimates in the printed row; the selection certificate rides along."""
+    return {
+        "var_05": tail.var, "cvar_05": tail.cvar, "tail_exact": True,
+        "tail_rank": tail.k, "tail_entered": tail.n_entered,
+        "tail_certificate": {"count_lt": tail.count_lt,
+                             "count_le": tail.count_le,
+                             "certified": tail.certified,
+                             "passes": tail.passes},
+    }
 
 
 def cmd_wal(args):
@@ -1084,6 +1132,11 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--level-jitter-std", type=float, default=0.0)
     pa.add_argument("--stop-slip-std", type=float, default=0.0)
     pa.add_argument("--target-slip-std", type=float, default=0.0)
+    pa.add_argument("--exact-tail", action="store_true",
+                    help="EXACT VaR/CVaR(5%%) by distributed selection over "
+                         "the path population (sim/tailexact.py): bitwise the "
+                         "reference index formula, with a count certificate. "
+                         "Costs ~6 extra streaming passes; XLA backend only")
     pa.add_argument("--ckpt-dir", default=None,
                     help="checkpoint dir for fault-tolerant runs: chunked "
                          "with a block watermark; re-run to resume "
