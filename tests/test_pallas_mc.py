@@ -303,8 +303,16 @@ def test_universe_kernel_per_symbol_knobs_exact():
             assert float(getattr(got, f)[s]) == float(getattr(want, f)), (s, f)
         # log_s0/sig_dt/drift are host-derived in f64 for BOTH kernels since
         # the round-4 universe-divergence fix (_derived_consts) — the bars
-        # are bit-identical, so sums match exactly
-        assert float(got.sum_r[s]) == float(want.sum_r)
+        # are bit-identical and every DECISION matches (counts + histogram
+        # bitwise above/below).  sum_r is an f32 reduction over a DIFFERENT
+        # accumulator geometry ((symbol, block) grid vs (block,)), and the
+        # round-5 environment's XLA CPU reduces the two shapes in different
+        # association orders (~30 ulps at this total) — so the sum compares
+        # to a reassociation bound, not bitwise.  On-chip, Mosaic's explicit
+        # accumulator rows keep the order fixed and the hardware pin
+        # (benchmarks/onchip_exactness.py) stays exact.
+        assert float(got.sum_r[s]) == pytest.approx(
+            float(want.sum_r), rel=1e-5)
         np.testing.assert_array_equal(
             np.asarray(got.hist[s]), np.asarray(want.hist))
     # knobs actually differ → per-symbol outcomes differ
