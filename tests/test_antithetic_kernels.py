@@ -34,6 +34,7 @@ LANES = 256
 SIGMA = 0.3
 
 
+@pytest.mark.slow
 def test_engine_kernel_antithetic_matches_xla_exact():
     """Engine kernel antithetic == XLA engine replay on bars rebuilt with
     the identical half-lane sign-flip pairing: exact counts, skip table,

@@ -209,6 +209,7 @@ def _check_book(sym, port, skips, escal, per_symbol, w, n, wts):
         np.asarray(port.hist), np.asarray(pstats.hist))
 
 
+@pytest.mark.slow
 def test_engine_corr_bootstrap_joint_days_exact():
     """JOINT recorded days: fused corr bootstrap == per-symbol replay of
     bars built from the SHARED market resample indices over each symbol's
@@ -243,6 +244,7 @@ def test_engine_corr_bootstrap_joint_days_exact():
     assert float(sym.n_entered[0] + sym.n_entered[1]) > 0
 
 
+@pytest.mark.slow
 def test_engine_corr_bootstrap_indices_are_shared():
     """Two book members with the SAME history and s0 replay identical joint
     days: their per-symbol stats are identical (the indices come from the
@@ -272,6 +274,7 @@ def test_engine_corr_bootstrap_indices_are_shared():
     np.testing.assert_array_equal(np.asarray(skips[0]), np.asarray(skips[1]))
 
 
+@pytest.mark.slow
 def test_engine_corr_block_bootstrap_exact():
     """Contiguous JOINT recorded runs: shared market block starts, each
     symbol's own channel gathers; exact vs the per-symbol replay + book
@@ -308,6 +311,7 @@ def test_engine_corr_block_bootstrap_exact():
 HPARAMS = dict(v0=0.09, kappa=2.0, theta=0.05, xi=0.9, rho=-0.6)
 
 
+@pytest.mark.slow
 def test_engine_corr_heston_exact():
     """Correlated Heston book: price AND variance shocks mix the market
     factor through beta; exact vs per-symbol replay + book combine."""
@@ -340,6 +344,7 @@ def test_engine_corr_heston_exact():
     assert float(sym.n_entered[0] + sym.n_entered[1]) > 0
 
 
+@pytest.mark.slow
 def test_engine_corr_bootstrap_harvest_matches_replay():
     """The book flywheel rides recorded days too: harvest=True under the
     corr bootstrap kernel equals per-symbol replay harvests bitwise on
@@ -403,6 +408,7 @@ def test_portfolio_mc_engine_bootstrap_joint_days():
     assert float(sym.n_entered[0]) > 0
 
 
+@pytest.mark.slow
 def test_portfolio_mc_engine_block_bootstrap_and_heston_run():
     """The remaining XLA book samplers execute and produce sane books."""
     from qmmx_monolithic_monte_carlo_tpu.parallel.portfolio import (
@@ -430,6 +436,7 @@ def test_portfolio_mc_engine_block_bootstrap_and_heston_run():
             or float(h_port.sum_trades) != float(g_port.sum_trades))
 
 
+@pytest.mark.slow
 def test_sharded_corr_bootstrap_matches_single_device():
     """JOINT recorded days ride the mesh: a 2-device shard_map book run
     under injected uniforms equals the single-device corr bootstrap kernel
@@ -648,6 +655,7 @@ def _check_gated_book(sym, port, per_symbol, w, n, wts):
         np.asarray(port.hist), np.asarray(pstats.hist))
 
 
+@pytest.mark.slow
 def test_gated_corr_bootstrap_exact():
     """Gated corr kernel under JOINT recorded days == per-symbol
     gated_path_replay + book combine (iid AND block form)."""
@@ -691,6 +699,7 @@ def test_gated_corr_bootstrap_exact():
         _check_gated_book(sym, port, per_symbol, w, n, WTS)
 
 
+@pytest.mark.slow
 def test_gated_corr_heston_exact():
     """Gated corr kernel under correlated Heston == per-symbol
     gated_path_replay + book combine."""
@@ -733,6 +742,7 @@ def test_gated_corr_heston_exact():
     _check_gated_book(sym, port, per_symbol, w, n, WTS)
 
 
+@pytest.mark.slow
 def test_engine_corr_antithetic_exact():
     """Antithetic BOOK pairs: market AND idio shocks lane-flipped; the
     fused corr kernel equals per-symbol replays of the mirrored tapes plus
@@ -799,6 +809,7 @@ def test_book_antithetic_validation():
             sampler="heston", antithetic=True)
 
 
+@pytest.mark.slow
 def test_portfolio_mc_engine_antithetic_runs():
     """XLA book antithetic: n preserved, pairs flip market+idio (differs
     from the plain run on the same key)."""

@@ -38,6 +38,7 @@ def _tape(seed, n=600, vol_scale=0.0):
     (3, 0.3, 1.0),
     (4, 0.7, 5.0),
 ])
+@pytest.mark.slow
 def test_lifecycle_matches_oracle(seed, qmin, vol_scale):
     ts, prices, vols = _tape(seed, n=600, vol_scale=vol_scale)
     levels = Levels.from_rows(LEVEL_ROWS, max_levels=8)
@@ -163,6 +164,7 @@ def test_host_audit_entry_rows_use_returned_codes(tmp_path):
     assert "IN_POSITION" not in codes
 
 
+@pytest.mark.slow
 def test_exit_head_vetoes_escalation_when_enabled():
     """Opt-in exit-head gating: with a policy whose exit head strongly says
     exit_now, an escalation-eligible target hit closes at target instead of

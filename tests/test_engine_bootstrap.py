@@ -82,6 +82,7 @@ def _bars_from_boot_uniforms(u, hist, w, lanes=LANES, s0=100.0):
                        close=flat(closes), volume=flat(vols)), flat(ties)
 
 
+@pytest.mark.slow
 def test_engine_kernel_bootstrap_matches_xla_exact():
     """Kernel bootstrap streaming == XLA full-engine pipeline on bars
     reconstructed from the same injected uniforms: exact counts, skip table,
@@ -124,6 +125,7 @@ def test_engine_kernel_bootstrap_matches_xla_exact():
     assert skips["TOO_FAR"] > 0
 
 
+@pytest.mark.slow
 def test_engine_kernel_bootstrap_multi_tile_history():
     """History longer than one lane tile (H > lanes) exercises the
     range-selected multi-tile gather path."""
@@ -160,6 +162,7 @@ def test_engine_kernel_bootstrap_requires_history():
             lanes=LANES, sampler="bootstrap")
 
 
+@pytest.mark.slow
 def test_engine_sweep_kernel_bootstrap_matches_single_configs_exact():
     """Knob-grid CRN sweep over recorded bars: every grid row of the
     bootstrap sweep kernel equals an independent single-config bootstrap
@@ -219,6 +222,7 @@ def _stacked_histories(seeds, h):
     )
 
 
+@pytest.mark.slow
 def test_engine_universe_kernel_bootstrap_per_symbol_histories_exact():
     """Per-symbol recorded-bar universe: each symbol of a 2-symbol universe
     resamples its OWN history (the reference MC is a per-symbol recorded-bar
@@ -275,6 +279,7 @@ def test_engine_universe_kernel_bootstrap_per_symbol_histories_exact():
                                       np.asarray(want.hist))
 
 
+@pytest.mark.slow
 def test_engine_universe_sweep_bootstrap_exact():
     """(S × G) sweep-of-universes over per-symbol recorded bars: every cell
     equals a single-config bootstrap kernel run of that (symbol, row) under
@@ -393,6 +398,7 @@ def _bars_from_blockboot_uniforms(u, hist, w, block_len, lanes=LANES,
                        close=flat(closes), volume=flat(vols)), flat(ties)
 
 
+@pytest.mark.slow
 def test_engine_kernel_block_bootstrap_matches_xla_exact():
     """Kernel block-bootstrap streaming == XLA full-engine pipeline on bars
     reconstructed from the same injected uniforms: contiguous block runs
@@ -434,6 +440,7 @@ def test_engine_kernel_block_bootstrap_matches_xla_exact():
     assert float(iid.sum_trades) != float(got.sum_trades)
 
 
+@pytest.mark.slow
 def test_engine_sweep_kernel_block_bootstrap_crn_exact():
     """Block-bootstrap CRN sweep: every grid row equals an independent
     single-config block-bootstrap kernel run under the same uniforms."""

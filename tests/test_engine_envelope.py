@@ -75,6 +75,7 @@ def _parity(levels, w, seed, *, sigma=0.3, params=None, rtol_sum=2e-2):
     return got, got_skips, got_escal
 
 
+@pytest.mark.slow
 def test_kernel_30_levels_matches_xla():
     """The reference's recovered 30-level session shape runs ON-CHIP and
     matches the XLA pipeline exactly (VERDICT r3 missing #2)."""
@@ -83,6 +84,7 @@ def test_kernel_30_levels_matches_xla():
     assert float(got.n_entered) > 0
 
 
+@pytest.mark.slow
 def test_kernel_32_levels_cap_and_refusal():
     levels = _many_levels(32)
     got, _s, _e = _parity(levels, w=16, seed=41)
@@ -93,6 +95,7 @@ def test_kernel_32_levels_cap_and_refusal():
             num_paths=BLOCK, num_bars=16, lanes=LANES)
 
 
+@pytest.mark.slow
 def test_kernel_windowed_guard_beyond_61_bars():
     """62 bars > GUARD_WINDOW_BARS: the windowed extreme rings age the
     oldest bar out of the box and still match the XLA pipeline's
@@ -123,6 +126,7 @@ def test_kernel_full_trading_day_390_bars():
     assert float(got.n_entered) > 0
 
 
+@pytest.mark.slow
 def test_engine_universe_sweep_per_symbol_grids_exact():
     """[S, G] knob tensors: each symbol sweeps its OWN grid rows (distinct
     paddings/thresholds per symbol) and every cell equals a single-config

@@ -122,6 +122,7 @@ def _run_heston(w, seed=21, params=None):
     return got, got_skips, got_escal, want, out
 
 
+@pytest.mark.slow
 def test_engine_kernel_heston_matches_xla_exact():
     """Kernel Heston streaming == XLA full-engine pipeline on bars
     reconstructed from the same injected uniforms: exact counts, skip
@@ -136,6 +137,7 @@ def test_engine_kernel_heston_matches_xla_exact():
     assert float(got.n_entered) > 0
 
 
+@pytest.mark.slow
 def test_engine_kernel_heston_odd_horizon_exact():
     """Odd horizons run the final half step with the heston draw layout."""
     got, got_skips, _e, want, out = _run_heston(9, seed=27)
@@ -145,6 +147,7 @@ def test_engine_kernel_heston_odd_horizon_exact():
                                   np.asarray(out.skip_counts))
 
 
+@pytest.mark.slow
 def test_engine_heston_differs_from_gbm():
     """The vol path actually matters: heston with xi >> 0 produces a
     different decision surface than GBM at the matched average vol."""

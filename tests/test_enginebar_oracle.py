@@ -42,6 +42,7 @@ def _wicked_tape(seed, p, w, sigma=1.2):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.slow
 def test_engine_replay_matches_wicked_bar_oracle(seed):
     from .oracle import enginebar as OB
 

@@ -66,6 +66,7 @@ def _trained_policy(seed):
     (2, False, True),
     (3, True, True),
 ])
+@pytest.mark.slow
 def test_full_engine_matches_tick_engine_on_flat_wick_tape(seed, policy_on, ml_on):
     p, w = 12, 220
     bars = _flat_tape(seed, p, w)

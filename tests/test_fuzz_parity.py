@@ -32,6 +32,7 @@ def _random_levels(rng, n):
 
 
 @pytest.mark.parametrize("trial", range(6))
+@pytest.mark.slow
 def test_lifecycle_fuzz(trial):
     rng = np.random.default_rng(1000 + trial)
     level_rows = _random_levels(rng, int(rng.integers(1, 7)))

@@ -80,6 +80,7 @@ def _xla_stats(bars, tieu, levels, params, gate=None):
         losses=out.losses, open_at_end=out.open_at_end, max_dd=out.max_dd)
 
 
+@pytest.mark.slow
 def test_gated_kernel_bootstrap_matches_xla_exact():
     """Kernel bootstrap streaming == XLA gated lifecycle on bars
     reconstructed from the same injected uniforms (incl. the bar-0
@@ -103,6 +104,7 @@ def test_gated_kernel_bootstrap_matches_xla_exact():
     assert float(got.n_entered) > 0
 
 
+@pytest.mark.slow
 def test_gated_sweep_kernel_bootstrap_matches_single_configs_exact():
     """Every grid row of the bootstrap gated sweep equals an independent
     single-config bootstrap kernel run under the same injected uniforms
@@ -136,6 +138,7 @@ def test_gated_sweep_kernel_bootstrap_matches_single_configs_exact():
     assert float(got.n_tp[0]) != float(got.n_tp[1])
 
 
+@pytest.mark.slow
 def test_gated_universe_kernel_bootstrap_per_symbol_histories_exact():
     """Each symbol of a 2-symbol gated universe resamples its OWN recorded
     history and equals a single-config bootstrap run of that symbol."""
@@ -223,6 +226,7 @@ def _bars_from_blockboot_uniforms(u, hist, w, block_len, lanes=LANES,
                        close=flat(closes), volume=None), flat(ties)
 
 
+@pytest.mark.slow
 def test_gated_kernel_block_bootstrap_matches_xla_exact():
     """Gated kernel block-bootstrap == XLA gated lifecycle on bars
     reconstructed from the same uniforms (contiguous runs; bar-0 prev-close
@@ -252,6 +256,7 @@ def test_gated_kernel_block_bootstrap_matches_xla_exact():
     assert float(iid.sum_trades) != float(got.sum_trades)
 
 
+@pytest.mark.slow
 def test_gated_sweep_kernel_block_bootstrap_crn_exact():
     """Block-bootstrap gated CRN sweep rows == single-config runs under the
     same uniforms."""

@@ -11,6 +11,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -24,6 +26,7 @@ def _clean_env(**extra):
     return env
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_from_clean_env():
     """No XLA_FLAGS, no JAX_PLATFORMS: dryrun_multichip must still build an
     8-device mesh (via its subprocess fallback) and run the sharded step."""
@@ -36,6 +39,7 @@ def test_dryrun_multichip_from_clean_env():
     assert "'paths': 4" in r.stdout and "'symbols': 2" in r.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_after_backend_init():
     """Even after jax.devices() has initialized a 1-device CPU backend in the
     calling process (the round-1 failure mode, with TPU standing in for CPU
@@ -52,6 +56,7 @@ def test_dryrun_multichip_after_backend_init():
     assert "dryrun_multichip OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inproc_when_env_ready():
     """With the virtual-CPU env pre-set (the conftest/driver-happy case) the
     run stays in-process — no nested subprocess env mangling."""
@@ -72,6 +77,7 @@ def test_dryrun_multichip_inproc_when_env_ready():
     assert "dryrun_multichip OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_gated_scalars_match_single_device():
     """The dryrun's gated/engine scalars are REAL values: the 8-device mesh
     result must equal a single-device run of the same blocks (block RNG is
@@ -170,3 +176,22 @@ def test_dryrun_gated_scalars_match_single_device():
                                rtol=1e-4, atol=1e-4)
     # the psum-merged book harvest reproduces the single-device label count
     assert book_labeled == float(want_hv.n_labeled.sum())
+
+
+def test_entry_traces_cheaply_in_default_set():
+    """Default-set driver-contract smoke (the full dryruns are slow-marked):
+    entry() must import and its (fn, args) must TRACE — jax.eval_shape runs
+    the whole jit trace without compiling or executing, so a broken
+    signature/shape contract fails here in seconds."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+         "import __graft_entry__ as g\n"
+         "fn, args = g.entry()\n"
+         "out = jax.eval_shape(fn, *args)\n"
+         "print('entry trace ok', jax.tree_util.tree_structure(out))"],
+        cwd=REPO, env=_clean_env(JAX_PLATFORMS="cpu"), capture_output=True,
+        text=True, timeout=600,
+    )
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-4000:]}"
+    assert "entry trace ok" in r.stdout

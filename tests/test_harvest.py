@@ -28,6 +28,7 @@ from qmmx_monolithic_monte_carlo_tpu.types import Levels
 from .test_pallas_engine import BLOCK, DT, LANES, LEVELS, W, _bars_from_uniforms
 
 
+@pytest.mark.slow
 def test_kernel_harvest_matches_xla_exact():
     """On-chip harvest tallies equal the XLA pipeline's bitwise (counts) /
     to reduction-order ulps (Σx sums) under injected uniforms."""
@@ -74,6 +75,7 @@ def test_kernel_harvest_matches_xla_exact():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_universe_kernel_harvest_per_symbol_exact():
     """[S]-batched universe harvest rows equal per-symbol single-config
     kernel harvests under the same injected uniforms."""
@@ -155,6 +157,7 @@ def test_ml_refresh_respects_min_samples_gate():
     assert not bool(m.present)
 
 
+@pytest.mark.slow
 def test_flywheel_policy_refresh_shifts_skip_table():
     """The closed loop at small scale: simulate → harvest → refresh the
     OnlinePolicy → re-simulate with the gate ARMED → the ONLINE_POLICY skip
@@ -190,6 +193,7 @@ def test_flywheel_policy_refresh_shifts_skip_table():
     assert float(merged.n_labeled) >= float(hv.n_labeled)
 
 
+@pytest.mark.slow
 def test_holdout_eval_measures_armed_vs_disarmed_on_disjoint_seed():
     """holdout_eval (VERDICT r4 missing #2): the eval rows replay ONE
     disjoint-seed population per arm (CRN — the disarmed arm must match a

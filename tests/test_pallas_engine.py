@@ -185,6 +185,7 @@ def _assert_match(got_pack, want_pack):
     np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
 
 
+@pytest.mark.slow
 def test_engine_kernel_matches_xla_pipeline_defaults():
     """Engine defaults: the main ladder + veto + escalation run and agree
     gate-for-gate with the XLA full-engine pipeline."""
@@ -201,6 +202,7 @@ def test_engine_kernel_matches_xla_pipeline_defaults():
     assert float(got_escal) > 0  # escalations occur at this scale
 
 
+@pytest.mark.slow
 def test_engine_kernel_matches_with_accumulation_gates_active():
     """Force the guard into accumulation (tiny vol, generous compression) so
     the 7b family — edge fatigue, bounce budget, per-level cooldown — and the
@@ -219,6 +221,7 @@ def test_engine_kernel_matches_with_accumulation_gates_active():
         skips["TOUCH_COOLDOWN"] > 0
 
 
+@pytest.mark.slow
 def test_engine_kernel_matches_with_ml_and_policy_gates():
     """Armed ML + OnlinePolicy gates (nonzero heads) agree exactly."""
     rng = np.random.default_rng(7)
@@ -237,6 +240,7 @@ def test_engine_kernel_matches_with_ml_and_policy_gates():
     assert skips["ONLINE_POLICY"] > 0
 
 
+@pytest.mark.slow
 def test_engine_kernel_noise_matches_xla_pipeline_exact():
     """Per-entry execution noise in the FULL-ENGINE kernel: with the noise
     normals reconstructed from the same injected uniforms, the kernel matches
@@ -297,6 +301,7 @@ def test_engine_kernel_noise_matches_xla_pipeline_exact():
     assert float(a[2]) == float(b[2])
 
 
+@pytest.mark.slow
 def test_engine_sweep_kernel_matches_single_configs_exact():
     """Engine-knob CRN grid sweep: each grid row's stats (counts, skip table,
     escalations, histogram) match an independent single-config engine-kernel
@@ -344,6 +349,7 @@ def test_engine_sweep_kernel_matches_single_configs_exact():
         float(got.sum_r[1]) != float(got.sum_r[0])
 
 
+@pytest.mark.slow
 def test_engine_universe_per_symbol_knobs_exact():
     """Per-symbol FULL-ENGINE universe: each symbol of a 2-symbol universe
     with DISTINCT engine knobs (paddings, q_min, veto) matches a
@@ -417,6 +423,7 @@ def test_engine_kernel_rejects_bad_shapes():
                 fatigue_hits=jnp.int32(4)))
 
 
+@pytest.mark.slow
 def test_engine_sweep_noise_std_rows_match_single_configs():
     """[G]-leaved McNoise stds sweep slippage sensitivity under CRN: each
     grid row equals a single-config engine run with that row's scalar stds
@@ -468,6 +475,7 @@ def test_engine_sweep_noise_std_rows_match_single_configs():
     assert float(got.sum_r[0]) != float(got.sum_r[1])
 
 
+@pytest.mark.slow
 def test_engine_universe_sweep_matches_single_configs_exact():
     """Sweep-of-universes: every (symbol, grid-row) cell of the one-launch
     [S, G] surface equals a single-config engine-kernel run with that

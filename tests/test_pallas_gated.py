@@ -302,6 +302,7 @@ def test_gated_kernel_lanes_param_exact():
     np.testing.assert_array_equal(np.asarray(got.hist), np.asarray(want.hist))
 
 
+@pytest.mark.slow
 def test_gated_sweep_kernel_matches_single_configs_exact():
     """Gate-knob grid sweep (kernel 5): each grid configuration's stats match
     an independent single-config gated-kernel run under the SAME injected
@@ -398,6 +399,7 @@ def test_gated_universe_per_symbol_knobs_exact():
         float(got.sum_r[0]) != float(got.sum_r[1])
 
 
+@pytest.mark.slow
 def test_gated_sweep_noise_std_rows_match_single_configs():
     """[G]-leaved McNoise stds on the gated sweep's grid axis: each row
     equals a single-config gated-kernel run with that row's scalar stds

@@ -421,6 +421,7 @@ def test_kernel_bootstrap_matches_numpy_oracle_exact_uniforms():
     assert tot["entered"] > 0
 
 
+@pytest.mark.slow
 def test_kernel_bootstrap_multi_tile_and_validation():
     from qmmx_monolithic_monte_carlo_tpu.ops.pathgen import PathBars
 
@@ -462,6 +463,7 @@ def _boot_history(seed, h):
                     volume=np.ones(h, f))
 
 
+@pytest.mark.slow
 def test_universe_kernel_bootstrap_per_symbol_histories_exact():
     """First-contact universe over per-symbol recorded bars: each symbol
     resamples its OWN [S, H] history row (the reference MC is a per-symbol

@@ -331,6 +331,7 @@ def test_sharded_pallas_gated_kernel_matches_single_device():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_engine_bootstrap_matches_single_device():
     """Recorded-bar (bootstrap) FULL-engine kernel on the mesh: a 2-device
     shard_map run equals the single-device kernel exactly (injected

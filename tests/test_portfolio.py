@@ -85,6 +85,7 @@ def test_portfolio_mc_correlation_raises_book_variance():
     assert v1 > 2.0 * v0  # expected ratio ~S=4
 
 
+@pytest.mark.slow
 def test_portfolio_mc_engine_weighted_sums_and_aggregates():
     """The FULL-engine book pipeline: portfolio final R is the weighted sum
     of per-symbol engine equities, book drawdown is subadditive, and the
@@ -190,6 +191,7 @@ def _corr_bars_from_uniforms(u, um, beta, s0, sigma, w=W, lanes=LANES):
         volume=jnp.zeros((n, w), jnp.float32)), jnp.asarray(flat(ties))
 
 
+@pytest.mark.slow
 def test_corr_kernel_matches_xla_oracle_exact_uniforms():
     """Fused corr kernel vs the XLA portfolio pipeline from the SAME
     injected uniforms: every count and histogram bin identical (per symbol
@@ -253,6 +255,7 @@ def test_corr_kernel_matches_xla_oracle_exact_uniforms():
         np.asarray(port.hist), np.asarray(pstats.hist))
 
 
+@pytest.mark.slow
 def test_engine_corr_kernel_matches_xla_oracle_exact_uniforms():
     """Fused FULL-ENGINE corr kernel vs sim/enginepath + the book combine
     from the SAME injected uniforms: per-symbol counts, skip tables and
@@ -332,6 +335,7 @@ def test_engine_corr_kernel_matches_xla_oracle_exact_uniforms():
         np.asarray(port.hist), np.asarray(pstats.hist))
 
 
+@pytest.mark.slow
 def test_sharded_corr_kernels_match_single_device():
     """Both corr kernels ride the mesh (parallel/mesh.sharded_mc_paths_pallas
     _corr): a 2-device shard_map run over injected uniforms equals the
@@ -409,6 +413,7 @@ def test_sharded_corr_kernels_match_single_device():
                                np.asarray(hv.pol_sum_x6), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_engine_corr_kernel_harvest_matches_per_symbol_replay():
     """Book-level flywheel: the corr kernel's harvest=True returns the
     [S]-batched EngineHarvest equal to per-symbol engine_path_replay
@@ -481,6 +486,7 @@ def test_engine_corr_kernel_harvest_matches_per_symbol_replay():
     assert labeled > 0
 
 
+@pytest.mark.slow
 def test_portfolio_mc_engine_harvest_accumulates_and_refreshes():
     """The XLA book pipeline's harvest=True: per-symbol label counts equal
     the book's closed-trade counts across scan blocks, and the harvested

@@ -5,6 +5,7 @@ forms drive the scaled engine pipeline and the fused kernel)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qmmx_monolithic_monte_carlo_tpu.ops import guard as G
 from qmmx_monolithic_monte_carlo_tpu.ops import regular as R
@@ -81,6 +82,7 @@ def test_regular_guard_matches_reference_guard():
         assert bool(lean.box_valid[0]) or seed > 0
 
 
+@pytest.mark.slow
 def test_regular_touch_matches_reference_touch():
     w = 260
     for seed in (3, 4):

@@ -91,6 +91,7 @@ def test_gated_resume_bitwise_identical(tmp_path):
     assert float(straight.sum_trades) > float(straight.n_entered)
 
 
+@pytest.mark.slow
 def test_engine_resume_bitwise_identical(tmp_path):
     """The FULL 12-gate engine lifecycle checkpoints/resumes with the same
     watermark semantics, persisting the skip table and escalation count:
@@ -138,6 +139,7 @@ def test_engine_resume_bitwise_identical(tmp_path):
             blocks_per_chunk=2)
 
 
+@pytest.mark.slow
 def test_bootstrap_resume_bitwise_and_history_fingerprint(tmp_path):
     """Recorded-bar (bootstrap) runs checkpoint/resume bitwise, and the
     history is part of the run fingerprint: resuming against different

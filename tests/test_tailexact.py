@@ -101,6 +101,7 @@ def test_first_contact_exact_tail_matches_sorted_oracle(q):
     assert abs(float(stats.quantile(q)) - tail.var) <= 2 * bin_w
 
 
+@pytest.mark.slow
 def test_first_contact_exact_tail_large_population():
     """2^20 paths (VERDICT r4 item 3's stated bar), bitwise vs np.sort."""
     key = jax.random.key(3)
