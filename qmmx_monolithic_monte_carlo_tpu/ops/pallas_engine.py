@@ -162,7 +162,7 @@ def _engine_lifecycle_loop(
     noise=None, harvest: bool = False, sampler: str = "gbm", hist=None,
     block_len: int = 0, heston=None, antithetic: bool = False,
     gen_only: bool = False, skip_d: bool = False, policy_off: bool = False,
-    young_bars: int = 0, corr=None, curve=None,
+    young_bars: int = 0, corr=None, curve=None, ring_refs=None,
 ):
     """The streaming generate+full-engine loop.
 
@@ -263,6 +263,26 @@ def _engine_lifecycle_loop(
     def ring_slot(ring, j):
         return ring[s * j:s * (j + 1)]
 
+    # Rotating-pointer scratch rings (round 5): the concat+slice push above
+    # physically moves VOL_RING+CLOSE_RING = 25 (8, lanes) tiles EVERY bar
+    # (~50 vreg copies — a large share of the minute-close stage, paid on
+    # young bars too).  With ``ring_refs`` (two VMEM scratch buffers), bar u
+    # writes ONE slot at rows 8·(u mod R) and readers address slots by bar
+    # index: pre-push slot j == bar t-1-j, post-push == bar t-j.  Unwritten
+    # slots hold the zeros the scratch is cleared to at loop start, exactly
+    # like the zero-init carry ring, and every reader visits slots in the
+    # SAME newest-first order — the reduction association order, and hence
+    # every f32 result, is bitwise identical to the carry form.
+    if ring_refs is not None:
+        rv_ref, rc_ref = ring_refs
+        rv_ref[...] = jnp.zeros((VOL_RING * s, b), jnp.float32)
+        rc_ref[...] = jnp.zeros((CLOSE_RING * s, b), jnp.float32)
+
+        def _rot_rows(u, R):
+            # slot row base for bar u (u traced i32, may be negative early)
+            return pl.multiple_of(
+                s * jax.lax.rem(u + jnp.int32(8 * R), jnp.int32(R)), s)
+
     init = ((
         zero + log_s0,                 # log_s
         jnp.exp(zero + log_s0),        # prev_c (== open[0] bitwise)
@@ -291,8 +311,12 @@ def _engine_lifecycle_loop(
          if windowed_guard else zero - jnp.float32(_BIG)),    # high(s)
         zero, zero, zero,              # box_low / box_high / box_valid
         zero, zero,                    # regime / inside_count
-        jnp.zeros((VOL_RING * s, b), jnp.float32),    # volume ring (newest-first)
-        jnp.zeros((CLOSE_RING * s, b), jnp.float32),  # close ring (newest-first)
+        # bar-history rings: zero-placeholder carries in scratch mode (the
+        # live slots then rotate in ring_refs; positions kept stable)
+        (zero if ring_refs is not None
+         else jnp.zeros((VOL_RING * s, b), jnp.float32)),    # volume ring
+        (zero if ring_refs is not None
+         else jnp.zeros((CLOSE_RING * s, b), jnp.float32)),  # close ring
         zs(n_skip),                    # skip counters
         # learning-flywheel harvest (models/harvest.py): entry-time pending
         # features + per-(bucket, label) tally tiles, empty when off
@@ -300,7 +324,7 @@ def _engine_lifecycle_loop(
          if harvest else ()),
     ))
 
-    def body(t2, st, young=False):
+    def body(t2, st, young=False, esc_modes=("static", "static")):
         if bootstrap:
             if corr is not None:
                 # JOINT recorded days (book semantics): the resample indices
@@ -389,23 +413,26 @@ def _engine_lifecycle_loop(
                 nz = None
             if bootstrap:
                 st = _one_bar(st, t_i, z_pair[half], None, None, None,
-                              ties[half], nz, young=young)
+                              ties[half], nz, young=young,
+                              esc_mode=esc_modes[half])
             elif hes:
                 st = _one_bar(
                     st, t_i, z_pair[half], zv_pair[half],
                     draw(t2, 6 + 3 * half), draw(t2, 7 + 3 * half),
                     draw(t2, 8 + 3 * half), nz, young=young,
-                    zq=zq_pair[half],
+                    zq=zq_pair[half], esc_mode=esc_modes[half],
                 )
             else:
                 st = _one_bar(
                     st, t_i, z_pair[half], zv_pair[half],
                     draw(t2, 4 + 3 * half), draw(t2, 5 + 3 * half),
                     draw(t2, 6 + 3 * half), nz, young=young,
+                    esc_mode=esc_modes[half],
                 )
         return st
 
-    def _one_bar(st, t_i, z, zv, u3, u4, tie, nz, young=False, zq=None):
+    def _one_bar(st, t_i, z, zv, u3, u4, tie, nz, young=False,
+                 zq=None, esc_mode="static"):
         if carry_x:
             samp_st = st[2]               # block start / heston variance
             st = st[:2] + st[3:]
@@ -429,6 +456,14 @@ def _engine_lifecycle_loop(
         now_ms = t_f * 60000.0
         # bars held by the rings during entry eval: 0..t-1 (stage D pushes t)
         n_hist = t_f   # == min(t, ring) for every window that matters (<= 20)
+
+        # newest-first slot readers (pre-push: slot j == bar t-1-j)
+        if ring_refs is not None:
+            rv_pre = lambda j: rv_ref[pl.ds(_rot_rows(t_i - 1 - j, VOL_RING), s)]
+            rc_pre = lambda j: rc_ref[pl.ds(_rot_rows(t_i - 1 - j, CLOSE_RING), s)]
+        else:
+            rv_pre = lambda j: ring_slot(ring_v, j)
+            rc_pre = lambda j: ring_slot(ring_c, j)
 
         if bootstrap:
             # ---- resample one RECORDED bar (relative geometry, :3353) ----
@@ -552,10 +587,15 @@ def _engine_lifecycle_loop(
         )
         hit = jnp.logical_or(stop_hit, tgt_hit)
 
-        if escalation:
+        if escalation and esc_mode != "off":
+            # esc_mode == "off" ⟺ this bar has t < CLOSE_RING statically:
+            # trend_def is false, can_decide false, esc_go false — the whole
+            # walk is dead and elided (the loop segmentation below proves
+            # the bar bound).  Active bars have t >= CLOSE_RING, so the walk
+            # folds n5/trend_def/in_win/is_first to constants.
             esc_go, esc_tgt, esc_trail = _escalation(
                 side=side, is_long=is_long, entry=entry, c=c,
-                ring_c=ring_c, ring_v=ring_v, n_hist=n_hist,
+                rc_slot=rc_pre, rv_slot=rv_pre,
                 bp=best_p, bd=best_d)
             near_target = jnp.abs(c - target) <= prox
             escalate = jnp.logical_and(
@@ -602,7 +642,7 @@ def _engine_lifecycle_loop(
                 hp_x1[2 * bb + 1] = hp_x1[2 * bb + 1] + ind_p * pend_x1
                 hp_x6[2 * bb] = hp_x6[2 * bb] + ind_n * pend_x6
                 hp_x6[2 * bb + 1] = hp_x6[2 * bb + 1] + ind_p * pend_x6
-        if escalation:
+        if escalation and esc_mode != "off":
             stop = jnp.where(escalate, esc_trail, stop)
             target = jnp.where(escalate, esc_tgt, target)
             escal = escal + escalate.astype(jnp.float32)
@@ -613,11 +653,19 @@ def _engine_lifecycle_loop(
         # ---- C) the 12-gate ladder at the close (:1492-1771 + :3046-3112) --
         was_flat = jnp.logical_not(is_open)
         reason = zero  # Reason.OK == 0
+        # skip tally INLINE with the first-fail masks (round 5): first_fail
+        # already computes the "this gate is the first fail" indicator, and
+        # each (path, bar) sets exactly one code (every writer is guarded by
+        # reason == 0), so accumulating the mask here equals the old 16-way
+        # end-of-ladder equality tally bitwise — minus its 16 compares per
+        # bar, and minus everything on young bars whose gates are elided.
+        skips = list(skips)
 
         def first_fail(reason, fail, code):
-            return jnp.where(
-                jnp.logical_and(reason == 0.0, fail), jnp.float32(int(code)),
-                reason)
+            m = jnp.logical_and(reason == 0.0, fail)
+            skips[SKIP_REASONS.index(code)] = (
+                skips[SKIP_REASONS.index(code)] + m.astype(jnp.float32))
+            return jnp.where(m, jnp.float32(int(code)), reason)
 
         reason = first_fail(reason, jnp.logical_not(was_flat), Reason.IN_POSITION)
         reason = first_fail(reason, now_ms < cooldown_until, Reason.COOLDOWN)
@@ -740,7 +788,7 @@ def _engine_lifecycle_loop(
             reason = first_fail(reason, blocked, Reason.ACC_BREAKOUT_GATE)
 
         # 10) soft volume veto (:1773-1794); slope over the last 6 volumes
-        vslope = _volume_slope6(ring_v, n_hist)
+        vslope = _volume_slope6(rv_pre, n_hist)
         confl_d = []
         for i in range(max_levels):
             lp, lv, _ = lvl[i]
@@ -768,8 +816,15 @@ def _engine_lifecycle_loop(
         veto_fail = jnp.logical_and(enable_veto > 0.5, vetoed)
         veto_code = jnp.where(veto_long, jnp.float32(int(Reason.CONTRA_VOL_LONG)),
                               jnp.float32(int(Reason.CONTRA_VOL_SHORT)))
-        reason = jnp.where(jnp.logical_and(reason == 0.0, veto_fail),
-                           veto_code, reason)
+        veto_m = jnp.logical_and(reason == 0.0, veto_fail)
+        skips[SKIP_REASONS.index(Reason.CONTRA_VOL_LONG)] = (
+            skips[SKIP_REASONS.index(Reason.CONTRA_VOL_LONG)]
+            + jnp.logical_and(veto_m, veto_long).astype(jnp.float32))
+        skips[SKIP_REASONS.index(Reason.CONTRA_VOL_SHORT)] = (
+            skips[SKIP_REASONS.index(Reason.CONTRA_VOL_SHORT)]
+            + jnp.logical_and(veto_m,
+                              jnp.logical_not(veto_long)).astype(jnp.float32))
+        reason = jnp.where(veto_m, veto_code, reason)
 
         # 11) ML / blended gate (:1707-1756 via :1454-1466)
         zml = (ml_c0 * best_k + ml_c1 * jnp.abs(best_p - stop_clean)
@@ -823,9 +878,7 @@ def _engine_lifecycle_loop(
         # the three head scores are skipped at trace time.
 
         enter = reason == 0.0
-        skips = tuple(
-            skips[k] + (reason == jnp.float32(int(code))).astype(jnp.float32)
-            for k, code in enumerate(SKIP_REASONS))
+        skips = tuple(skips)
 
         enter_f = enter.astype(jnp.float32)
         new_side = jnp.where(go_long, 1.0, -1.0)
@@ -875,8 +928,14 @@ def _engine_lifecycle_loop(
                     hstate)
 
         # ---- D) minute close of bar t (:1813-1855) -------------------------
-        ring_v = ring_push(ring_v, v)
-        ring_c = ring_push(ring_c, c)
+        if ring_refs is not None:
+            rv_ref[pl.ds(_rot_rows(t_i, VOL_RING), s)] = v
+            rc_ref[pl.ds(_rot_rows(t_i, CLOSE_RING), s)] = c
+            rv_post = lambda j: rv_ref[pl.ds(_rot_rows(t_i - j, VOL_RING), s)]
+        else:
+            ring_v = ring_push(ring_v, v)
+            ring_c = ring_push(ring_c, c)
+            rv_post = lambda j: ring_slot(ring_v, j)
         n_after = t_f + 1.0
         # guard extremes (:1268-1339): running box == the 60-min window while
         # num_bars <= 61; longer horizons shift 61-slot extreme rings
@@ -907,12 +966,12 @@ def _engine_lifecycle_loop(
             # exactly 0.0 (zero-init ring), so the young-window mask only ever
             # changes the DENOMINATOR, never the sum.  sum20 extends sum5 in the
             # same association order as the old per-window loops.
-            sum5 = ring_slot(ring_v, 0)
+            sum5 = rv_post(0)
             for slot in range(1, 5):
-                sum5 = sum5 + ring_slot(ring_v, slot)
+                sum5 = sum5 + rv_post(slot)
             sum20 = sum5
             for slot in range(5, VOL_RING):
-                sum20 = sum20 + ring_slot(ring_v, slot)
+                sum20 = sum20 + rv_post(slot)
             # minute-close MAs (denominator max(1, min(k, n)), :1827)
             vol_ma_s = sum5 / jnp.maximum(1.0, jnp.minimum(jnp.float32(5.0), n_after))
             vol_ma_l = sum20 / jnp.maximum(
@@ -1078,7 +1137,7 @@ def _engine_lifecycle_loop(
             vals = nxt
         return vals[0]
 
-    def _volume_slope6(ring, n_bars):
+    def _volume_slope6(rv_slot, n_bars):
         """_calc_volume_slope (:1796-1811), window 6 over the newest-first
         volume ring holding bars <= t-1 (n_bars of them)."""
         n = jnp.minimum(n_bars, jnp.float32(VOL_RING))
@@ -1093,8 +1152,8 @@ def _engine_lifecycle_loop(
             idx = (m - 1.0) - jf
             w1 = jnp.logical_and(in_win, idx < half).astype(jnp.float32)
             w2 = jnp.logical_and(in_win, idx >= m - half).astype(jnp.float32)
-            v1 = v1 + ring_slot(ring, j) * w1
-            v2 = v2 + ring_slot(ring, j) * w2
+            v1 = v1 + rv_slot(j) * w1
+            v2 = v2 + rv_slot(j) * w2
         v1 = v1 / half
         v2 = v2 / half
         slope = (v2 - v1) / (jnp.abs(v1) + 1e-9)
@@ -1102,60 +1161,60 @@ def _engine_lifecycle_loop(
         # scalar-predicate select as a blend (see the guard-MA blend note)
         return slope * (n >= 3.0).astype(jnp.float32)
 
-    def _escalation(*, side, is_long, entry, c, ring_c, ring_v, n_hist,
+    def _escalation(*, side, is_long, entry, c, rc_slot, rv_slot,
                     bp, bd):
         """should_escalate_on_target (:897-960) on the pre-push rings;
         ``bp``/``bd`` are the bar's shared nearest-level scan (the live loop
-        evaluates both at the same close price)."""
+        evaluates both at the same close price).
+
+        STATIC precondition (proved by the caller's loop segmentation): this
+        bar has ``t >= CLOSE_RING``, so the ring holds a full 5-bar window —
+        ``n5 == 5``, ``trend_def`` true, every slot in-window, slot 4 the
+        oldest — and those former per-bar tile computations fold to Python
+        constants (round-5 escalation diet; bars t < CLOSE_RING skip the
+        walk entirely via ``esc_mode="off"``)."""
         pw = jnp.float32(0.35)       # PROXIMITY_WINDOW (:704-718)
         inf = jnp.float32(_BIG)
         near = bd <= pw
         # |close - level| per ring slot, computed once and shared by the
         # approach inference AND every (d_j, d_prev) pair of the trend mask
-        darr = [jnp.abs(ring_slot(ring_c, j) - bp) for j in range(CLOSE_RING)]
-        # approach: last two ring closes (infer_approach :554-565)
-        p1 = ring_slot(ring_c, 1)
+        darr = [jnp.abs(rc_slot(j) - bp) for j in range(CLOSE_RING)]
+        # approach: last two ring closes (infer_approach :554-565);
+        # inferred_ok == toward (n_hist >= 2 holds statically)
+        p1 = rc_slot(1)
         toward = darr[0] < darr[1]
-        inferred_ok = jnp.logical_and(n_hist >= 2.0, toward)
         # from_above when price > level; bool select via and/or (no i1 where)
         appr_from_below = jnp.logical_or(
-            jnp.logical_and(inferred_ok, p1 <= bp),
-            jnp.logical_and(jnp.logical_not(inferred_ok), c <= bp))
-        # volume trend toward the level over the last 5 bars (:567-601)
-        n5 = jnp.minimum(n_hist, jnp.float32(CLOSE_RING))
-        trend_def = n_hist >= jnp.float32(CLOSE_RING)
-        # oldest→newest order: slot (n5-1) .. 0; toward-kept mask per slot
-        sel = []
-        for j in range(CLOSE_RING):       # j = newest-first slot
-            jf = jnp.float32(j)
-            in_win = jf < n5
-            is_first = jf == n5 - 1.0     # oldest in window
-            keep = jnp.logical_or(is_first,
-                                  darr[j] <= darr[min(j + 1, CLOSE_RING - 1)])
-            sel.append(jnp.logical_and(in_win, keep))
-        cnt = zero
-        for j in range(CLOSE_RING):
+            jnp.logical_and(toward, p1 <= bp),
+            jnp.logical_and(jnp.logical_not(toward), c <= bp))
+        # volume trend toward the level over the last 5 bars (:567-601);
+        # n5 == 5, all slots in-window, slot 4 is the oldest (kept always —
+        # its keep compare darr[4] <= darr[4] is vacuously true too)
+        sel = [darr[j] <= darr[j + 1] for j in range(CLOSE_RING - 1)]
+        cnt = jnp.float32(1.0) + zero   # slot 4, always selected
+        for j in range(CLOSE_RING - 1):
             cnt = cnt + sel[j].astype(jnp.float32)
         use_all = cnt < 3.0               # min_bars_for_trend
-        msel = [jnp.where(use_all, (jnp.float32(j) < n5).astype(jnp.float32),
-                          sel[j].astype(jnp.float32))
-                for j in range(CLOSE_RING)]
-        mcnt = jnp.where(use_all, n5, cnt)
+        msel = [jnp.where(use_all, 1.0, sel[j].astype(jnp.float32))
+                for j in range(CLOSE_RING - 1)]
+        mcnt = jnp.where(use_all, jnp.float32(CLOSE_RING), cnt)
         # halves averages, k = max(2, cnt//2); order index counts oldest-first
         k2 = jnp.maximum(2.0, jnp.floor(mcnt / 2.0))
-        first_sum = zero
-        last_sum = zero
-        older = zero  # number of selected slots OLDER than slot j
-        for j in range(CLOSE_RING - 1, -1, -1):   # oldest → newest
+        # slot 4 (oldest, weight 1, older == 0): 0 < k2 always (k2 >= 2), so
+        # it joins first_sum unconditionally; its in_last test stays dynamic
+        first_sum = rv_slot(CLOSE_RING - 1) + zero
+        last_sum = rv_slot(CLOSE_RING - 1) * (
+            jnp.float32(0.0) >= mcnt - k2).astype(jnp.float32)
+        older = jnp.float32(1.0) + zero
+        for j in range(CLOSE_RING - 2, -1, -1):   # oldest → newest
             w = msel[j]
             in_first = (older < k2).astype(jnp.float32) * w
             in_last = (older >= mcnt - k2).astype(jnp.float32) * w
-            first_sum = first_sum + ring_slot(ring_v, j) * in_first
-            last_sum = last_sum + ring_slot(ring_v, j) * in_last
+            first_sum = first_sum + rv_slot(j) * in_first
+            last_sum = last_sum + rv_slot(j) * in_last
             older = older + w
         trend = (last_sum - first_sum) / k2
-        # scalar-predicate select as a blend (see the guard-MA blend note)
-        vol_trend = trend * trend_def.astype(jnp.float32)
+        vol_trend = trend            # trend_def holds statically
         reversal = vol_trend < 0.0
         # direction the predicted move points (:830-831, :865-866); the
         # nested bool selects compose with and/or (no i1 where in Mosaic):
@@ -1171,7 +1230,7 @@ def _engine_lifecycle_loop(
             jnp.logical_and(jnp.logical_not(is_long),
                             jnp.logical_not(move_down)))
         level_valid = jnp.logical_and(has_levels > 0.5, near)
-        can_decide = jnp.logical_and(level_valid, trend_def)
+        can_decide = level_valid          # trend_def holds statically
         do_exit = jnp.logical_and(can_decide, against)
         continuation = jnp.logical_and(can_decide, jnp.logical_not(reversal))
         # next level beyond the anchor (:1038-1049)
@@ -1200,14 +1259,36 @@ def _engine_lifecycle_loop(
         return go, nxt, trail
 
     # static young-bar peel: double-bar steps whose BOTH bars satisfy
-    # t < young_bars run the reduced minute-close body (see _one_bar)
+    # t < young_bars run the reduced minute-close body (see _one_bar).
+    # The escalation peel composes with it: steps < 2 (bars 0-3) have both
+    # bars below CLOSE_RING (walk statically dead), step 2 mixes bar 4
+    # (dead) with bar 5 (the first live bar), and steps >= 3 run the
+    # static-fold walk.  Segment boundaries honor both peels.
     k2 = max(0, min(num_bars // 2, young_bars // 2))
+    nsteps = num_bars // 2
     final = init
-    if k2 > 0:
-        final = jax.lax.fori_loop(
-            0, k2, functools.partial(body, young=True), final)
-    if k2 < num_bars // 2:
-        final = jax.lax.fori_loop(k2, num_bars // 2, body, final)
+
+    def _esc_modes(step):
+        if step >= (CLOSE_RING + 1) // 2 + 1:
+            return ("static", "static")
+        if 2 * step + 1 < CLOSE_RING:
+            return ("off", "off")
+        return ("off" if 2 * step < CLOSE_RING else "static",
+                "off" if 2 * step + 1 < CLOSE_RING else "static")
+
+    bounds = sorted({0, min(2, nsteps), min(3, nsteps),
+                     min(k2, nsteps), nsteps})
+    for a, b2 in zip(bounds, bounds[1:]):
+        young_seg = b2 <= k2
+        modes = _esc_modes(a)
+        assert all(_esc_modes(t) == modes for t in range(a, b2))
+        if b2 - a == 1:
+            final = body(jnp.int32(a), final, young=young_seg,
+                         esc_modes=modes)
+        else:
+            final = jax.lax.fori_loop(
+                a, b2, functools.partial(body, young=young_seg,
+                                         esc_modes=modes), final)
     if num_bars % 2:
         # final half step: first Box-Muller branch of one extra draw block
         t2 = jnp.int32(num_bars // 2)
@@ -1222,10 +1303,11 @@ def _engine_lifecycle_loop(
         else:
             nz_last = None
         young_last = (num_bars - 1) < young_bars
+        esc_last = "off" if (num_bars - 1) < CLOSE_RING else "static"
         if bootstrap:
             final = _one_bar(final, jnp.int32(num_bars - 1), draw(t2, 0),
                              None, None, None, draw(t2, 2), nz_last,
-                             young=young_last)
+                             young=young_last, esc_mode=esc_last)
         elif hes:
             z_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 0))) * jnp.cos(
                 _TWO_PI * draw(t2, 1))
@@ -1235,7 +1317,7 @@ def _engine_lifecycle_loop(
                 _TWO_PI * draw(t2, 5))
             final = _one_bar(final, jnp.int32(num_bars - 1), z_last, zv_last,
                              draw(t2, 6), draw(t2, 7), draw(t2, 8), nz_last,
-                             young=young_last, zq=zq_last)
+                             young=young_last, zq=zq_last, esc_mode=esc_last)
         else:
             z_last = jnp.sqrt(-2.0 * jnp.log(draw(t2, 0))) * jnp.cos(
                 _TWO_PI * draw(t2, 1))
@@ -1245,7 +1327,7 @@ def _engine_lifecycle_loop(
                 _TWO_PI * draw(t2, 3))
             final = _one_bar(final, jnp.int32(num_bars - 1), z_last, zv_last,
                              draw(t2, 4), draw(t2, 5), draw(t2, 6), nz_last,
-                             young=young_last)
+                             young=young_last, esc_mode=esc_last)
     if carry_x:
         final = final[:2] + final[3:]          # drop the sampler-state carry
     (_, _, side, _, _, _, _, _, _, equity, _, dd, trades, wins, losses, escal,
@@ -1359,10 +1441,15 @@ def _engine_kernel(
     no_fold: bool = False,
     policy_off: bool = False,
     young_bars: int = 0,
+    rot_rings: bool = False,
 ):
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
     refs = list(refs)
+    ring_refs = None
+    if rot_rings:
+        ring_refs = tuple(refs[-2:])   # trailing VMEM scratch buffers
+        refs = refs[:-2]
     if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
@@ -1399,6 +1486,7 @@ def _engine_kernel(
         harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len,
         heston=heston, antithetic=antithetic, gen_only=gen_only,
         skip_d=skip_d, policy_off=policy_off, young_bars=young_bars,
+        ring_refs=ring_refs,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -1553,6 +1641,8 @@ def mc_paths_pallas_engine(
     skip_d: bool = False,     # roofline mode: skip the minute-close pipeline
     no_fold: bool = False,    # roofline mode: full engine, skip the fold
                               # (keepalive slice-adds only; stats meaningless)
+    rot_rings: bool = True,   # rotating scratch rings (A/B probe knob; the
+                              # carry-ring form is bitwise identical, slower)
     interpret=False,
     external_uniforms=None,   # f32[n_blocks, stride*ceil(num_bars/2), 8, lanes]
 ):
@@ -1614,6 +1704,7 @@ def mc_paths_pallas_engine(
         heston=_heston_tuple(heston, mu, dt), antithetic=bool(antithetic),
         gen_only=bool(gen_only), skip_d=bool(skip_d), no_fold=bool(no_fold),
         young_bars=_young_bars(guard_params), interpret=interpret,
+        rot_rings=bool(rot_rings),
     )
 
 
@@ -1623,7 +1714,7 @@ def mc_paths_pallas_engine(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_paths", "num_bars", "s0", "mu", "sigma", "dt",
+    static_argnames=("rot_rings", "num_paths", "num_bars", "s0", "mu", "sigma", "dt",
                      "lanes", "volume_model", "escalation", "bar0_minute",
                      "policy_gate_disabled", "harvest", "sampler", "block_len",
                      "heston", "antithetic", "gen_only", "skip_d", "no_fold",
@@ -1634,7 +1725,7 @@ def _engine_impl(
     noise, hist_bars, external_uniforms, *, num_paths, num_bars, s0, mu,
     sigma, dt, lanes, policy_gate_disabled, escalation, bar0_minute,
     volume_model, harvest, sampler, block_len, heston, antithetic, gen_only,
-    skip_d, no_fold, young_bars, interpret,
+    skip_d, no_fold, young_bars, interpret, rot_rings=True,
 ):
     block = ENGINE_SUB * lanes
     n_blocks = num_paths // block
@@ -1660,7 +1751,7 @@ def _engine_impl(
         block_len=block_len, heston=heston, antithetic=antithetic,
         gen_only=gen_only, skip_d=skip_d, no_fold=no_fold,
         policy_off=bool(policy_gate_disabled),
-        young_bars=young_bars,
+        young_bars=young_bars, rot_rings=rot_rings,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, noise=noise)
@@ -1698,6 +1789,10 @@ def _engine_impl(
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=([
+            pltpu.VMEM((VOL_RING * ENGINE_SUB, lanes), jnp.float32),
+            pltpu.VMEM((CLOSE_RING * ENGINE_SUB, lanes), jnp.float32),
+        ] if rot_rings else []),
         interpret=interpret,
     )(*((seed_arr, eng, mlv, polv, tmv, gdv, lp, lv, lk)
          + ((hist,) if hist is not None else ())
@@ -1741,6 +1836,7 @@ def _engine_sweep_kernel(
     heston=None,
     policy_off: bool = False,
     young_bars: int = 0,
+    rot_rings: bool = False,
 ):
     """One path block run through the FULL engine once per grid row.  The
     hardware PRNG is re-seeded to the block's seed before each row, so every
@@ -1755,6 +1851,10 @@ def _engine_sweep_kernel(
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
     refs = list(refs)
+    ring_refs = None
+    if rot_rings:
+        ring_refs = tuple(refs[-2:])   # trailing VMEM scratch buffers
+        refs = refs[:-2]
     if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[8 * ch:8 * (ch + 1),
@@ -1801,6 +1901,7 @@ def _engine_sweep_kernel(
                    if use_noise else None),
             sampler=sampler, hist=hist, block_len=block_len, heston=heston,
             policy_off=policy_off, young_bars=young_bars,
+            ring_refs=ring_refs,
         )
         _engine_accumulate(acc_ref, (g,), final, n_paths=s * b)
 
@@ -1935,6 +2036,7 @@ def _engine_sweep_impl(
         use_noise=use_noise, sampler=sampler, hist_len=hist_len, block_len=block_len, heston=heston,
         policy_off=bool(policy_gate_disabled),
         young_bars=young_bars,
+        rot_rings=True,
     )
     grid = _pack_eng(grid_params, policy_gate_disabled, bar0_minute,
                      levels.count > 0, g=n_grid, noise=noise)
@@ -1972,6 +2074,10 @@ def _engine_sweep_impl(
         out_specs=pl.BlockSpec((n_grid, 8, 128), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_grid, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((VOL_RING * ENGINE_SUB, lanes), jnp.float32),
+            pltpu.VMEM((CLOSE_RING * ENGINE_SUB, lanes), jnp.float32),
+        ],
         interpret=interpret,
     )(*((seed_arr, grid, mlv, polv, tmv, gdv, lp, lv, lk)
          + ((hist,) if hist is not None else ())
@@ -2014,6 +2120,7 @@ def _engine_universe_kernel(
     heston=None,
     policy_off: bool = False,
     young_bars: int = 0,
+    rot_rings: bool = False,
 ):
     """Per-(symbol, block) FULL-ENGINE lifecycle: the shared streaming loop
     with the symbol's s0/sigma AND all 17 engine knobs (plus its own noise
@@ -2024,6 +2131,10 @@ def _engine_universe_kernel(
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
     refs = list(refs)
+    ring_refs = None
+    if rot_rings:
+        ring_refs = tuple(refs[-2:])   # trailing VMEM scratch buffers
+        refs = refs[:-2]
     if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
@@ -2069,6 +2180,7 @@ def _engine_universe_kernel(
                if use_noise else None),
         harvest=use_harvest, sampler=sampler, hist=hist, block_len=block_len, heston=heston,
         policy_off=policy_off, young_bars=young_bars,
+        ring_refs=ring_refs,
     )
 
     @pl.when(pl.program_id(1) == 0)
@@ -2194,6 +2306,7 @@ def _engine_universe_sweep_kernel(
     heston=None,
     policy_off: bool = False,
     young_bars: int = 0,
+    rot_rings: bool = False,
 ):
     """Sweep-of-universes: per (symbol, block) grid step, every knob-grid row
     replays the symbol's identical uniform stream (PRNG re-seeded per row) —
@@ -2205,6 +2318,10 @@ def _engine_universe_sweep_kernel(
     s, b = ENGINE_SUB, lanes
     stride = _draw_stride(sampler, use_noise)
     refs = list(refs)
+    ring_refs = None
+    if rot_rings:
+        ring_refs = tuple(refs[-2:])   # trailing VMEM scratch buffers
+        refs = refs[:-2]
     if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
@@ -2261,6 +2378,7 @@ def _engine_universe_sweep_kernel(
                    if use_noise else None),
             sampler=sampler, hist=hist, block_len=block_len, heston=heston,
             policy_off=policy_off, young_bars=young_bars,
+            ring_refs=ring_refs,
         )
         _engine_accumulate(acc_ref, (0, g), final, n_paths=s * b)
 
@@ -2397,6 +2515,7 @@ def _engine_universe_sweep_impl(
         n_grid=n_grid, external_rng=external_rng, use_noise=use_noise,
         sampler=sampler, hist_len=hist_len, block_len=block_len, heston=heston,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
+        rot_rings=True,
     )
     grid = _pack_eng_sg(grid_params, policy_gate_disabled, bar0_minute,
                         n_sym, n_grid, noise=noise)      # (S, G, ENG_COLS)
@@ -2452,6 +2571,10 @@ def _engine_universe_sweep_impl(
                                lambda si, bi: (si, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_sym, n_grid, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((VOL_RING * ENGINE_SUB, lanes), jnp.float32),
+            pltpu.VMEM((CLOSE_RING * ENGINE_SUB, lanes), jnp.float32),
+        ],
         interpret=interpret,
     )(*((seed_arr, grid, mlv, polv, tmv, gdv, sym, lp, lv, lk)
          + ((hist,) if hist is not None else ())
@@ -2497,6 +2620,7 @@ def _engine_universe_impl(
         use_noise=use_noise, use_harvest=harvest, sampler=sampler,
         hist_len=hist_len, block_len=block_len, heston=heston,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
+        rot_rings=True,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, g=n_sym, noise=noise)   # (S, ENG_COLS)
@@ -2548,6 +2672,10 @@ def _engine_universe_impl(
         out_specs=pl.BlockSpec((1, 8, 128), lambda si, bi: (si, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_sym, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((VOL_RING * ENGINE_SUB, lanes), jnp.float32),
+            pltpu.VMEM((CLOSE_RING * ENGINE_SUB, lanes), jnp.float32),
+        ],
         interpret=interpret,
     )(*((seed_arr, mlv, polv, tmv, gdv, sym, lp, lv, lk)
          + ((hist,) if hist is not None else ())
@@ -2587,6 +2715,7 @@ def _engine_corr_kernel(
     antithetic: bool = False,
     policy_off: bool = False,
     young_bars: int = 0,
+    rot_rings: bool = False,
 ):
     """Correlated FULL-ENGINE universe (parallel/portfolio.py model) on a
     (block, symbol) grid — SYMBOL IS THE INNER AXIS so one path block's
@@ -2619,6 +2748,10 @@ def _engine_corr_kernel(
     bi = pl.program_id(0)
     si = pl.program_id(1)
     refs = list(refs)
+    ring_refs = None
+    if rot_rings:
+        ring_refs = tuple(refs[-2:])   # trailing VMEM scratch buffers
+        refs = refs[:-2]
     if sampler in ("bootstrap", "block_bootstrap"):
         hist_ref = refs.pop(0)
         hist = (lambda ch, ti: hist_ref[0, 8 * ch:8 * (ch + 1),
@@ -2695,7 +2828,7 @@ def _engine_corr_kernel(
         harvest=use_harvest, sampler=sampler, hist=hist,
         block_len=block_len, heston=heston, antithetic=antithetic,
         policy_off=policy_off, young_bars=young_bars,
-        corr=beta_s, curve=(curve_ref, weight),
+        corr=beta_s, curve=(curve_ref, weight), ring_refs=ring_refs,
     )
     side, equity, dd, trades, wins, losses, escal, skips, hstate = final
     _engine_accumulate(acc_ref.at[si], (), final, n_paths=s * b)
@@ -2760,6 +2893,7 @@ def _engine_corr_impl(
         sampler=sampler, hist_len=hist_len, block_len=block_len,
         heston=heston, antithetic=antithetic,
         policy_off=bool(policy_gate_disabled), young_bars=young_bars,
+        rot_rings=True,
     )
     eng = _pack_eng(params, policy_gate_disabled, bar0_minute,
                     levels.count > 0, g=n_sym, noise=noise)   # (S, ENG_COLS)
@@ -2828,6 +2962,9 @@ def _engine_corr_impl(
             pltpu.VMEM((ENGINE_SUB, lanes), jnp.float32),
             pltpu.VMEM((ENGINE_SUB, lanes), jnp.float32),
             pltpu.VMEM((ENGINE_SUB, lanes), jnp.float32),
+        
+            pltpu.VMEM((VOL_RING * ENGINE_SUB, lanes), jnp.float32),
+            pltpu.VMEM((CLOSE_RING * ENGINE_SUB, lanes), jnp.float32),
         ],
         interpret=interpret,
     )(*((seed_arr, mlv, polv, tmv, gdv, sym, lp, lv, lk)

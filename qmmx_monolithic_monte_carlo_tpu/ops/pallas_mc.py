@@ -118,21 +118,38 @@ class _Replay(NamedTuple):
     blk_max: jnp.ndarray   # scalar max R over entered lanes (-_BIG if none)
 
 
+def bm_pair(u1, u2):
+    """Paired Box-Muller: (r·cos a, r·sin a) for a = 2π·u2, r = √(−2 ln u1).
+
+    Round-5 negative result, measured and REJECTED: replacing the sin branch
+    with sign(sin)·√(1−cos²) — motivated by benchmarks/vpu_roofline.py
+    showing a STANDALONE cos/sin chain costs ~20-26 mul-equivalents while
+    exp/log cost 1.2-1.6 — made the flagship kernel 2.5% SLOWER (335.1M →
+    326.5/326.8M paths/s, 3 bench.py reps).  Mosaic evidently shares the
+    range reduction/polynomial pipeline between sin and cos of the SAME
+    angle, so the second branch is nearly free and the swap only added a
+    sqrt+select to the critical path.  The roofline's single-op trig cost
+    does NOT compose additively for sincos pairs — priced per-pair, trig is
+    ~13 mul-equivalents for BOTH normals, not 50."""
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    a = _TWO_PI * u2
+    return r * jnp.cos(a), r * jnp.sin(a)
+
+
 def _gbm_block(draw: Callable, *, w: int, b: int, drift, sig_dt, log_s0,
                antithetic: bool = False) -> _Bars:
     """Stages 1-3: Box-Muller normals → MXU-cumsum GBM closes → bridge extremes.
 
     Both Box-Muller branches are used — draws 0/1 are (w//2, b) uniforms and
-    each (u1, u2) pair yields TWO normals (r·cos, r·sin), halving the ln/sqrt
-    transcendental count of increment generation (+12% kernel throughput on
-    v5e).  ``drift``/``sig_dt``/``log_s0`` may be Python floats (static
+    each (u1, u2) pair yields TWO normals via ``bm_pair``, halving the
+    ln/sqrt transcendental count of increment generation (+12% kernel
+    throughput on v5e round 2; the sin→sqrt swap inside bm_pair is round 5).
+    ``drift``/``sig_dt``/``log_s0`` may be Python floats (static
     config) or traced scalars (per-symbol slabs)."""
     u1 = draw(0)                       # (w//2, b)
     u2 = draw(1)
-    radius = jnp.sqrt(-2.0 * jnp.log(u1))
-    angle = _TWO_PI * u2
-    z = jnp.concatenate([radius * jnp.cos(angle), radius * jnp.sin(angle)],
-                        axis=0)        # (w, b)
+    z1, z2 = bm_pair(u1, u2)
+    z = jnp.concatenate([z1, z2], axis=0)   # (w, b)
     if antithetic:
         # lane-paired sign-flip (ops/pathgen.gbm_paths antithetic analog);
         # the right half-lanes' z draws are consumed-but-unused, so the
