@@ -402,14 +402,23 @@ def touch_register(
     side_short = c > lr[None, :]                           # [P, L] (:1176)
     side_onehot = jnp.stack(
         [jnp.logical_not(side_short), side_short], axis=-1)  # [P, L, 2]
-    hit = jnp.logical_and(jnp.logical_and(near[..., None], side_onehot),
-                          en[:, None, None])
 
-    too_soon = jnp.logical_and(st.has_last, (ts - st.last_ts) < params.min_time_gap_ms)
-    bps_last = jnp.where(st.last_px <= 0, 0.0,
-                         jnp.abs(c[..., None] - st.last_px) / st.last_px * 1e4)
-    too_close = jnp.logical_and(st.has_last, bps_last < params.min_price_gap_bps)
-    counted = jnp.logical_and(hit, jnp.logical_not(jnp.logical_or(too_soon, too_close)))
+    # Only the ACTIVE side (short iff c > level) can register this bar, so
+    # the de-dup predicates are computed ONCE from the active side's
+    # gathered state and scattered back through side_onehot — bitwise the
+    # same per-(level, side) transitions as the two-sided [P, L, 2] form
+    # (the inactive side's hit is identically false), at half the float
+    # work (round-5 XLA ladder diet; the kernel uses the same trick).
+    ts_a = jnp.where(side_short, st.last_ts[:, :, 1], st.last_ts[:, :, 0])
+    px_a = jnp.where(side_short, st.last_px[:, :, 1], st.last_px[:, :, 0])
+    has_a = jnp.where(side_short, st.has_last[:, :, 1], st.has_last[:, :, 0])
+    hit_a = jnp.logical_and(near, en[:, None])             # [P, L]
+    too_soon = jnp.logical_and(has_a, (ts - ts_a) < params.min_time_gap_ms)
+    bps_last = jnp.where(px_a <= 0, 0.0, jnp.abs(c - px_a) / px_a * 1e4)
+    too_close = jnp.logical_and(has_a, bps_last < params.min_price_gap_bps)
+    counted_a = jnp.logical_and(
+        hit_a, jnp.logical_not(jnp.logical_or(too_soon, too_close)))
+    counted = jnp.logical_and(counted_a[..., None], side_onehot)  # [P, L, 2]
 
     count = st.count + counted.astype(jnp.int32)
     last_ts = jnp.where(counted, ts, st.last_ts)
@@ -456,14 +465,30 @@ def edge_fatigued(st: RegularTouchState, params: T.TouchMemoryParams, now_ms) ->
     which is why ``sim.enginepath._check_state_envelope`` rejects it at
     launch (the old 32-slot ring form supported up to 31)."""
     now = jnp.asarray(now_ms, jnp.int32)
-    k = jnp.asarray(params.fatigue_hits, jnp.int32)
-    slot = jnp.arange(TAP_STACK)[None, None, :]
-    in_win = st.tap_ts >= now - params.fatigue_window_ms     # [P, 2, S]
-    kth_in = jnp.sum(
-        jnp.where(jnp.logical_and(slot == k - 1, in_win), 1, 0), axis=-1) > 0
-    lastk = slot < k
-    avg = jnp.sum(jnp.where(lastk, st.tap_ratio, 0.0), axis=-1) / jnp.maximum(
-        k, 1).astype(jnp.float32)
+    try:
+        # static-k fast path (round-5 XLA ladder diet): with a concrete
+        # fatigue_hits — always true outside jit; the reference pins 3 — the
+        # kth-newest in-window test is ONE [P, 2] compare on slot k-1 and
+        # the last-k mean a static slice sum, instead of [P, 2, TAP_STACK]
+        # one-hot reductions (edge_fatigued was 28% of the whole XLA engine
+        # pipeline in the round-4i bisect).  Bitwise: the masked sum padded
+        # zeros beyond slot k-1; dropping exact +0.0 terms changes nothing.
+        ks = int(params.fatigue_hits)
+        kth_in = st.tap_ts[:, :, ks - 1] >= now - params.fatigue_window_ms
+        ssum = st.tap_ratio[:, :, 0]
+        for j in range(1, ks):
+            ssum = ssum + st.tap_ratio[:, :, j]
+        avg = ssum / jnp.float32(max(ks, 1))
+    except TypeError:   # traced fatigue_hits — dynamic fallback
+        k = jnp.asarray(params.fatigue_hits, jnp.int32)
+        slot = jnp.arange(TAP_STACK)[None, None, :]
+        in_win = st.tap_ts >= now - params.fatigue_window_ms     # [P, 2, S]
+        kth_in = jnp.sum(
+            jnp.where(jnp.logical_and(slot == k - 1, in_win), 1, 0),
+            axis=-1) > 0
+        lastk = slot < k
+        avg = jnp.sum(jnp.where(lastk, st.tap_ratio, 0.0),
+                      axis=-1) / jnp.maximum(k, 1).astype(jnp.float32)
     fatigued = jnp.logical_and(kth_in, avg >= params.fatigue_vol_k)  # [P, 2]
     return jnp.where(fatigued[:, 0], T.EDGE_TOP,
                      jnp.where(fatigued[:, 1], T.EDGE_BOT, T.EDGE_NONE)).astype(jnp.int32)
@@ -490,14 +515,18 @@ def touch_allow(
     from ``nearest_level`` (always in-range); do not rely on clamp semantics
     here."""
     l = st.count.shape[1]
-    sel = jnp.logical_and(
-        jnp.arange(l, dtype=jnp.int32)[None, :, None]
-        == jnp.asarray(level_idx, jnp.int32)[:, None, None],
-        jnp.arange(2, dtype=jnp.int32)[None, None, :]
-        == jnp.asarray(side, jnp.int32)[:, None, None])        # [P, L, 2]
-    cnt = jnp.sum(jnp.where(sel, st.count, 0), axis=(1, 2))
-    last_ts = jnp.sum(jnp.where(sel, st.last_ts, 0), axis=(1, 2))
-    has = jnp.any(jnp.logical_and(sel, st.has_last), axis=(1, 2))
+    # side first ([P, L] selects), then the level one-hot — halves the
+    # reduction work vs the [P, L, 2] form (round-5 XLA ladder diet;
+    # integer/bool sums are order-exact, so this is bitwise-free)
+    short = jnp.asarray(side, jnp.int32)[:, None] == 1          # [P, 1]
+    cnt_s = jnp.where(short, st.count[:, :, 1], st.count[:, :, 0])
+    ts_s = jnp.where(short, st.last_ts[:, :, 1], st.last_ts[:, :, 0])
+    has_s = jnp.where(short, st.has_last[:, :, 1], st.has_last[:, :, 0])
+    sel = (jnp.arange(l, dtype=jnp.int32)[None, :]
+           == jnp.asarray(level_idx, jnp.int32)[:, None])       # [P, L]
+    cnt = jnp.sum(jnp.where(sel, cnt_s, 0), axis=1)
+    last_ts = jnp.sum(jnp.where(sel, ts_s, 0), axis=1)
+    has = jnp.any(jnp.logical_and(sel, has_s), axis=1)
     budget_blocked = cnt >= params.max_bounces
     cooldown_blocked = jnp.logical_and(
         has, (jnp.asarray(now_ms, jnp.int32) - last_ts) < params.min_time_gap_ms

@@ -200,7 +200,7 @@ def engine_path_replay(
     bar0_minute = jnp.asarray(bar0_minute, jnp.int32)
     n_skip = len(SKIP_REASONS)
 
-    def step(carry, inp):
+    def step(carry, inp, esc_on=True):
         (side, entry, stop, target, risk0, cooldown_until, last_dir, prev_c,
          c_counts, c_latch, guard, touch, ring_c, ring_v,
          equity, peak, dd, trades, wins, losses, escal, skips, hstate) = carry
@@ -228,10 +228,13 @@ def engine_path_replay(
         target_first = bh.target_first
         hit = bh.hit
 
-        if escalation:
+        if escalation and esc_on:
             # the live loop evaluates at the detecting tick's price and only
             # escalates within CONTACT_PROX of the target (:1950-2012 via
-            # :2988); the bar's close is that observable price here
+            # :2988); the bar's close is that observable price here.
+            # esc_on is STATICALLY False for the peeled bars t < VOL_LOOKBACK
+            # (trend_defined needs 5 held bars -> can_decide false -> the
+            # whole walk is provably dead there; round-5 XLA ladder diet)
             esc = exits.should_escalate_on_target(
                 side=side, entry=entry, current_price=c, levels=levels,
                 bar_prices=bars_c_on, bar_volumes=bars_v_on,
@@ -269,7 +272,7 @@ def engine_path_replay(
         dd = jnp.maximum(dd, peak - equity)
         wins = wins + jnp.logical_and(closed, pnl > 0).astype(jnp.int32)
         losses = losses + jnp.logical_and(closed, pnl <= 0).astype(jnp.int32)
-        if escalation:
+        if escalation and esc_on:
             stop = jnp.where(escalate, esc.trail_stop, stop)
             target = jnp.where(escalate, esc.next_target, target)
             escal = escal + escalate.astype(jnp.int32)
@@ -517,9 +520,20 @@ def engine_path_replay(
     if noise is not None:
         xs = xs + tuple(jnp.asarray(nn, jnp.float32).T for nn in noise_normals)
 
+    n_peel = min(w, exits.VOL_LOOKBACK) if escalation else 0
+    if n_peel:
+        xs_a = jax.tree_util.tree_map(lambda x: x[:n_peel], xs)
+        xs_b = jax.tree_util.tree_map(lambda x: x[n_peel:], xs)
+        carry_mid, curve_a = jax.lax.scan(
+            partial(step, esc_on=False), init, xs_a)
+        carry_fin, curve_b = jax.lax.scan(step, carry_mid, xs_b)
+        curve = (jnp.concatenate([curve_a, curve_b], axis=0)
+                 if return_curve else None)
+    else:
+        carry_fin, curve = jax.lax.scan(step, init, xs)
     (side, _, _, _, _, _, _, _, _, _, _, _, _, _,
      equity, _, dd, trades, wins, losses, escal, skips,
-     hstate), curve = jax.lax.scan(step, init, xs)
+     hstate) = carry_fin
     out = EngineLifecycleOutcome(
         equity=equity, trades=trades, wins=wins, losses=losses,
         open_at_end=side != SIDE_FLAT, max_dd=dd, escalations=escal,
