@@ -98,7 +98,7 @@ def main():
           file=sys.stderr)
 
     def pipeline(key, escalation=True, block=None):
-        return EP.mc_paths_engine.__wrapped__(
+        return EP._mc_paths_engine_jit.__wrapped__(
             key, LEVELS, params, num_paths=n, num_bars=args.bars, sigma=0.3,
             block_paths=1 << (args.block if block is None else block),
             escalation=escalation)

@@ -47,9 +47,16 @@ def should_exit(
     bar_valid,               # bool[..., N]
     proximity_window: float = PROXIMITY_WINDOW,
     confluence_window: float = CONFLUENCE_WINDOW,
+    full_window: bool = False,
 ) -> ExitDecision:
     """``should_exit`` (:754-895).  The reference's early ``return hold`` guards
-    (no levels / not near / no volume trend) become a combined hold mask."""
+    (no levels / not near / no volume trend) become a combined hold mask.
+
+    ``full_window=True`` (static) asserts ``bar_prices``/``bar_volumes`` are
+    exactly the VOL_LOOKBACK newest bars, all valid, oldest→newest —
+    ``bar_valid`` is then ignored and the window featurizers take their
+    static fast paths (bitwise-equal; ops/features.volume_trend_full_window).
+    The scaled engine scan passes static ring slices on the post-peel bars."""
     price = jnp.asarray(current_price, jnp.float32)
     # winner's price rides the running-min select — a [P]-indexed gather here
     # runs every bar of the scaled scan (ops/features.nearest_level_full).
@@ -60,14 +67,23 @@ def should_exit(
     near = dist <= proximity_window
 
     # approach: infer from last two bar prices; fallback current vs level (:802-806)
-    inferred = F.infer_approach(bar_prices, bar_valid, level_price)
+    if full_window:
+        inferred = F.infer_approach_full_window(bar_prices, level_price)
+    else:
+        inferred = F.infer_approach(bar_prices, bar_valid, level_price)
     fallback = jnp.where(price > level_price, 0, 1)  # from_above=0 / from_below=1
     approach_below = jnp.where(inferred >= 0, inferred, fallback) == 1
 
-    vol_trend, trend_defined = F.volume_trend_toward_level(
-        bar_prices, bar_volumes, bar_valid, level_price,
-        vol_lookback=VOL_LOOKBACK, min_bars_for_trend=MIN_BARS_FOR_TREND,
-    )
+    if full_window:
+        vol_trend = F.volume_trend_full_window(
+            bar_prices, bar_volumes, level_price,
+            min_bars_for_trend=MIN_BARS_FOR_TREND)
+        trend_defined = jnp.ones(vol_trend.shape, bool)
+    else:
+        vol_trend, trend_defined = F.volume_trend_toward_level(
+            bar_prices, bar_volumes, bar_valid, level_price,
+            vol_lookback=VOL_LOOKBACK, min_bars_for_trend=MIN_BARS_FOR_TREND,
+        )
 
     reversal = vol_trend < 0
     basis = jnp.where(reversal, BASIS_REVERSAL, BASIS_CONTINUATION)
@@ -125,14 +141,17 @@ def should_escalate_on_target(
     bar_volumes,
     bar_valid,
     proximity_window: float = PROXIMITY_WINDOW,
+    full_window: bool = False,
 ) -> Escalation:
     """``should_escalate_on_target`` (:897-960): when ``should_exit`` says
     hold-with-continuation, roll the target to the next level beyond the anchor
-    and trail the stop to max(entry, anchor - prox) for longs (mirror for shorts)."""
+    and trail the stop to max(entry, anchor - prox) for longs (mirror for shorts).
+
+    ``full_window`` is ``should_exit``'s static fast-path flag (see there)."""
     res = should_exit(
         side=side, current_price=current_price, levels=levels,
         bar_prices=bar_prices, bar_volumes=bar_volumes, bar_valid=bar_valid,
-        proximity_window=proximity_window,
+        proximity_window=proximity_window, full_window=full_window,
     )
     anchor = jnp.where(res.level_valid, res.level_price,
                        jnp.asarray(current_price, jnp.float32))

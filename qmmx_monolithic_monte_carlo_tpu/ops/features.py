@@ -206,6 +206,70 @@ def volume_trend_toward_level(
     return jnp.where(defined, trend, 0.0), defined
 
 
+def volume_trend_full_window(
+    prices: jnp.ndarray,
+    volumes: jnp.ndarray,
+    level,
+    *,
+    min_bars_for_trend: int = 3,
+) -> jnp.ndarray:
+    """``volume_trend_toward_level`` specialized to a FULL window: the inputs
+    are exactly ``vol_lookback`` all-valid bars, oldest→newest (a static slice
+    of the newest ring slots).  ``defined`` is statically True, so only the
+    trend is returned.
+
+    Bitwise-equal to the general form on the same window: the position
+    cumsums fold to iota, ``is_first`` to slot 0, and every f32 sum here has
+    at most TWO nonzero terms (``k = max(2, cnt//2) == 2`` for any window of
+    ≤5 bars), so dropping the masked zero slots cannot re-associate anything.
+    The general form's [P, RING] reductions were 23% of the whole XLA engine
+    pipeline (benchmarks/xla_diet_bisect.py round 5 — the escalation walk ran
+    them over all 32 ring slots every bar)."""
+    prices = jnp.asarray(prices, jnp.float32)
+    volumes = jnp.asarray(volumes, jnp.float32)
+    level = jnp.asarray(level, jnp.float32)
+    k_win = prices.shape[-1]
+
+    dist = jnp.abs(prices - level[..., None])
+    # previous in-window distance: slot j-1; slot 0 is always "first bar kept"
+    prev_dist = jnp.roll(dist, 1, axis=-1)
+    iota = jnp.arange(k_win)
+    is_first = iota == 0
+    toward = jnp.logical_or(is_first, dist <= prev_dist)
+
+    def _halves_slope(mask):
+        cnt = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        k = jnp.maximum(2, cnt // 2)
+        order = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+        first_m = jnp.logical_and(mask, order < k[..., None])
+        last_m = jnp.logical_and(mask, order >= (cnt - k)[..., None])
+        kf = k.astype(jnp.float32)
+        first_avg = jnp.sum(jnp.where(first_m, volumes, 0.0), axis=-1) / kf
+        last_avg = jnp.sum(jnp.where(last_m, volumes, 0.0), axis=-1) / kf
+        return last_avg - first_avg, cnt
+
+    trend_f, cnt_f = _halves_slope(toward)
+    # all-window fallback: cnt == k_win, k == 2 → static first/last-2 masks
+    kf = jnp.float32(2.0)
+    trend_all = (
+        jnp.sum(jnp.where(iota >= k_win - 2, volumes, 0.0), axis=-1) / kf
+        - jnp.sum(jnp.where(iota < 2, volumes, 0.0), axis=-1) / kf)
+    return jnp.where(cnt_f < min_bars_for_trend, trend_all, trend_f)
+
+
+def infer_approach_full_window(prices: jnp.ndarray, level) -> jnp.ndarray:
+    """``infer_approach`` on a full all-valid oldest→newest window (≥2 bars):
+    the two newest bars are static slots -1/-2, and the ``n >= 2`` guard is
+    statically true."""
+    prices = jnp.asarray(prices, jnp.float32)
+    level = jnp.asarray(level, jnp.float32)
+    p2 = prices[..., -1]
+    p1 = prices[..., -2]
+    moving_toward = jnp.abs(p2 - level) < jnp.abs(p1 - level)
+    approach = jnp.where(p1 > level, 0, 1)  # from_above=0 / from_below=1
+    return jnp.where(moving_toward, approach, -1)
+
+
 def infer_approach(prices: jnp.ndarray, valid: jnp.ndarray, level) -> jnp.ndarray:
     """Planner/_infer_approach (:554-565, :979-991): using the last two prices,
     if |p2-level| < |p1-level| the move is toward the level → "from_above" if

@@ -198,12 +198,11 @@ def engine_path_replay(
     has_levels = levels.count > 0
     cooldown_ms = (jnp.asarray(params.cooldown_s, jnp.float32) * 1000.0).astype(jnp.int32)
     bar0_minute = jnp.asarray(bar0_minute, jnp.int32)
-    n_skip = len(SKIP_REASONS)
 
     def step(carry, inp, esc_on=True):
         (side, entry, stop, target, risk0, cooldown_until, last_dir, prev_c,
          c_counts, c_latch, guard, touch, ring_c, ring_v,
-         equity, peak, dd, trades, wins, losses, escal, skips, hstate) = carry
+         equity, peak, dd, trades, wins, losses, escal, hstate) = carry
         if harvest:
             hv, pend_ml, pend_pol, pend_x1, pend_x6 = hstate
         if noise is not None:
@@ -234,11 +233,16 @@ def engine_path_replay(
             # :2988); the bar's close is that observable price here.
             # esc_on is STATICALLY False for the peeled bars t < VOL_LOOKBACK
             # (trend_defined needs 5 held bars -> can_decide false -> the
-            # whole walk is provably dead there; round-5 XLA ladder diet)
+            # whole walk is provably dead there; round-5 XLA ladder diet).
+            # Post-peel the walk only reads the VOL_LOOKBACK newest bars, all
+            # guaranteed valid — a STATIC ring slice drops its [P, RING]
+            # cumsum/mask reductions to [P, VOL_LOOKBACK] (bitwise-equal:
+            # every f32 sum in the trend has <=2 nonzero terms; diet round 3)
             esc = exits.should_escalate_on_target(
                 side=side, entry=entry, current_price=c, levels=levels,
-                bar_prices=bars_c_on, bar_volumes=bars_v_on,
-                bar_valid=bars_valid_on,
+                bar_prices=ring_c[:, exits.VOL_LOOKBACK - 1::-1],
+                bar_volumes=ring_v[:, exits.VOL_LOOKBACK - 1::-1],
+                bar_valid=None, full_window=True,
             )
             near_target = jnp.abs(c - target) <= params.contact_prox
             escalate = jnp.logical_and(
@@ -419,13 +423,13 @@ def engine_path_replay(
                             Reason.ONLINE_POLICY)
 
         enter = reason == Reason.OK
-        # skip accounting: every evaluated (path, bar) whose first fail is
-        # a LADDER gate (IN_POSITION/COOLDOWN included, like the live loop's
-        # policy_events feed)
-        one = jnp.float32(1.0)
-        skip_vec = jnp.stack(
-            [jnp.sum(jnp.where(reason == code, one, 0.0)) for code in SKIP_REASONS])
-        skips = skips + skip_vec
+        # skip accounting happens OUTSIDE the scan: the per-bar reason codes
+        # ride the scan outputs and one fused [W, P]-vs-codes histogram
+        # replaces 16 sequential [P] reductions in the loop body (12.5% of
+        # the whole pipeline, benchmarks/xla_diet_bisect.py round 5).
+        # Bitwise-free: per-block counts are integers < 2^24, so any f32
+        # reduction association yields the same totals as the old per-bar
+        # running adds; the cross-block merge order is unchanged.
 
         # open the trade (noised execution scaffold, :3453-3461)
         if noise is not None:
@@ -486,8 +490,8 @@ def engine_path_replay(
                   else hstate)
         carry = (side, entry, stop, target, risk0, cooldown_until, last_dir, c,
                  c_counts, c_latch, guard, touch, ring_c, ring_v,
-                 equity, peak, dd, trades, wins, losses, escal, skips, hstate)
-        return carry, (equity if return_curve else None)
+                 equity, peak, dd, trades, wins, losses, escal, hstate)
+        return carry, ((reason, equity) if return_curve else reason)
 
     zf = jnp.zeros((p,), jnp.float32)
     zi = jnp.zeros((p,), jnp.int32)
@@ -506,7 +510,6 @@ def engine_path_replay(
         jnp.zeros((p, BARS_RING), jnp.float32),  # volume ring
         zf, zf, zf,                            # equity / peak / max_dd
         zi, zi, zi, zi,                        # trades / wins / losses / escal
-        jnp.zeros((n_skip,), jnp.float32),     # skip counts
         ((HV.EngineHarvest.zero(), zi, zi, zf, zf) if harvest else ()),
     )
     xs = (
@@ -524,16 +527,22 @@ def engine_path_replay(
     if n_peel:
         xs_a = jax.tree_util.tree_map(lambda x: x[:n_peel], xs)
         xs_b = jax.tree_util.tree_map(lambda x: x[n_peel:], xs)
-        carry_mid, curve_a = jax.lax.scan(
+        carry_mid, ys_a = jax.lax.scan(
             partial(step, esc_on=False), init, xs_a)
-        carry_fin, curve_b = jax.lax.scan(step, carry_mid, xs_b)
-        curve = (jnp.concatenate([curve_a, curve_b], axis=0)
-                 if return_curve else None)
+        carry_fin, ys_b = jax.lax.scan(step, carry_mid, xs_b)
+        ys = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), ys_a, ys_b)
     else:
-        carry_fin, curve = jax.lax.scan(step, init, xs)
+        carry_fin, ys = jax.lax.scan(step, init, xs)
+    reasons, curve = ys if return_curve else (ys, None)
     (side, _, _, _, _, _, _, _, _, _, _, _, _, _,
-     equity, _, dd, trades, wins, losses, escal, skips,
+     equity, _, dd, trades, wins, losses, escal,
      hstate) = carry_fin
+    # the one fused skip histogram over every (bar, path) reason code (the
+    # step docstrings explain why this lives outside the scan)
+    codes = jnp.asarray(SKIP_REASONS, jnp.int32)
+    skips = jnp.sum(
+        (reasons[..., None] == codes).astype(jnp.float32), axis=(0, 1))
     out = EngineLifecycleOutcome(
         equity=equity, trades=trades, wins=wins, losses=losses,
         open_at_end=side != SIDE_FLAT, max_dd=dd, escalations=escal,
