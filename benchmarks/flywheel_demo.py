@@ -76,11 +76,14 @@ def run_holdout(args):
         num_paths=1 << args.paths, eval_paths=1 << args.eval_paths,
         num_bars=args.bars, sigma=args.sigma,
         arm_policy_gate=args.arm_policy, sampler=args.sampler,
-        hist_bars=hist, exact_tail=args.exact_tail)
+        hist_bars=hist, exact_tail=args.exact_tail,
+        explore_paths=(1 << args.explore) if args.explore else 0,
+        explore_reweight=not args.no_reweight)
     wall = time.perf_counter() - t0
     for i, rd in enumerate(train_rounds):
         print(json.dumps({
             "train_round": i, "labeled": rd.labeled,
+            "explored": rd.explored,
             "hit_rate": round(float(rd.stats.hit_rate), 5),
             "mean_r": round(float(rd.stats.mean_r), 5),
             "trades": float(rd.stats.sum_trades),
@@ -93,6 +96,8 @@ def run_holdout(args):
     print(json.dumps({
         "sampler": args.sampler,
         "arm_policy_gate": args.arm_policy,
+        "explore_paths": (1 << args.explore) if args.explore else 0,
+        "explore_reweight": bool(args.explore) and not args.no_reweight,
         "holdout_expectancy_delta_r": round(
             final["expectancy_r"] - base["expectancy_r"], 5),
         "holdout_mean_r_delta": round(final["mean_r"] - base["mean_r"], 5),
@@ -123,6 +128,14 @@ def main():
                          "history (the distribution a gate CAN learn)")
     ap.add_argument("--exact-tail", action="store_true",
                     help="exact held-out VaR/CVaR (XLA backend only)")
+    ap.add_argument("--explore", type=int, default=0,
+                    help="log2 gates-off exploration paths merged into every "
+                         "armed round's harvest (0=off; fixes the round-1 "
+                         "survivorship collapse — see RESULTS.md)")
+    ap.add_argument("--no-reweight", action="store_true",
+                    help="plain merge instead of importance-reweighting the "
+                         "merged harvest to the exploration bucket "
+                         "frequencies (harvest.reweight_to_base)")
     args = ap.parse_args()
     if args.holdout:
         return run_holdout(args)
@@ -131,6 +144,7 @@ def main():
     rounds = FW.policy_iteration(
         0, LEVELS, EngineParams.default(), rounds=args.rounds,
         num_paths=1 << args.paths, num_bars=args.bars, sigma=args.sigma,
+        explore_paths=(1 << args.explore) if args.explore else 0,
     )
     wall = time.perf_counter() - t0
     names = [r.name for r in EP.SKIP_REASONS]

@@ -850,7 +850,7 @@ def cmd_flywheel(args):
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform != "cpu" else "xla"
     if backend == "pallas":
-        if len(rows) > 32:
+        if len(rows) > 64:
             raise SystemExit("pallas engine kernel supports up to 64 levels; "
                              "use --backend xla")
         from ..types import Levels
@@ -863,6 +863,7 @@ def cmd_flywheel(args):
         min_samples=args.min_samples,
         arm_policy_gate=args.arm_policy_gate,
         block_paths=min(args.num_paths, 1 << 13),
+        explore_paths=args.explore_paths,
     )
     names = [r.name for r in EPATH.SKIP_REASONS]
     for i, rd in enumerate(rounds):
@@ -870,6 +871,7 @@ def cmd_flywheel(args):
         print(_json.dumps({
             "round": i,
             "labeled": rd.labeled,
+            "explored": rd.explored,
             "hit_rate": round(float(st.hit_rate), 5),
             "mean_r": round(float(st.mean_r), 5),
             "trades": float(st.sum_trades),
@@ -1257,6 +1259,11 @@ def build_parser() -> argparse.ArgumentParser:
     fw.add_argument("--qmin", type=float, default=None)
     fw.add_argument("--min-samples", type=int, default=50,
                     help="retrain gate (>=50 labeled trades, ref :3838)")
+    fw.add_argument("--explore-paths", type=int, default=0,
+                    help="per armed round, ALSO harvest this many gates-off "
+                         "exploration paths and merge them before the model "
+                         "refresh (fixes pure on-policy retraining's "
+                         "survivorship collapse; benchmarks/RESULTS.md)")
     fw.add_argument("--arm-policy-gate", action="store_true",
                     help="also arm the refreshed OnlinePolicy two-head gate "
                          "(chosen >= 0.60 vetoes everything when the win "

@@ -118,6 +118,43 @@ class EngineHarvest(NamedTuple):
         )
 
 
+def reweight_to_base(merged: EngineHarvest, base: EngineHarvest) -> EngineHarvest:
+    """Importance-reweight a survivors+exploration merge to the BASE
+    (gates-off) bucket distribution.
+
+    The ML/policy gates decide DETERMINISTICALLY per bucket, so a merged
+    harvest's within-bucket label proportions are unbiased (passed buckets:
+    survivors + exploration; pruned buckets: exploration only — acceptance
+    is 0/1, no importance weights needed inside a bucket).  What the merge
+    distorts is the CROSS-bucket weighting the pooled IRLS fit sees: passed
+    buckets carry survivor counts on top of their exploration counts, so a
+    win-tilted stream inflates every shared coefficient and the refreshed
+    gate under-prunes (measured: benchmarks/RESULTS.md round-5 exploration
+    table).  Scaling each bucket's counts AND feature sums to the
+    exploration harvest's bucket totals restores the base frequencies while
+    keeping the merged (higher-precision) per-bucket proportions and bucket-
+    mean features — the importance-weighted refresh.  Buckets the
+    exploration population never reached scale to zero weight (their base
+    frequency is ~0 at this sample size)."""
+    def rw(m, b):
+        m_tot = jnp.sum(m, axis=-1, keepdims=True)
+        b_tot = jnp.sum(b, axis=-1, keepdims=True)
+        return m * jnp.where(m_tot > 0, b_tot / jnp.maximum(m_tot, 1.0), 0.0)
+
+    ml_scaled = rw(merged.ml_counts, base.ml_counts)
+    # one shared per-bucket scale for the policy block: counts and Σx must
+    # scale together so bucket-mean features (Σx / n) are unchanged
+    p_tot = jnp.sum(merged.pol_counts, axis=-1, keepdims=True)
+    b_tot = jnp.sum(base.pol_counts, axis=-1, keepdims=True)
+    p_scale = jnp.where(p_tot > 0, b_tot / jnp.maximum(p_tot, 1.0), 0.0)
+    return EngineHarvest(
+        ml_counts=ml_scaled,
+        pol_counts=merged.pol_counts * p_scale,
+        pol_sum_x1=merged.pol_sum_x1 * p_scale,
+        pol_sum_x6=merged.pol_sum_x6 * p_scale,
+    )
+
+
 def ml_bucket(touch_count, kind_solid, go_long):
     """ML-gate bucket index: tc*4 + kind*2 + glf, tc clamped to TC_CAP-1."""
     tc = jnp.clip(jnp.asarray(touch_count, jnp.int32), 0, TC_CAP - 1)

@@ -40,6 +40,7 @@ class FlywheelRound(NamedTuple):
     labeled: float            # closed trades harvested this round
     ml_model: MlModel         # model REFRESHED from this round's harvest
     policy: OP.PolicyParams   # policy refreshed from this round's harvest
+    explored: float = 0.0     # labels merged from the exploration harvest
 
 
 def policy_iteration(
@@ -62,6 +63,8 @@ def policy_iteration(
     hist_bars=None,
     block_len: int = 10,
     heston=None,
+    explore_paths: int = 0,
+    explore_reweight: bool = True,
 ) -> list[FlywheelRound]:
     """Run ``rounds`` simulate→harvest→refresh iterations.
 
@@ -76,39 +79,74 @@ def policy_iteration(
     the per-bucket pruner that actually shifts the mix.  Returns the
     per-round observables — the skip table / hit-rate shift across rounds is
     the closed-loop evidence (tests/test_harvest.py, benchmarks/RESULTS.md).
+
+    ``explore_paths > 0`` fixes the survivorship regression: pure on-policy
+    retraining harvests ONLY trades that survived the previous gate, so
+    after one hard-pruning round no losing bucket remains observable and the
+    refreshed gate prunes nothing (the round-1 block_bootstrap regression,
+    benchmarks/RESULTS.md "Held-out flywheel evaluation"; the reference's
+    trade-labeled retraining, qmmx_monolithic.py:3833-3894, shares the
+    dynamic).  Every armed round (r >= 1) then ALSO harvests a gates-off
+    exploration population of ``explore_paths`` paths on a disjoint seed
+    fold and merges it into the round's harvest before the model refresh —
+    ε-greedy at path scale: each bucket's base rate stays observable while
+    the main population still measures the armed surface.
+
+    ``explore_reweight`` (default on) additionally importance-reweights the
+    merged harvest to the exploration population's bucket frequencies
+    (models/harvest.reweight_to_base): a plain merge is per-bucket unbiased
+    but over-weights gate-passed buckets in the POOLED IRLS fit (survivor
+    counts stack on top of exploration counts), which measurably
+    under-prunes (RESULTS.md round-5 exploration table).  The reweighted
+    refresh sees base-distribution bucket weights with merged-precision
+    label proportions.
     """
     use_kernel = backend == "pallas" or (
         backend == "auto" and jax.devices()[0].platform != "cpu")
+    # disjoint seed fold for exploration populations (any odd constant far
+    # from the per-round stride; must not collide with round indices)
+    xfold = 104729
+
+    def _simulate(r, n, ml_m, pol, fold=0):
+        if use_kernel:
+            from ..ops.pallas_engine import ENGINE_LANES, mc_paths_pallas_engine
+
+            return mc_paths_pallas_engine(
+                int(seed) + 7919 * r + fold,
+                levels, params, num_paths=n, num_bars=num_bars,
+                s0=s0, sigma=sigma, dt=dt,
+                lanes=lanes or ENGINE_LANES,
+                policy=pol, ml_model=ml_m,
+                policy_gate_disabled=pol is None,
+                harvest=True, sampler=sampler, hist_bars=hist_bars,
+                block_len=block_len, heston=heston,
+            )
+        return EP.mc_paths_engine(
+            jax.random.fold_in(jax.random.key(int(seed)), r + fold),
+            levels, params,
+            num_paths=n, num_bars=num_bars, s0=s0, sigma=sigma,
+            dt=dt, block_paths=min(block_paths, n),
+            policy=pol, ml_model=ml_m,
+            policy_gate_disabled=pol is None,
+            harvest=True, sampler=sampler, hist_bars=hist_bars,
+            block_len=block_len, heston=heston,
+        )
 
     ml: MlModel | None = None
     policy: OP.PolicyParams | None = None
     out: list[FlywheelRound] = []
     for r in range(rounds):
         armed_policy = policy if arm_policy_gate else None
-        if use_kernel:
-            from ..ops.pallas_engine import ENGINE_LANES, mc_paths_pallas_engine
-
-            stats, skips, escal, hv = mc_paths_pallas_engine(
-                int(seed) + 7919 * r,
-                levels, params, num_paths=num_paths, num_bars=num_bars,
-                s0=s0, sigma=sigma, dt=dt,
-                lanes=lanes or ENGINE_LANES,
-                policy=armed_policy, ml_model=ml,
-                policy_gate_disabled=armed_policy is None,
-                harvest=True, sampler=sampler, hist_bars=hist_bars,
-                block_len=block_len, heston=heston,
-            )
-        else:
-            stats, skips, escal, hv = EP.mc_paths_engine(
-                jax.random.fold_in(jax.random.key(int(seed)), r),
-                levels, params,
-                num_paths=num_paths, num_bars=num_bars, s0=s0, sigma=sigma,
-                dt=dt, block_paths=min(block_paths, num_paths),
-                policy=armed_policy, ml_model=ml,
-                policy_gate_disabled=armed_policy is None,
-                harvest=True, sampler=sampler, hist_bars=hist_bars,
-                block_len=block_len, heston=heston,
-            )
+        stats, skips, escal, hv = _simulate(r, num_paths, ml, armed_policy)
+        explored = 0.0
+        if explore_paths and r >= 1:
+            # round 0 is already gates-off: only armed rounds need the mix
+            _, _, _, hv_x = _simulate(r, explore_paths, None, None,
+                                      fold=xfold)
+            explored = float(np.asarray(hv_x.n_labeled))
+            hv = hv.merge(hv_x)
+            if explore_reweight:
+                hv = HV.reweight_to_base(hv, hv_x)
         ml = HV.ml_model_from_harvest(
             hv, stop_padding=float(np.asarray(params.stop_padding)),
             min_samples=min_samples)
@@ -119,7 +157,7 @@ def policy_iteration(
             stats=stats, skips=np.asarray(skips),
             escalations=float(np.asarray(escal)),
             harvest=hv, labeled=float(np.asarray(hv.n_labeled)),
-            ml_model=ml, policy=policy,
+            ml_model=ml, policy=policy, explored=explored,
         ))
     return out
 
@@ -147,6 +185,8 @@ def holdout_eval(
     block_len: int = 10,
     heston=None,
     exact_tail: bool = False,     # exact held-out VaR/CVaR (XLA backends)
+    explore_paths: int = 0,       # see policy_iteration (survivorship fix)
+    explore_reweight: bool = True,
 ) -> tuple[list[FlywheelRound], list[dict]]:
     """Does the flywheel LEARN, or just train?  (VERDICT r4 missing #2.)
 
@@ -171,7 +211,8 @@ def holdout_eval(
         lanes=lanes, min_samples=min_samples,
         arm_policy_gate=arm_policy_gate, block_paths=block_paths,
         sampler=sampler, hist_bars=hist_bars, block_len=block_len,
-        heston=heston)
+        heston=heston, explore_paths=explore_paths,
+        explore_reweight=explore_reweight)
 
     eval_paths = int(eval_paths or num_paths)
     use_kernel = backend == "pallas" or (

@@ -216,3 +216,74 @@ def test_holdout_eval_measures_armed_vs_disarmed_on_disjoint_seed():
     # the trained arm armed a real model and changed the decision surface
     assert armed["ml_armed"]
     assert armed["skips_ml"] > 0 or armed["trades"] != base["trades"]
+
+
+def test_explore_mix_restores_pruned_buckets():
+    """``explore_paths`` (the survivorship fix, RESULTS.md "Held-out flywheel
+    evaluation"): pure on-policy round 1 harvests ONLY trades that survived
+    round 0's gate; the exploration mix merges a gates-off harvest on a
+    disjoint seed fold, so every bucket's base rate stays observable.
+    Structural contract: round 0 is untouched (gates-off already), and the
+    mixed round-1 harvest equals pure + exploration count-for-count."""
+    from qmmx_monolithic_monte_carlo_tpu.sim import flywheel as FW
+
+    kw = dict(rounds=2, num_paths=1 << 10, num_bars=32, sigma=0.3,
+              block_paths=1 << 10, backend="xla")
+    pure = FW.policy_iteration(0, LEVELS, EngineParams.default(), **kw)
+    mixed = FW.policy_iteration(0, LEVELS, EngineParams.default(),
+                                explore_paths=1 << 10,
+                                explore_reweight=False, **kw)
+    assert pure[0].explored == 0 and mixed[0].explored == 0
+    np.testing.assert_array_equal(np.asarray(pure[0].harvest.ml_counts),
+                                  np.asarray(mixed[0].harvest.ml_counts))
+    # round 1's MAIN population is identical (same seed fold, same round-0
+    # models), so labeled splits exactly into main + explored (integer
+    # counts in f32 — exact below 2^24)
+    assert mixed[1].explored > 0
+    assert mixed[1].labeled == pure[1].labeled + mixed[1].explored
+    # merged counts dominate the pure harvest bucket-for-bucket: no losing
+    # bucket the gate pruned away can vanish from the training stream
+    assert np.all(np.asarray(mixed[1].harvest.ml_counts)
+                  >= np.asarray(pure[1].harvest.ml_counts))
+    # and the exploration population actually contributed LOSS labels (the
+    # signal pure on-policy retraining starves on)
+    extra = (np.asarray(mixed[1].harvest.ml_counts)
+             - np.asarray(pure[1].harvest.ml_counts))
+    assert extra[:, 0].sum() > 0
+
+
+def test_reweight_to_base_restores_bucket_frequencies():
+    """harvest.reweight_to_base: the importance-weighted refresh sees the
+    BASE bucket frequencies with the merged label proportions (the pooled
+    IRLS under-prune fix; RESULTS.md round-5 exploration table)."""
+    base = HV.EngineHarvest.zero()
+    surv = HV.EngineHarvest.zero()
+    # bucket 0: base 10 losses + 10 wins; survivors pile 40 wins on top
+    base = base._replace(ml_counts=base.ml_counts.at[0].set(
+        jnp.array([10.0, 10.0])))
+    surv = surv._replace(ml_counts=surv.ml_counts.at[0].set(
+        jnp.array([0.0, 40.0])))
+    # bucket 1: exploration-only (the gate pruned it) — 6 losses, 2 wins
+    base = base._replace(ml_counts=base.ml_counts.at[1].set(
+        jnp.array([6.0, 2.0])))
+    # bucket 2: survivor-only (exploration never reached it) — dropped
+    surv = surv._replace(ml_counts=surv.ml_counts.at[2].set(
+        jnp.array([0.0, 3.0])))
+    # policy block: counts AND feature sums must share one per-bucket scale
+    base = base._replace(
+        pol_counts=base.pol_counts.at[0].set(jnp.array([4.0, 4.0])))
+    surv = surv._replace(
+        pol_counts=surv.pol_counts.at[0].set(jnp.array([0.0, 8.0])),
+        pol_sum_x1=surv.pol_sum_x1.at[0].set(jnp.array([0.0, 8.0])))
+
+    rw = HV.reweight_to_base(base.merge(surv), base)
+    ml = np.asarray(rw.ml_counts)
+    # bucket 0: total back to the base 20, merged proportions (10:50) kept
+    np.testing.assert_allclose(ml[0], [20 * 10 / 60, 20 * 50 / 60], rtol=1e-6)
+    # bucket 1: untouched (exploration-only)
+    np.testing.assert_allclose(ml[1], [6.0, 2.0])
+    # bucket 2: zero base frequency -> zero weight
+    np.testing.assert_allclose(ml[2], [0.0, 0.0])
+    # policy: scale 8/16, sums scale with counts (bucket means invariant)
+    np.testing.assert_allclose(np.asarray(rw.pol_counts)[0], [2.0, 6.0])
+    np.testing.assert_allclose(np.asarray(rw.pol_sum_x1)[0], [0.0, 4.0])
