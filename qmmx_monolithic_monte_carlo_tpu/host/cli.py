@@ -821,13 +821,30 @@ def cmd_book(args):
             row["ml_coef"] = [round(float(c), 6)
                               for c in np.asarray(ml_refreshed.coef[s])]
         print(json.dumps(row))
-    print(json.dumps({
+    prow = {
         "portfolio": True, "mean_r": float(port.mean_r),
         "std_r": float(port.std_r),
         "var_05": float(port.quantile(0.05)),
         "cvar_05": float(port.cvar(0.05)),
         "max_dd": float(port.max_dd), "mean_dd": float(port.mean_dd),
-    }))
+    }
+    if getattr(args, "exact_tail", False):
+        # certified selection over the XLA book pipeline's own population
+        # (parallel/portfolio.exact_tail_book; ~6 extra generation passes)
+        if not engine or backend != "xla":
+            raise SystemExit("book --exact-tail needs --engine --backend "
+                             "xla (it selects over the XLA book pipeline's "
+                             "exact path population)")
+        from ..parallel.portfolio import exact_tail_book
+
+        tail = exact_tail_book(
+            jax.random.key(args.seed), lv, params, s0, sigma, beta, w,
+            num_paths=args.num_paths, num_bars=args.num_bars,
+            block_paths=min(args.num_paths, 1 << 12), **samp_kw)
+        prow.update(var_05=tail.var, cvar_05=tail.cvar,
+                    tail_exact=tail.certified, tail_rank=tail.k,
+                    tail_entered=tail.n_entered)
+    print(json.dumps(prow))
     return 0
 
 
@@ -1219,6 +1236,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "escalation) instead of the gated subset")
     bk.add_argument("--backend", choices=["auto", "xla", "pallas"],
                     default="auto")
+    bk.add_argument("--exact-tail", action="store_true",
+                    help="with --engine --backend xla: EXACT certified "
+                         "portfolio VaR/CVaR by distributed selection over "
+                         "the book pipeline's per-path totals "
+                         "(parallel/portfolio.exact_tail_book)")
     bk.add_argument("--harvest", action="store_true",
                     help="with --engine: harvest per-symbol trade labels "
                     "from the correlated run and refresh each symbol's ML "

@@ -586,3 +586,136 @@ def _portfolio_mc_engine_impl(
     final_carry, _ = jax.lax.scan(
         body, init, jnp.arange(n_blocks, dtype=jnp.uint32))
     return final_carry
+
+
+def exact_tail_book(
+    key,
+    levels: Levels,           # batched [S, L]
+    params: EngineParams,
+    s0, sigma, beta, weights,  # f32[S]
+    *,
+    num_paths: int,
+    q: float = 0.05,
+    num_bars: int = 40,
+    dt: float = 1.0 / (390.0 * 252.0),
+    mu: float = 0.0,
+    block_paths: int = 1 << 12,
+    policy=None,
+    ml_model=None,
+    touch_params=None,
+    guard_params=None,
+    policy_gate_disabled: bool | None = None,
+    escalation: bool = True,
+    bar0_minute=0,
+    volume_model: PG.VolumeModel | None = None,
+    sampler: str = "gbm",
+    hist_bars=None,
+    block_len: int = 10,
+    heston: dict | None = None,
+    antithetic: bool = False,
+):
+    """EXACT book-level VaR/CVaR by distributed selection (sim/tailexact).
+
+    The portfolio analog of ``tailexact.exact_tail_engine``: the k-th order
+    statistic (reference index formula, qmmx_monolithic.py:3512-3525) of the
+    per-path PORTFOLIO total R whose 128-bin histogram
+    ``portfolio_mc_engine``'s book ``PathStats`` otherwise inverts
+    approximately.  Streams the SAME blocks with the SAME PRNG keying and
+    samplers as ``_portfolio_mc_engine_impl.one_block``, accumulating only
+    the weighted per-symbol FINAL equities — bitwise the pipeline's
+    ``port_curve[-1]``, since ``(port_curve + w·curve)[-1]`` and
+    ``fin + w·equity`` are the same f32 ops in the same symbol-scan order.
+    Entered = any symbol traded on the path (``trades_tot > 0``), matching
+    ``PathStats.from_lifecycle``.  Returns a certified
+    ``tailexact.ExactTail``; cost ≈ 6 pipeline generations (one per
+    bisection pass)."""
+    from ..sim import tailexact as TE
+
+    if sampler not in ("gbm", "bootstrap", "block_bootstrap", "heston"):
+        raise ValueError("exact_tail_book samplers: 'gbm' | 'bootstrap'"
+                         " | 'block_bootstrap' | 'heston'")
+    if sampler in ("bootstrap", "block_bootstrap"):
+        if hist_bars is None:
+            raise ValueError("sampler='bootstrap' requires hist_bars")
+    else:
+        hist_bars = None
+    _check_antithetic(antithetic, sampler, block_paths)
+    if volume_model is None:
+        volume_model = PG.VolumeModel()
+    if num_paths % block_paths != 0:
+        raise ValueError("num_paths must be a multiple of block_paths")
+    heston_vec = _heston_vec(heston)
+    s0 = jnp.asarray(s0, jnp.float32)
+    sigma = jnp.asarray(sigma, jnp.float32)
+    beta = jnp.asarray(beta, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    n_sym = s0.shape[0]
+    sym_idx = jnp.arange(n_sym, dtype=jnp.uint32)
+    blk = int(block_len) if sampler == "block_bootstrap" else 0
+
+    bootstrap = sampler in ("bootstrap", "block_bootstrap")
+    tabs, n_hist = _book_tables(hist_bars, n_sym) if bootstrap else (
+        tuple(jnp.zeros((n_sym, 1), jnp.float32) for _ in range(5)), 0)
+
+    def block_fn(b):
+        km = prng.key_for(key, prng.STREAM_MARKET, b)
+        if bootstrap:
+            joint_idx = _joint_resample_idx(
+                km, num_paths=block_paths, num_bars=num_bars,
+                n_hist=n_hist, block_len=blk)
+            z_m = zq_m = None
+        else:
+            z_m = _anti_normal(km, block_paths, num_bars, antithetic)
+            zq_m = (jax.random.normal(
+                prng.key_for(key, prng.STREAM_MARKET, b, 1),
+                (block_paths, num_bars), jnp.float32)
+                if sampler == "heston" else None)
+
+        def per_symbol(carry, xs):
+            fin, trades_tot = carry
+            si, lv, s0s, sgs, bts, wts, tab_row = xs
+            ks = prng.key_for(key, prng.STREAM_PATH, b, si)
+            if bootstrap:
+                bars = _boot_bars_from_idx(joint_idx, tab_row, s0s,
+                                           num_paths=block_paths)
+            else:
+                eps = _anti_normal(ks, block_paths, num_bars, antithetic)
+                perp = jnp.sqrt(jnp.maximum(0.0, 1.0 - bts * bts))
+                z = bts * z_m + perp * eps
+                if sampler == "heston":
+                    zq_e = jax.random.normal(
+                        prng.key_for(ks, prng.STREAM_PATH, 3),
+                        (block_paths, num_bars), jnp.float32)
+                    zq = bts * zq_m + perp * zq_e
+                    bars = _heston_bars_from_shocks(
+                        ks, z, zq, s0s, heston_vec, mu=mu, dt=dt,
+                        num_paths=block_paths)
+                    bars = bars._replace(volume=volume_model.volumes(
+                        ks, z, num_paths=block_paths, num_bars=num_bars))
+                else:
+                    vol = volume_model.volumes(
+                        ks, z, num_paths=block_paths, num_bars=num_bars)
+                    bars = _bars_from_shocks(
+                        z, prng.key_for(ks, prng.STREAM_BRIDGE_HI),
+                        prng.key_for(ks, prng.STREAM_BRIDGE_LO),
+                        s0=s0s, mu=mu, sigma=sgs, dt=dt, volume=vol)
+            tie = jax.random.uniform(
+                prng.key_for(ks, prng.STREAM_TIE_COIN),
+                (block_paths, num_bars), jnp.float32)
+            out = enginepath.engine_path_replay(
+                bars, lv, params, tie,
+                policy=policy, ml_model=ml_model, touch_params=touch_params,
+                guard_params=guard_params,
+                policy_gate_disabled=policy_gate_disabled,
+                escalation=escalation, bar0_minute=bar0_minute)
+            return (fin + wts * out.equity, trades_tot + out.trades), None
+
+        zf = jnp.zeros((block_paths,), jnp.float32)
+        zi = jnp.zeros((block_paths,), jnp.int32)
+        (fin, trades_tot), _ = jax.lax.scan(
+            per_symbol, (zf, zi),
+            (sym_idx, levels, s0, sigma, beta, weights, tabs))
+        return fin, trades_tot > 0
+
+    cp, tp = TE._make_passes(block_fn, num_paths // block_paths)
+    return TE._exact_tail_from_passes(cp, tp, q=q)

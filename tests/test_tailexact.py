@@ -194,3 +194,81 @@ def test_exact_tail_rank_formula():
     assert tailexact.exact_tail_rank(20) == 1
     assert tailexact.exact_tail_rank(40) == 2
     assert tailexact.exact_tail_rank(1 << 20, 0.05) == int(0.05 * (1 << 20))
+
+
+@pytest.mark.slow
+def test_book_exact_tail_matches_sorted_oracle():
+    """exact_tail_book (round 5): the certified selection over per-path
+    PORTFOLIO totals is bitwise the sorted oracle of the weighted
+    per-symbol finals rebuilt with the pipeline's own block keying, and
+    the aggregate book PathStats counts the identical population."""
+    from qmmx_monolithic_monte_carlo_tpu.parallel import portfolio as PF
+    from qmmx_monolithic_monte_carlo_tpu.parallel.universe import stack_levels
+
+    lv = stack_levels([
+        [{"color": "blue", "type": "solid", "index": 0, "price": 100.0},
+         {"color": "teal", "type": "solid", "index": 0, "price": 99.4}],
+        [{"color": "orange", "type": "dashed", "index": 0, "price": 50.3}],
+    ], max_levels=4)
+    s0 = np.float32([100.0, 50.0])
+    sigma = np.float32([0.3, 0.4])
+    beta = np.float32([0.8, 0.6])
+    wts = np.float32([0.5, 0.5])
+    params = EngineParams.default()
+    key = jax.random.key(23)
+    num_paths, block_paths, w = 1 << 12, 1 << 10, 24
+
+    tail = PF.exact_tail_book(
+        key, lv, params, s0, sigma, beta, wts, num_paths=num_paths,
+        block_paths=block_paths, num_bars=w)
+
+    # oracle: rebuild the weighted book finals block by block with the
+    # impl's documented keying (STREAM_MARKET/b market shocks,
+    # STREAM_PATH/(b, si) idiosyncratic + tie streams)
+    fins, ents = [], []
+    for b in range(num_paths // block_paths):
+        km = prng.key_for(key, prng.STREAM_MARKET, jnp.uint32(b))
+        z_m = jax.random.normal(km, (block_paths, w), jnp.float32)
+        fin = np.zeros((block_paths,), np.float32)
+        trades = np.zeros((block_paths,), np.int32)
+        for si in range(2):
+            ks = prng.key_for(key, prng.STREAM_PATH, jnp.uint32(b),
+                              jnp.uint32(si))
+            eps = jax.random.normal(ks, (block_paths, w), jnp.float32)
+            bts = jnp.float32(beta[si])
+            z = bts * z_m + jnp.sqrt(1.0 - bts * bts) * eps
+            vol = PF.PG.VolumeModel().volumes(
+                ks, z, num_paths=block_paths, num_bars=w)
+            bars = PF._bars_from_shocks(
+                z, prng.key_for(ks, prng.STREAM_BRIDGE_HI),
+                prng.key_for(ks, prng.STREAM_BRIDGE_LO),
+                s0=jnp.float32(s0[si]), mu=0.0,
+                sigma=jnp.float32(sigma[si]),
+                dt=1.0 / (390.0 * 252.0), volume=vol)
+            tie = jax.random.uniform(
+                prng.key_for(ks, prng.STREAM_TIE_COIN), (block_paths, w),
+                jnp.float32)
+            lvs = jax.tree_util.tree_map(lambda x: x[si], lv)
+            out = enginepath.engine_path_replay(bars, lvs, params, tie)
+            fin = np.float32(fin + np.float32(wts[si])
+                             * np.asarray(out.equity, np.float32))
+            trades = trades + np.asarray(out.trades)
+        fins.append(fin)
+        ents.append(trades > 0)
+    fins = np.concatenate(fins)
+    ents = np.concatenate(ents)
+    var, cvar, k = _oracle(fins[ents], 0.05)
+    assert tail.n_entered == int(ents.sum())
+    assert tail.k == k
+    assert tail.var == var, "book VaR must be BITWISE the order statistic"
+    assert tail.cvar == cvar
+    assert tail.certified
+
+    # the aggregate book pipeline counts the identical population and its
+    # free histogram estimate brackets the exact value
+    _, port, _, _ = PF.portfolio_mc_engine(
+        key, lv, params, s0, sigma, beta, wts, num_paths=num_paths,
+        block_paths=block_paths, num_bars=w)
+    assert int(port.n_entered) == tail.n_entered
+    bin_w = (port.hist_hi - port.hist_lo) / port.hist.shape[-1]
+    assert abs(float(port.quantile(0.05)) - tail.var) <= 2 * bin_w
